@@ -1,0 +1,636 @@
+"""The OLAP query catalog: Q1-Q10 from the reference + Java-variant operators.
+
+Each query is the reference shape (reference SQL/olap_queries.sql is
+canonical; Java variants from Java/MeshJoin.java add operator coverage)
+re-expressed over the driver's TPC-H-ish star schema via ``plans.star.fact``
+(mapping in FIXTURES.md §B). Reference years (2017/2019) map to 1997 — the
+middle of the generated ``o_orderdate`` range (1995-2001).
+
+Every builder returns a lazily-planned DataFrame; nothing collects. Oracles
+are the same ANSI SQL DuckDB runs on the same parquet. See
+``plans.registry`` for the cross-engine determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .star import FACT_CTE, fact
+
+YEAR = 1997
+
+
+# --------------------------------------------------------------------------
+# Q1 — top revenue products (J3 + P2 + A1 + O1 top-k).
+# Reference: olap_queries.sql:3-9; MeshJoin.java:451-472.
+# Physical plan: partial agg -> shuffle by group key -> final agg ->
+# TakeOrderedAndProject(5) — true top-k, no full sort, no driver-side sort.
+@register(
+    "q01_top_revenue_products",
+    headline=True,
+    oracle=f"""
+WITH {FACT_CTE},
+agg AS (
+    SELECT product_id, product_name,
+           CAST(SUM(sale) AS DOUBLE) AS total_sales
+    FROM fact
+    WHERE EXTRACT(YEAR FROM order_date) = {YEAR}
+    GROUP BY product_id, product_name
+)
+SELECT product_name, total_sales
+FROM agg
+ORDER BY total_sales DESC, product_name, product_id
+LIMIT 5
+""",
+)
+def q01_top_revenue_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = fact(spark, sf_dir).filter(F.year("order_date") == YEAR)
+    return (
+        f.groupBy("product_id", "product_name")
+        .agg(F.sum("sale").cast("double").alias("total_sales"))
+        .orderBy(F.desc("total_sales"), "product_name", "product_id")
+        .limit(5)
+        .select("product_name", "total_sales")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — quarterly store revenue growth rate (CTE agg -> W1 LAG -> F5 -> P4).
+# Reference: olap_queries.sql:13-37.
+@register(
+    "q02_quarterly_growth_store",
+    headline=True,
+    oracle=f"""
+WITH {FACT_CTE},
+quarterly AS (
+    SELECT CAST(EXTRACT(YEAR FROM order_date) * 100
+                + EXTRACT(QUARTER FROM order_date) AS INT) AS sales_quarter,
+           store_name,
+           CAST(SUM(sale) AS DOUBLE) AS total_revenue
+    FROM fact
+    WHERE EXTRACT(YEAR FROM order_date) = {YEAR}
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT sales_quarter, store_name, total_revenue,
+           LAG(total_revenue, 1, 0) OVER (
+               PARTITION BY store_name ORDER BY sales_quarter
+           ) AS previous_quarter_revenue
+    FROM quarterly
+)
+SELECT sales_quarter, store_name, total_revenue,
+       (total_revenue - previous_quarter_revenue) * 100.0
+           / previous_quarter_revenue AS growth_rate
+FROM ranked
+WHERE previous_quarter_revenue <> 0
+""",
+)
+def q02_quarterly_growth_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = fact(spark, sf_dir).filter(F.year("order_date") == YEAR)
+    quarterly = f.groupBy(
+        (F.year("order_date") * 100 + F.quarter("order_date")).alias("sales_quarter"),
+        "store_name",
+    ).agg(F.sum("sale").cast("double").alias("total_revenue"))
+    w = Window.partitionBy("store_name").orderBy("sales_quarter")
+    ranked = quarterly.withColumn(
+        "previous_quarter_revenue", F.lag("total_revenue", 1, 0).over(w)
+    )
+    return ranked.filter(F.col("previous_quarter_revenue") != 0).select(
+        "sales_quarter",
+        "store_name",
+        "total_revenue",
+        (
+            (F.col("total_revenue") - F.col("previous_quarter_revenue"))
+            * 100.0
+            / F.col("previous_quarter_revenue")
+        ).alias("growth_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — supplier sales contribution by store & product (A1 3-key + O2).
+# Reference: olap_queries.sql:41-48.
+@register(
+    "q03_supplier_contribution",
+    headline=True,
+    oracle=f"""
+WITH {FACT_CTE}
+SELECT store_name, supplier_name, product_name,
+       CAST(SUM(sale) AS DOUBLE) AS total_sales
+FROM fact
+GROUP BY 1, 2, 3
+""",
+)
+def q03_supplier_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        fact(spark, sf_dir)
+        .groupBy("store_name", "supplier_name", "product_name")
+        .agg(F.sum("sale").cast("double").alias("total_sales"))
+        .orderBy("store_name", "supplier_name", "product_name")
+    )
+
+
+def _season_expr(col: str):
+    m = F.month(col)
+    return (
+        F.when(m.between(3, 5), "Spring")
+        .when(m.between(6, 8), "Summer")
+        .when(m.between(9, 11), "Fall")
+        .otherwise("Winter")
+    )
+
+
+_SEASON_SQL = """CASE
+    WHEN EXTRACT(MONTH FROM order_date) BETWEEN 3 AND 5 THEN 'Spring'
+    WHEN EXTRACT(MONTH FROM order_date) BETWEEN 6 AND 8 THEN 'Summer'
+    WHEN EXTRACT(MONTH FROM order_date) BETWEEN 9 AND 11 THEN 'Fall'
+    ELSE 'Winter' END"""
+
+
+# --------------------------------------------------------------------------
+# Q4 — seasonal product sales (F4 CASE bucket + A1).
+# Reference: olap_queries.sql:52-70.
+@register(
+    "q04_seasonal_product_sales",
+    oracle=f"""
+WITH {FACT_CTE}
+SELECT product_name,
+       {_SEASON_SQL} AS season,
+       CAST(SUM(sale) AS DOUBLE) AS total_sales
+FROM fact
+GROUP BY 1, 2
+""",
+)
+def q04_seasonal_product_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        fact(spark, sf_dir)
+        .groupBy("product_name", _season_expr("order_date").alias("season"))
+        .agg(F.sum("sale").cast("double").alias("total_sales"))
+        .orderBy("product_name", "season")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — store/supplier monthly revenue volatility (A1 -> W1 LAG -> F5 -> P4).
+# Reference: olap_queries.sql:74-100.
+@register(
+    "q05_monthly_volatility",
+    headline=True,
+    oracle=f"""
+WITH {FACT_CTE},
+monthly AS (
+    SELECT CAST(EXTRACT(YEAR FROM order_date) * 100
+                + EXTRACT(MONTH FROM order_date) AS INT) AS sales_month,
+           store_name, supplier_name,
+           CAST(SUM(sale) AS DOUBLE) AS monthly_revenue
+    FROM fact
+    GROUP BY 1, 2, 3
+),
+lagged AS (
+    SELECT sales_month, store_name, supplier_name, monthly_revenue,
+           LAG(monthly_revenue, 1, 0) OVER (
+               PARTITION BY store_name, supplier_name ORDER BY sales_month
+           ) AS previous_month_revenue
+    FROM monthly
+)
+SELECT sales_month, store_name, supplier_name, monthly_revenue,
+       (monthly_revenue - previous_month_revenue) * 100.0
+           / previous_month_revenue AS volatility
+FROM lagged
+WHERE previous_month_revenue <> 0
+""",
+)
+def q05_monthly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        fact(spark, sf_dir)
+        .groupBy(
+            (F.year("order_date") * 100 + F.month("order_date")).alias("sales_month"),
+            "store_name",
+            "supplier_name",
+        )
+        .agg(F.sum("sale").cast("double").alias("monthly_revenue"))
+    )
+    w = Window.partitionBy("store_name", "supplier_name").orderBy("sales_month")
+    lagged = monthly.withColumn(
+        "previous_month_revenue", F.lag("monthly_revenue", 1, 0).over(w)
+    )
+    return lagged.filter(F.col("previous_month_revenue") != 0).select(
+        "sales_month",
+        "store_name",
+        "supplier_name",
+        "monthly_revenue",
+        (
+            (F.col("monthly_revenue") - F.col("previous_month_revenue"))
+            * 100.0
+            / F.col("previous_month_revenue")
+        ).alias("volatility"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — products purchased together (A6 GROUP_CONCAT + P5 HAVING + O1 top-k).
+# Reference: olap_queries.sql:104-124. MySQL GROUP_CONCAT has no defined
+# order; we implement the *intent* form (sorted combination) so pairs are
+# order-insensitive — noted divergence (SURVEY §4.3.1).
+@register(
+    "q06_product_affinity",
+    headline=True,
+    oracle=f"""
+WITH {FACT_CTE},
+order_products AS (
+    SELECT order_id,
+           string_agg(product_name, ', ' ORDER BY product_name)
+               AS product_combination
+    FROM fact
+    GROUP BY order_id
+    HAVING COUNT(*) > 1
+),
+pair_counts AS (
+    SELECT product_combination, COUNT(*) AS pair_count
+    FROM order_products
+    GROUP BY product_combination
+)
+SELECT product_combination, pair_count
+FROM pair_counts
+ORDER BY pair_count DESC, product_combination
+LIMIT 5
+""",
+)
+def q06_product_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order_products = (
+        fact(spark, sf_dir)
+        .groupBy("order_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("product_name")), ", ").alias(
+                "product_combination"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .filter(F.col("n_items") > 1)
+    )
+    return (
+        order_products.groupBy("product_combination")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "product_combination")
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6j — co-purchase pairs via self-join (J4: equi key + theta residual).
+# Reference: MeshJoin.java:602-619 (ft JOIN ft2 ON same ORDER_ID, different
+# PRODUCT_ID). Distinct names per order first, then name-ordered pairs so
+# each unordered pair counts once.
+@register(
+    "q06j_copurchase_pairs",
+    oracle=f"""
+WITH {FACT_CTE},
+op AS (SELECT DISTINCT order_id, product_name FROM fact),
+pairs AS (
+    SELECT a.product_name AS product_a, b.product_name AS product_b
+    FROM op a JOIN op b
+      ON a.order_id = b.order_id AND a.product_name < b.product_name
+)
+SELECT product_a, product_b, COUNT(*) AS pair_count
+FROM pairs
+GROUP BY 1, 2
+ORDER BY pair_count DESC, product_a, product_b
+LIMIT 5
+""",
+)
+def q06j_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = fact(spark, sf_dir).select("order_id", "product_name").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.order_id") == F.col("b.order_id"))
+        & (F.col("a.product_name") < F.col("b.product_name")),
+    ).select(
+        F.col("a.product_name").alias("product_a"),
+        F.col("b.product_name").alias("product_b"),
+    )
+    return (
+        pairs.groupBy("product_a", "product_b")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "product_a", "product_b")
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — yearly revenue with ROLLUP subtotals (A7 grouping sets).
+# Reference: olap_queries.sql:128-136. Spark plans an Expand over 4 grouping
+# sets + one hash agg — same shape DuckDB uses.
+@register(
+    "q07_rollup_yearly",
+    headline=True,
+    oracle=f"""
+WITH {FACT_CTE}
+SELECT store_name, supplier_name, product_name,
+       CAST(SUM(sale) AS DOUBLE) AS total_revenue
+FROM fact
+WHERE EXTRACT(YEAR FROM order_date) = {YEAR}
+GROUP BY ROLLUP (store_name, supplier_name, product_name)
+""",
+)
+def q07_rollup_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        fact(spark, sf_dir)
+        .filter(F.year("order_date") == YEAR)
+        .rollup("store_name", "supplier_name", "product_name")
+        .agg(F.sum("sale").cast("double").alias("total_revenue"))
+        .orderBy("store_name", "supplier_name", "product_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7j — grand-total aggregate, no GROUP BY (A8).
+# Reference: MeshJoin.java:621-634 (degenerate Q7 variant).
+@register(
+    "q07j_total_revenue",
+    oracle=f"""
+WITH {FACT_CTE}
+SELECT CAST(SUM(sale) AS DOUBLE) AS total_revenue
+FROM fact
+WHERE EXTRACT(YEAR FROM order_date) = {YEAR}
+""",
+)
+def q07j_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        fact(spark, sf_dir)
+        .filter(F.year("order_date") == YEAR)
+        .agg(F.sum("sale").cast("double").alias("total_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — H1/H2 half-yearly revenue & volume joined to yearly totals
+# (A5 half bucket + A1 + A2, then J5 agg-to-agg join on a non-key).
+# Reference: olap_queries.sql:140-169.
+@register(
+    "q08_halfyearly_vs_yearly",
+    oracle=f"""
+WITH {FACT_CTE},
+half AS (
+    SELECT product_name,
+           CASE WHEN EXTRACT(MONTH FROM order_date) BETWEEN 1 AND 6
+                THEN 'H1' ELSE 'H2' END AS sales_half,
+           CAST(SUM(sale) AS DOUBLE)     AS total_revenue,
+           CAST(SUM(quantity) AS DOUBLE) AS total_quantity
+    FROM fact
+    GROUP BY 1, 2
+),
+yearly AS (
+    SELECT product_name,
+           CAST(SUM(sale) AS DOUBLE)     AS total_yearly_revenue,
+           CAST(SUM(quantity) AS DOUBLE) AS total_yearly_quantity
+    FROM fact
+    GROUP BY 1
+)
+SELECT hs.product_name, hs.sales_half, hs.total_revenue, hs.total_quantity,
+       ys.total_yearly_revenue, ys.total_yearly_quantity
+FROM half hs JOIN yearly ys ON hs.product_name = ys.product_name
+""",
+)
+def q08_halfyearly_vs_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = fact(spark, sf_dir)
+    half = f.groupBy(
+        "product_name",
+        F.when(F.month("order_date").between(1, 6), "H1")
+        .otherwise("H2")
+        .alias("sales_half"),
+    ).agg(
+        F.sum("sale").cast("double").alias("total_revenue"),
+        F.sum("quantity").cast("double").alias("total_quantity"),
+    )
+    yearly = f.groupBy("product_name").agg(
+        F.sum("sale").cast("double").alias("total_yearly_revenue"),
+        F.sum("quantity").cast("double").alias("total_yearly_quantity"),
+    )
+    return half.join(yearly, "product_name").select(
+        "product_name",
+        "sales_half",
+        "total_revenue",
+        "total_quantity",
+        "total_yearly_revenue",
+        "total_yearly_quantity",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — daily revenue spike outliers (A9 two-level agg + J6 agg-join + F4).
+# Reference: olap_queries.sql:173-196. Reference shape kept (two aggs + a
+# join); the window form avg() OVER (PARTITION BY product) is the optimized
+# variant (one shuffle fewer) — noted, not used, for oracle parity.
+@register(
+    "q09_daily_spikes",
+    headline=True,
+    oracle=f"""
+WITH {FACT_CTE},
+daily AS (
+    SELECT product_name, order_date, SUM(sale) AS daily_revenue_dec
+    FROM fact
+    GROUP BY 1, 2
+),
+avg_daily AS (
+    SELECT product_name,
+           CAST(SUM(daily_revenue_dec) AS DOUBLE) / COUNT(*) AS avg_daily_revenue
+    FROM daily
+    GROUP BY 1
+)
+SELECT d.product_name, CAST(d.order_date AS VARCHAR) AS order_date,
+       CAST(d.daily_revenue_dec AS DOUBLE) AS daily_revenue,
+       a.avg_daily_revenue,
+       CASE WHEN CAST(d.daily_revenue_dec AS DOUBLE) > 2 * a.avg_daily_revenue
+            THEN 'Outlier' ELSE 'Normal' END AS outlier_flag
+FROM daily d JOIN avg_daily a ON d.product_name = a.product_name
+""",
+)
+def q09_daily_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        fact(spark, sf_dir)
+        .groupBy("product_name", "order_date")
+        .agg(F.sum("sale").alias("daily_revenue_dec"))
+    )
+    avg_daily = daily.groupBy("product_name").agg(
+        (F.sum("daily_revenue_dec").cast("double") / F.count("*")).alias(
+            "avg_daily_revenue"
+        )
+    )
+    d = daily.withColumn("daily_revenue", F.col("daily_revenue_dec").cast("double"))
+    # Date leaves as an ISO string: unambiguous across Spark/DuckDB/pandas
+    # canonicalizations (a DATE round-trips as midnight Timestamp in pandas).
+    return d.join(avg_daily, "product_name").select(
+        "product_name",
+        F.col("order_date").cast("string").alias("order_date"),
+        "daily_revenue",
+        "avg_daily_revenue",
+        F.when(
+            F.col("daily_revenue") > 2 * F.col("avg_daily_revenue"), "Outlier"
+        )
+        .otherwise("Normal")
+        .alias("outlier_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — STORE_QUARTERLY_SALES view (S9 create view + A1).
+# Reference: olap_queries.sql:199-207; MeshJoin.java:688-704. MySQL's ORDER
+# BY inside the view is semantically void in Spark subqueries (SURVEY §4.3.4)
+# — ordering is applied at the final SELECT.
+@register(
+    "q10_store_quarterly_view",
+    oracle=f"""
+WITH {FACT_CTE},
+store_quarterly_sales AS (
+    SELECT store_name,
+           CAST(EXTRACT(YEAR FROM order_date) * 100
+                + EXTRACT(QUARTER FROM order_date) AS INT) AS sales_quarter,
+           CAST(SUM(sale) AS DOUBLE) AS total_quarterly_sales
+    FROM fact
+    GROUP BY 1, 2
+)
+SELECT store_name, sales_quarter, total_quarterly_sales
+FROM store_quarterly_sales
+""",
+)
+def q10_store_quarterly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = (
+        fact(spark, sf_dir)
+        .groupBy(
+            "store_name",
+            (F.year("order_date") * 100 + F.quarter("order_date")).alias(
+                "sales_quarter"
+            ),
+        )
+        .agg(F.sum("sale").cast("double").alias("total_quarterly_sales"))
+    )
+    view.createOrReplaceTempView("store_quarterly_sales")
+    return spark.sql(
+        "SELECT store_name, sales_quarter, total_quarterly_sales "
+        "FROM store_quarterly_sales ORDER BY store_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2j — growth rate keyed by STORE_ID across all years (W2 as two explicit
+# stages: agg then window-over-aggregate). Reference: MeshJoin.java:475-496.
+@register(
+    "q02j_growth_by_store_id",
+    oracle=f"""
+WITH {FACT_CTE},
+quarterly AS (
+    SELECT CAST(EXTRACT(YEAR FROM order_date) * 100
+                + EXTRACT(QUARTER FROM order_date) AS INT) AS sales_quarter,
+           store_id,
+           CAST(SUM(sale) AS DOUBLE) AS total_revenue
+    FROM fact
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT sales_quarter, store_id, total_revenue,
+           LAG(total_revenue, 1, 0) OVER (
+               PARTITION BY store_id ORDER BY sales_quarter
+           ) AS previous_quarter_revenue
+    FROM quarterly
+)
+SELECT sales_quarter, store_id, total_revenue,
+       (total_revenue - previous_quarter_revenue) * 100.0
+           / previous_quarter_revenue AS growth_rate
+FROM ranked
+WHERE previous_quarter_revenue <> 0
+""",
+)
+def q02j_growth_by_store_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quarterly = (
+        fact(spark, sf_dir)
+        .groupBy(
+            (F.year("order_date") * 100 + F.quarter("order_date")).alias(
+                "sales_quarter"
+            ),
+            "store_id",
+        )
+        .agg(F.sum("sale").cast("double").alias("total_revenue"))
+    )
+    w = Window.partitionBy("store_id").orderBy("sales_quarter")
+    ranked = quarterly.withColumn(
+        "previous_quarter_revenue", F.lag("total_revenue", 1, 0).over(w)
+    )
+    return ranked.filter(F.col("previous_quarter_revenue") != 0).select(
+        "sales_quarter",
+        "store_id",
+        "total_revenue",
+        (
+            (F.col("total_revenue") - F.col("previous_quarter_revenue"))
+            * 100.0
+            / F.col("previous_quarter_revenue")
+        ).alias("growth_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3j — regex predicate filter (P3 / F6 RLIKE).
+# Reference: MeshJoin.java:506 (NOT id REGEXP '^[0-9]+$' sanity check) —
+# TPC-H ids are all numeric, so the analog filters part types by regex
+# (partial-match semantics, like MySQL REGEXP / Spark RLIKE).
+@register(
+    "q03j_regex_type_filter",
+    oracle=f"""
+WITH {FACT_CTE},
+typed AS (
+    SELECT f.*, p.p_type
+    FROM fact f JOIN part p ON f.product_id = p.p_partkey
+)
+SELECT p_type, CAST(SUM(sale) AS DOUBLE) AS total_sales
+FROM typed
+WHERE NOT regexp_matches(p_type, '^(SMALL|MEDIUM)')
+GROUP BY 1
+""",
+)
+def q03j_regex_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import table
+
+    f = fact(spark, sf_dir)
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        f.join(part, f.product_id == part.p_partkey)
+        .filter(~F.col("p_type").rlike("^(SMALL|MEDIUM)"))
+        .groupBy("p_type")
+        .agg(F.sum("sale").cast("double").alias("total_sales"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4j — quarter-based seasons. Reference: MeshJoin.java:541-581 bucketed by
+# QUARTER(); its CASE tests quarters 5-8 which are unreachable (Fall/Winter
+# dead — reference defect, SURVEY §2.11 Q4). We implement the reachable
+# 1..4 mapping and document the defect instead of reproducing it.
+@register(
+    "q04j_quarter_seasons",
+    oracle=f"""
+WITH {FACT_CTE}
+SELECT product_name,
+       CASE EXTRACT(QUARTER FROM order_date)
+            WHEN 1 THEN 'Spring' WHEN 2 THEN 'Summer'
+            WHEN 3 THEN 'Fall' ELSE 'Winter' END AS season,
+       CAST(SUM(sale) AS DOUBLE) AS total_sales
+FROM fact
+GROUP BY 1, 2
+""",
+)
+def q04j_quarter_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = F.quarter("order_date")
+    season = (
+        F.when(q == 1, "Spring")
+        .when(q == 2, "Summer")
+        .when(q == 3, "Fall")
+        .otherwise("Winter")
+    )
+    return (
+        fact(spark, sf_dir)
+        .groupBy("product_name", season.alias("season"))
+        .agg(F.sum("sale").cast("double").alias("total_sales"))
+    )

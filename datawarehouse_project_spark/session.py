@@ -1,0 +1,63 @@
+"""SparkSession factory and per-query session preparation.
+
+The driver hands us an arbitrary SparkSession; ``prepare()`` pins the
+runtime-settable confs every query in this engine relies on (UTC timezone so
+timestamp->date agrees with the DuckDB oracle, AQE for runtime re-planning at
+scale). Our own entry points build sessions via ``get_spark()``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to set on a live session (runtime-settable) and that
+#: query semantics or scale posture depend on.
+_RUNTIME_CONFS = {
+    # Timestamp->date and year()/quarter() must agree with the (naive) DuckDB
+    # oracle reading the same parquet.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: coalesce post-shuffle partitions, convert to
+    # broadcast joins at runtime, split skewed partitions. This is the
+    # 100 TB posture — plans degrade gracefully without code changes.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs on a session we did not create (driver contract)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by the host
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "datawarehouse-project-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session shaped like the target cluster.
+
+    ``local[$SPARK_GRAFT_CPUS]`` mirrors the driver's bench environment; on a
+    real cluster only ``master`` changes — partitioning/AQE settings carry
+    over.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return prepare(builder.getOrCreate())
