@@ -1,0 +1,151 @@
+"""Text / hashing expression library for the large-scale pipeline operators.
+
+Everything is a native Column expression (higher-order array functions, no
+Python UDFs, no explode unless an inverted index is the point), so per-doc
+work stays inside whole-stage codegen and needs no shuffle.
+
+Portability contract: every hash here is reproducible in ANSI SQL
+(DuckDB oracle) —
+    H(s) = first 15 hex chars of md5(s) as a BIGINT  (60 bits, positive)
+Spark:   CAST(CONV(SUBSTRING(MD5(s),1,15),16,10) AS BIGINT)
+DuckDB:  ('0x' || substr(md5(s),1,15))::BIGINT
+so minhash signatures, simhash values, LSH bucket ids and fingerprints are
+exact integers, identical across engines — and across cluster sizes, since
+none of them depend on partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1: modulus for the hash-family arithmetic. Products
+#: a*h stay < 2^62 — no BIGINT overflow on either engine.
+P = 2147483647
+
+#: Fixed (a, b) pairs for the minhash family h_i(x) = (a_i*x + b_i) mod P.
+#: Arbitrary odd constants < P; hardcoded so signatures are stable across
+#: versions and engines.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1103515245, 12345),
+    (214013, 2531011),
+    (69069, 362437),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 1),
+    (1588635695, 3611941),
+    (1223106847, 9999999),
+]
+
+#: Number of sign bits in the text simhash / embedding hyperplane LSH.
+SIMHASH_BITS = 16
+
+
+def portable_hash(c: Column) -> Column:
+    """H(s): 60-bit positive BIGINT from md5 — identical in Spark & DuckDB."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def words(c: Column | str) -> Column:
+    """Lowercased whitespace tokenization (array<string>)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def word_shingles(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as strings ('w1 w2 w3'), 1-based like DuckDB."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def hash_array(items: Column) -> Column:
+    """H(x) % P per array element. md5 is the expensive step in every
+    hash-family operator — compute it ONCE per element (materialized via
+    withColumn), then minhash permutations / simhash bits are cheap integer
+    maps over these values."""
+    return F.transform(items, lambda s: portable_hash(s) % P)
+
+
+def minhash_signature(hashed: Column) -> list[Column]:
+    """k minhash values over pre-hashed shingles (see ``hash_array``);
+    empty array -> NULLs (caller filters docs with too few tokens). Runs
+    per-row, shuffle-free."""
+    # NB: Spark higher-order lambdas must be unary — a second Python
+    # parameter would be bound to the array index — so loop variables are
+    # captured via a factory, not default args.
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % P
+
+    return [F.array_min(F.transform(hashed, perm(a, b))) for a, b in MINHASH_COEFFS]
+
+
+def simhash(hashed: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Frequency-weighted sign-bit simhash over pre-hashed words
+    (see ``hash_array``).
+
+    bit_j = 1 iff sum over words of (+1 if bit j of H(w) else -1) >= 0;
+    value = sum(bit_j << j). Integer arithmetic end-to-end => exact. The
+    bit test is modulo-based ((h % 2^(j+1)) >= 2^j) rather than shift/AND so
+    the identical expression runs on any ANSI engine.
+    """
+
+    def bit_sign(j: int):
+        return lambda h: F.when(
+            (h % F.lit(1 << (j + 1))) >= F.lit(1 << j), 1
+        ).otherwise(-1)
+
+    total = F.lit(0)
+    for j in range(bits):
+        contrib = F.aggregate(
+            F.transform(hashed, bit_sign(j)), F.lit(0), lambda acc, x: acc + x
+        )
+        total = total + F.when(contrib >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return total.cast("bigint")
+
+
+def rolling_fingerprint(ws: Column) -> Column:
+    """Order-sensitive document fingerprint: left fold
+    fp = (fp * 131 + H(word) mod P) mod P  over the word sequence.
+    Distinguishes permutations, unlike set-based hashes."""
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * 131 + (portable_hash(w) % P)) % P,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-side templates for the same primitives (used by oracle strings).
+
+DUCK_H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def duck_minhash_exprs(shingle_col: str = "sg") -> list[str]:
+    """Aggregate expressions: MIN((a*(H(sg)%P)+b)%P) per coefficient pair —
+    for oracles that unnest shingles into rows."""
+    h = DUCK_H.format(x=shingle_col)
+    return [
+        f"MIN(({a} * ({h} % {P}) + {b}) % {P})" for a, b in MINHASH_COEFFS
+    ]
+
+
+#: Document tokenization/shingling as DuckDB CTEs — the oracle twin of
+#: words() / word_shingles() (3-grams, distinct, docs with >=3 words).
+DUCK_DOCWORDS = """
+docwords AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+),
+docshingles AS (
+    SELECT doc_id, lang, source, ws,
+           list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sgs
+    FROM docwords
+    WHERE len(ws) >= 3
+)
+"""

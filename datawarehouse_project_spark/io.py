@@ -9,6 +9,7 @@ Catalyst keeps predicate pushdown / column pruning / partition pruning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -29,9 +30,33 @@ ALWAYS_BROADCAST = {"region", "nation"}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table. Never collects; never caches globally."""
+    """Load one star-schema table. Never collects; never caches globally.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects outright — read it as raw nanos
+    (legacy conf) and truncate to a microsecond timestamp, matching how
+    DuckDB coerces nanos to its µs TIMESTAMP.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rebalance a small-file scan across all cores before per-row-expensive
+    work (interpreted higher-order lambdas, md5 folds, vector math).
+
+    A table that arrives as one tiny parquet file is one partition — fine
+    for columnar scans, pathological for compute-bound per-row operators on
+    a 32-core executor. At real scale the scan splits naturally and this
+    repartition is a cheap rebalance of already-distributed data.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)

@@ -1,0 +1,149 @@
+"""Event-stream operators in batch form over the ``events`` table.
+
+These are the batch twins of the streaming module: the tumbling-window
+aggregate is exactly what ``streaming/windows.py`` runs incrementally with a
+watermark, and the enrichment join is the MESHJOIN analog that
+``streaming/meshjoin.py`` runs per micro-batch — keeping them registered
+here gives the semantics a DuckDB oracle, which the streaming runtime can't
+have.
+
+Timestamps leave all queries as epoch-microsecond BIGINTs: Spark TIMESTAMP
+(an instant) and DuckDB TIMESTAMP (naive) only agree unambiguously on the
+epoch integer (session timezone pinned to UTC by ``session.prepare``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..plans.registry import register
+from ..session import prepare
+
+#: Session gap for sessionization (seconds).
+SESSION_GAP_S = 30 * 60
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_windows",
+    headline=True,
+    oracle="""
+SELECT event_type,
+       epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — the batch form of the
+    watermarked streaming aggregate. value goes through DECIMAL(18,6)
+    (values are 6-dp doubles) so the sum is order-insensitive and exact."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("window_start_us"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_sessionization",
+    headline=True,
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT user_id, event_id, ts,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us
+FROM numbered
+GROUP BY 1, 2
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): LAG + running sum of
+    session starts — the classic window formulation; deterministic tie-break
+    on (ts, event_id). One shuffle on user_id, which is the natural key."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(order_w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > SESSION_GAP_S * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_enrich_meshjoin",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def events_enrich_meshjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-relation enrichment, batch form: the MESHJOIN semantics
+    (reference MeshJoin.java:216-284) as a plain stream⨝dim equi-join —
+    Spark's broadcast hash join replaces the reference's memory-bounded
+    paging (SURVEY §2.3 J1). The per-micro-batch twin lives in
+    streaming/meshjoin.py and must produce identical rows."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )

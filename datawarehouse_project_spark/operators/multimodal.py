@@ -1,0 +1,196 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (the 100 TB pattern): media lives as a ``binary`` column with typed
+metadata beside it; decode / feature-extraction / resize / frame-sampling
+run as Arrow-batched ``mapInPandas`` stages so each executor processes
+columnar batches without JVM<->Python per-row overhead. Partitioning is by
+``media_id`` (uniform), and decoded features are fixed-width arrays so
+downstream similarity operators apply unchanged.
+
+The actual codec step is STUBBED (image/audio libraries are not in this
+container): ``stub_decoder`` produces deterministic fake dimensions/features
+derived from the payload bytes, and a real decoder drops in via the
+``decoder=`` parameter without touching the Spark plumbing — the schema,
+batch iteration, and partitioning here are real and tested.
+
+``multimodal_binary_features`` registers the expression-only subset (byte
+length, content hash, deterministic dims) with a DuckDB oracle, treating
+document text bytes as the stand-in payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import DUCK_H
+from ..io import table
+from ..plans.registry import register
+from ..session import prepare
+
+#: Canonical multimodal table schema: payload is opaque; kind selects the
+#: decoder; meta carries source-specific attributes without schema churn.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FEATURE_DIM = 16
+_KINDS = {"image", "audio", "video"}
+
+
+def stub_decoder(payload: bytes, kind: str) -> dict:
+    """Deterministic fake decode: dimensions and a FEATURE_DIM-float feature
+    vector derived from the payload's md5. A real decoder (PIL/ffmpeg/
+    torchaudio) replaces this function only — same signature, same schema.
+    """
+    if kind not in _KINDS:
+        raise NotImplementedError(f"no decoder for kind={kind!r}")
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    feature = [
+        float(int(hashlib.md5(payload + bytes([i])).hexdigest()[:8], 16) % 1000)
+        / 1000.0
+        for i in range(FEATURE_DIM)
+    ]
+    return {
+        "n_bytes": len(payload),
+        "width": h % 1920,
+        "height": h % 1080,
+        "n_frames": 1 if kind == "image" else len(payload) % 240,
+        "feature": feature,
+    }
+
+
+def decode_media(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], dict] = stub_decoder,
+) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over columnar batches — the hot
+    path never crosses JVM<->Python per row. Decode failures surface as
+    NULL-featured rows rather than killing the task (quarantine pattern,
+    like the CSV ingest)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = {"media_id": media_id, "kind": kind}
+                try:
+                    row.update(decoder(bytes(payload), kind))
+                except Exception:
+                    row.update(
+                        n_bytes=None, width=None, height=None, n_frames=None,
+                        feature=None,
+                    )
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index.
+    Frame *extraction* is the decoder's job (stubbed); the fan-out schema
+    and deterministic sampling grid are real."""
+    decoded = decode_media(media)
+    return decoded.select(
+        "media_id",
+        "kind",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_index"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_binary_features",
+    oracle=f"""
+WITH media AS (
+    -- md5 over the VARCHAR: this DuckDB build lacks md5(BLOB), and the
+    -- payload bytes ARE the utf-8 text, so the digests are identical.
+    SELECT doc_id AS media_id, encode(text) AS payload, text FROM documents
+)
+SELECT media_id,
+       octet_length(payload) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST({DUCK_H.format(x="text")} % 1920 AS INT) AS width,
+       CAST({DUCK_H.format(x="text")} % 1080 AS INT) AS height,
+       CAST(octet_length(payload) % 240 AS INT) AS n_frames
+FROM media
+""",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-only multimodal metadata over binary payloads (document
+    text bytes as the stand-in): byte length, content hash, deterministic
+    decode dims — this is the JVM-side part of the decode pipeline; the
+    Python-side decoder is ``decode_media`` (rows-only checked)."""
+    prepare(spark)
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    h = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        (h % 1920).cast("int").alias("width"),
+        (h % 1080).cast("int").alias("height"),
+        (F.octet_length(payload) % 240).cast("int").alias("n_frames"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register("multimodal_decode_stub")  # no oracle: Python decode path,
+# rows-only check — the decoder output is pinned by tests instead.
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mapInPandas decode over synthetic media built from
+    document bytes; returns decoded metadata + feature checksum."""
+    prepare(spark)
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    decoded = decode_media(media)
+    return decoded.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        F.aggregate(
+            F.col("feature"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("feature_sum"),
+    )

