@@ -1,0 +1,346 @@
+"""Relational surface beyond the reference: set operations, semi/anti
+joins, distinct aggregates, exact moments, and an as-of join.
+
+The reference exercises none of these (SURVEY §2.7: no set ops; §2.3: no
+semi/anti/as-of) — they are the standard next requests from any analytics
+user, Spark provides them natively except as-of, and each gets the same
+DuckDB-oracle treatment as the parity catalog.
+
+As-of join: Spark has no native ASOF JOIN (DuckDB does — used as the
+oracle). The scalable formulation here is the union-merge pattern: tag both
+sides, union, sort per key by (ts, side), and carry the last right-side row
+forward with last_value(ignoreNulls) — one shuffle on the key, no range
+explosion, no skew beyond the key's own distribution. This beats the naive
+join-then-filter-then-rank plan (which materializes every (left, right)
+pair within the key) by orders of magnitude at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..plans.registry import register
+from ..session import prepare
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.right_ts <= left.left_ts`` within the same ``key`` (as-of /
+    point-in-time join). Left rows with no prior right row keep NULLs.
+
+    Implementation: union-merge. right rows sort before left rows at equal
+    timestamps (side ordinal 0 < 1) so a right row AT the left timestamp
+    matches, mirroring ASOF's <= semantics.
+    """
+    lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")).withColumn(
+        "_side", F.lit(1)
+    )
+    rt = (
+        right.withColumn("_ts", F.col(right_ts).cast("timestamp"))
+        .withColumn("_side", F.lit(0))
+        .select(
+            F.col(key).alias("_k"),
+            "_ts",
+            "_side",
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        )
+    )
+    lt = lt.select(
+        F.col(key).alias("_k"),
+        "_ts",
+        "_side",
+        *[
+            F.lit(None).cast(rt.schema[f"_r_{c}"].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+        F.struct(*left.columns).alias("_l"),
+    )
+    merged = lt.unionByName(
+        rt.withColumn("_l", F.lit(None).cast(lt.schema["_l"].dataType))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "_k",
+        "_ts",
+        "_side",
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col(f"_rv_{c}").alias(c) for c in right_cols],
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+@register(
+    "asof_join_last_order",
+    headline=True,
+    oracle="""
+WITH ev AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0
+),
+-- ASOF picks ONE right row per left row; ties on (key, ts) would be
+-- engine-arbitrary, so the right side is first deduped deterministically
+-- (highest orderkey wins per (customer, date)) on BOTH engines.
+ord AS (
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       epoch_us(e.ts) AS event_ts_us,
+       o.o_orderkey AS last_orderkey,
+       epoch_us(o.o_orderdate) AS last_order_ts_us
+FROM ev e
+ASOF LEFT JOIN ord o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+""",
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each (sampled) event gets the user's most
+    recent order as of the event time. Oracle uses DuckDB's native ASOF
+    JOIN; ours is the union-merge operator above. The right side is deduped
+    to one row per (key, ts) first — as-of semantics are only well-defined
+    with unique right timestamps per key (tests assert raw data does carry
+    such ties, so the dedup is load-bearing).
+    """
+    prepare(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joined = asof_join(
+        ev,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("event_ts_us"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "last_order_ts_us"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "setops_customer_cohorts",
+    oracle="""
+WITH y97 AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+),
+y98 AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01'
+)
+SELECT 'churned' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98)
+UNION ALL
+SELECT 'retained' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)
+UNION ALL
+SELECT 'new' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97)
+""",
+)
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT in one cohort query (SURVEY §2.7:
+    absent from the reference, table-stakes for the engine)."""
+    prepare(spark)
+    o = table(spark, sf_dir, "orders")
+    y97 = (
+        o.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    y98 = (
+        o.filter(
+            (F.col("o_orderdate") >= "1998-01-01")
+            & (F.col("o_orderdate") < "1999-01-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+
+    def count1(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(label).alias("cohort"), "n"
+        )
+
+    return (
+        count1(y97.exceptAll(y98), "churned")
+        .unionByName(count1(y97.intersect(y98), "retained"))
+        .unionByName(count1(y98.exceptAll(y97), "new"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "semi_anti_customers",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(SUM(CASE WHEN EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
+FROM customer c
+GROUP BY 1
+""",
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS) — counted per
+    segment so one query pins both."""
+    prepare(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = (
+        c.join(o, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("with_orders"))
+    )
+    anti = (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("without_orders"))
+    )
+    segments = c.select(F.col("c_mktsegment")).distinct()
+    return (
+        segments.join(semi, "c_mktsegment", "left")
+        .join(anti, "c_mktsegment", "left")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_distinct_users",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark plans a two-phase Expand+agg; exact."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register("events_approx_distinct_users")  # no oracle: HLL sketches are
+# engine-specific by construction; tests bound the relative error instead.
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the sketch path for
+    cardinalities where exact distinct would shuffle 100 TB. Rows-only in
+    the driver gate; accuracy is asserted in tests against the exact count."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_value_moments",
+    oracle="""
+WITH agg AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+           SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1
+)
+SELECT event_type, n, min_value, max_value,
+       CAST(s1 AS DOUBLE) / n AS mean_value,
+       -- rounded: the high-scale decimal->double conversion of s2 can
+       -- differ by 1 ulp between engines; 6 decimals is far above that
+       ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+           / (n - 1), 6) AS var_value
+FROM agg
+""",
+)
+def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mean/variance from decimal power sums — order-insensitive
+    (unlike stddev over doubles, whose parallel reduction is not
+    reproducible), identical on both engines, and one pass."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,6)")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        "min_value",
+        "max_value",
+        (s1d / F.col("n")).alias("mean_value"),
+        F.round(
+            (s2d - s1d * (s1d / F.col("n"))) / (F.col("n") - 1), 6
+        ).alias("var_value"),
+    )

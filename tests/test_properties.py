@@ -1,0 +1,94 @@
+"""Property tests (SURVEY §5.2.3): cleaning and dedup invariants over
+generated inputs — batched so each hypothesis example is one Spark job."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.functions.cleaning import (
+    clean_price,
+    multi_format_date,
+)
+from datawarehouse_project_spark.sources.csv_ingest import dedup_last_wins
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+_dates = st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2099, 12, 28))
+_FORMATS = [
+    lambda d: d.strftime("%Y-%m-%d"),
+    lambda d: d.strftime("%m/%d/%Y"),
+    lambda d: d.strftime("%d-%m-%Y"),
+    lambda d: d.strftime("%Y/%m/%d"),
+]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(_dates, st.integers(0, 3), st.booleans()), min_size=20, max_size=60))
+def test_multi_format_date_roundtrip(spark, cases):
+    rows = [
+        (i, _FORMATS[fmt](d) + (" 03:09:00" if suffix else ""), d.isoformat())
+        for i, (d, fmt, suffix) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, ["i", "raw", "expected"])
+    out = df.withColumn("parsed", multi_format_date("raw")).collect()
+    for r in out:
+        assert r.parsed is not None, r.raw
+        assert r.parsed.isoformat() == r.expected, (r.raw, r.parsed)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.decimals(min_value=0, max_value=99999999, places=2),
+            st.sampled_from(["", "$", "$ ", " USD"]),
+            st.sampled_from(["", "  ", "\t"]),
+        ),
+        min_size=20,
+        max_size=60,
+    )
+)
+def test_clean_price_recovers_value(spark, cases):
+    rows = [
+        (i, f"{pre}{price}{suf}", str(price)) for i, (price, suf, pre) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, ["i", "raw", "expected"])
+    out = df.withColumn("cleaned", clean_price("raw")).collect()
+    for r in out:
+        assert r.cleaned == Decimal(r.expected), (r.raw, r.cleaned)
+
+
+def test_clean_price_garbage_defaults_to_zero(spark):
+    df = spark.createDataFrame(
+        [("N/A",), ("",), ("abc",), ("$",), (None,)], ["raw"]
+    )
+    out = df.withColumn("cleaned", clean_price("raw")).collect()
+    assert all(r.cleaned == Decimal("0.00") for r in out)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.text("abcdef", min_size=1, max_size=4)),
+        min_size=5,
+        max_size=50,
+    )
+)
+def test_dedup_last_wins_properties(spark, rows):
+    df = spark.createDataFrame(
+        [(pk, val, i) for i, (pk, val) in enumerate(rows)], ["pk", "val", "ord"]
+    )
+    once = dedup_last_wins(df, ["pk"], ordinal="ord")
+    # one row per pk, and it is the max-ordinal row
+    got = {r.pk: (r.val, r.ord) for r in once.collect()}
+    expected = {}
+    for i, (pk, val) in enumerate(rows):
+        expected[pk] = (val, i)
+    assert got == expected
+    # idempotent
+    twice = dedup_last_wins(once, ["pk"], ordinal="ord")
+    assert sorted(map(str, twice.collect())) == sorted(map(str, once.collect()))

@@ -1,0 +1,58 @@
+"""Relational-operator extras not covered by the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.operators.relational import (
+    asof_join,
+    events_approx_distinct_users,
+    events_distinct_users,
+)
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    exact = {
+        r.event_type: r.n_users
+        for r in events_distinct_users(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in events_approx_distinct_users(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(3, 0.1 * exact[k]), (
+            k, exact[k], approx[k],
+        )
+
+
+def test_asof_dedup_is_load_bearing(spark, sf_dir):
+    """Raw orders DO carry (customer, date) ties, so the deterministic
+    right-side dedup inside asof_join_last_order is what makes the as-of
+    result well-defined (not an accident of the data)."""
+    o = table(spark, sf_dir, "orders")
+    dups = (
+        o.groupBy("o_custkey", "o_orderdate").count().filter(F.col("count") > 1)
+    )
+    assert dups.count() > 0
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 09:00:00")],
+        ["k", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 11:00:00", "b"),
+         (2, "2024-01-01 09:30:00", "c")],
+        ["k", "rts", "v"],
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = {
+        (r.k, str(r.ts)): r.v
+        for r in asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
+    }
+    assert out[(1, "2024-01-01 10:00:00")] == "a"  # <= includes equal ts
+    assert out[(1, "2024-01-01 12:00:00")] == "b"  # latest prior
+    assert out[(2, "2024-01-01 09:00:00")] is None  # no prior row -> NULL
