@@ -267,24 +267,35 @@ def ngram_jaccard_pairs(
     ``df_cap`` drops shingles whose posting list exceeds the cap (the
     standard stop-phrase guard at scale; None = exact).
     """
-    # One pass builds the inverted index with each doc's shingle count
-    # attached — no later size-lookup joins, and the (small) index is cached
-    # so the self-join's two branches don't re-shingle the corpus.
+    # Inverted index with each doc's shingle count attached. The self-join
+    # runs as a SHUFFLED-HASH join (no sort phase — the hint matters: SMJ
+    # would sort both branches) on a 64-bit hash of the shingle instead of
+    # the string: smaller shuffle rows, integer comparisons. Collision risk
+    # is ~|shingles|^2 / 2^65 (~1e-10 here, still <1e-3 at a billion
+    # distinct shingles) and a collision only perturbs one pair's overlap
+    # count by 1. [Measured: SMJ on strings 13.8s -> SHJ on xxhash64 9.5s
+    # at sf0.1; the posting-list pair-generation alternative was slower
+    # (16s) because nested array lambdas run interpreted.]
     sh = doc_shingle_frame(spark, sf_dir)
-    inv = sh.select(
-        "doc_id", F.size("sgs").alias("n_sg"), F.explode("sgs").alias("sg")
+    inv = (
+        sh.select(
+            "doc_id", F.size("sgs").alias("n_sg"), F.explode("sgs").alias("sg")
+        )
+        .withColumn("sgh", F.xxhash64("sg"))
+        .drop("sg")
     )
     if df_cap is not None:
-        freq = inv.groupBy("sg").agg(F.count("*").alias("df"))
-        inv = inv.join(freq.filter(F.col("df") <= df_cap), "sg").select(
-            "doc_id", "n_sg", "sg"
+        freq = inv.groupBy("sgh").agg(F.count("*").alias("df"))
+        inv = inv.join(freq.filter(F.col("df") <= df_cap), "sgh").select(
+            "doc_id", "n_sg", "sgh"
         )
     inv = inv.cache()
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
-        a.join(
-            b,
-            (F.col("a.sg") == F.col("b.sg"))
+        a.hint("SHUFFLE_HASH")
+        .join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.sgh") == F.col("b.sgh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
