@@ -11,22 +11,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # Import for registration side-effects — each module registers its queries.
+# Unconditional: a broken operator module must fail loudly here, not
+# silently shrink the driver-facing catalog.
+from .plans import cleaning as _cleaning  # noqa: F401
 from .plans import olap as _olap  # noqa: F401
 from .plans.registry import REGISTRY
-
-try:  # optional modules appear as the build progresses
-    from .plans import cleaning as _cleaning  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from .operators import dedup as _dedup  # noqa: F401
-    from .operators import events as _events  # noqa: F401
-    from .operators import multimodal as _multimodal  # noqa: F401
-    from .operators import relational as _relational  # noqa: F401
-    from .operators import similarity as _similarity  # noqa: F401
-    from .operators import textstats as _textstats  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+from .operators import dedup as _dedup  # noqa: F401
+from .operators import events as _events  # noqa: F401
+from .operators import multimodal as _multimodal  # noqa: F401
+from .operators import relational as _relational  # noqa: F401
+from .operators import similarity as _similarity  # noqa: F401
+from .operators import textstats as _textstats  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

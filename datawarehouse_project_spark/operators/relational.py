@@ -164,6 +164,49 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "range_join_ship_lag",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_fast_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS fast_revenue
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+""",
+)
+def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: lineitems shipped within 30 days of their
+    order — an equi key plus a time-range residual. Spark hashes the equi
+    part and applies the range as a join residual; for pure range joins
+    (no equi key) the scale pattern is bucketing both sides by coarse time
+    bucket so the inequality stays partition-local."""
+    prepare(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    joined = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_fast_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("fast_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "setops_customer_cohorts",
     oracle="""
 WITH y97 AS (
