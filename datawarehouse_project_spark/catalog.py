@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 # silently shrink the driver-facing catalog.
 from .plans import cleaning as _cleaning  # noqa: F401
 from .plans import olap as _olap  # noqa: F401
+from .plans import olap_extra as _olap_extra  # noqa: F401
 from .plans.registry import REGISTRY
 from .operators import dedup as _dedup  # noqa: F401
 from .operators import events as _events  # noqa: F401

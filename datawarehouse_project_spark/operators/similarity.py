@@ -245,6 +245,50 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def linear_score_expr(emb, weights: list[int]) -> F.Column:
+    """Expression-path linear score: in-order fold dot(emb, w)."""
+    warr = F.array(*[F.lit(w) for w in weights])
+    return F.aggregate(
+        F.zip_with(emb, warr, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def make_linear_score_udf(weights: list[int]):
+    """Arrow-batched pandas_udf twin of ``linear_score_expr``: the model-
+    scoring hot path when the model is Python-side (sklearn/torch exports).
+    numpy matmul per Arrow batch — vectorized, 10-100x over row-at-a-time
+    Python UDFs; differs from the fold only by float summation order
+    (asserted ~1e-9-close in tests)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.asarray(weights, dtype=np.float64)
+
+    def score(emb):
+        mat = np.vstack(emb.to_numpy())  # (batch, dim) float32
+        return pd.Series(mat.astype(np.float64) @ w)
+
+    # real annotation objects: the module-level `from __future__ import
+    # annotations` would stringify inline hints, which pyspark's type-hint
+    # inspection cannot resolve
+    score.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(score)
+
+
+@register("similarity_pandas_linear_scores")  # rows-only: numpy's SIMD
+# summation order differs from the SQL fold by ~1 ulp, so no exact oracle;
+# tests assert closeness to the expression path instead.
+def similarity_pandas_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    udf = make_linear_score_udf(HYPERPLANES[0])
+    return emb.select("vec_id", udf(F.col("embedding")).alias("score"))
+
+
+# --------------------------------------------------------------------------
 @register(
     "similarity_cosine_pairs",
     oracle=f"""

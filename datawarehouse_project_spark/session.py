@@ -56,6 +56,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # static conf — settable only at session build; keeps managed
+        # (bucketed) tables out of the repo working dir
+        .config("spark.sql.warehouse.dir", "/tmp/dwspark-warehouse")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
     for k, v in _RUNTIME_CONFS.items():

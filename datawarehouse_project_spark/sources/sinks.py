@@ -1,0 +1,93 @@
+"""Write paths: partitioned parquet, bucketed tables, and upsert-merge.
+
+The reference's only sink is per-row JDBC upsert (MeshJoin.java:79,145,207,
+374 — one round-trip per row, the dominant cost of its ETL). The Spark
+equivalents:
+
+* ``write_partitioned`` — columnar parquet laid out by partition columns
+  (date is the natural choice for the fact table: enables partition
+  pruning for every year/quarter/month query in the catalog);
+* ``write_bucketed`` — hash-bucketed by join key so repeated fact⨝fact or
+  fact⨝bigdim joins co-locate without a shuffle (SURVEY §4: the
+  pre-shuffle trade);
+* ``upsert_parquet`` — the S7 PK upsert as a deterministic read-merge-write
+  (last-write-wins vs the incumbent rows). On a mutable table format
+  (Delta/Iceberg — not in this container) this is ``MERGE INTO``; the
+  semantics here are identical and idempotent, which is what the streaming
+  sink needs for exactly-once effect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .csv_ingest import dedup_last_wins
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partition-pruned parquet layout. At 100 TB, choose partition columns
+    with bounded cardinality (date, not user_id) — small-file explosion is
+    the classic failure; AQE coalescing keeps file counts sane per
+    partition."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table: both sides of a future equi-join on
+    ``bucket_col`` bucketed with the same count join shuffle-free."""
+    (
+        df.write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    pk: list[str],
+) -> None:
+    """Last-write-wins upsert into a parquet target: incoming rows beat
+    incumbent rows on PK collision; otherwise union. Idempotent (replaying
+    the same batch changes nothing) — the property the reference's
+    ON DUPLICATE KEY UPDATE provided and our streaming sink contract
+    requires."""
+    cols = incoming.columns
+    if os.path.exists(path):
+        incumbent = spark.read.parquet(path).select(cols)
+        merged = dedup_last_wins(
+            incumbent.withColumn("_ordinal", F.lit(0)).unionByName(
+                incoming.withColumn("_ordinal", F.lit(1))
+            ),
+            pk,
+        ).drop("_ordinal")
+    else:
+        merged = dedup_last_wins(
+            incoming.withColumn("_ordinal", F.monotonically_increasing_id()), pk
+        ).drop("_ordinal")
+    # parquet cannot overwrite in place from its own scan: stage then swap
+    tmp = path.rstrip("/") + "._staged"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    # best-effort cleanup of the staging dir
+    try:
+        import shutil
+
+        shutil.rmtree(tmp)
+    except OSError:  # pragma: no cover
+        pass

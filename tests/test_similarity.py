@@ -1,0 +1,53 @@
+"""Similarity extras: pandas-UDF scoring path consistency and LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.io import spread, table
+from datawarehouse_project_spark.operators.similarity import (
+    DIM,
+    HYPERPLANES,
+    linear_score_expr,
+    make_linear_score_udf,
+    similarity_ann_cosine_topk,
+    similarity_lsh_topk,
+)
+
+
+def test_embedding_dim_matches_constant(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    sizes = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in sizes] == [DIM]
+
+
+def test_pandas_udf_matches_expression_path(spark, sf_dir):
+    """The Arrow/numpy scorer and the JVM fold compute the same linear
+    score up to float summation order."""
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    w = HYPERPLANES[0]
+    both = emb.select(
+        "vec_id",
+        linear_score_expr(F.col("embedding"), w).alias("expr_score"),
+        make_linear_score_udf(w)(F.col("embedding")).alias("udf_score"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert math.isclose(r.expr_score, r.udf_score, rel_tol=1e-9, abs_tol=1e-6), r
+
+
+def test_lsh_topk_is_subset_of_exact_neighbors(spark, sf_dir):
+    """LSH-bucketed results are a subset of the candidate pool ranked by
+    the same cosine — every returned neighbor must appear in the exact
+    ranking with the same cosine value."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh = similarity_lsh_topk(spark, sf_dir).collect()
+    assert lsh, "bucketed top-k should return some neighbors"
+    for r in lsh:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert exact[(r.query_id, r.neighbor_id)] == r.cosine

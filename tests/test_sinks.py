@@ -1,0 +1,77 @@
+"""Sink tests: partition pruning actually prunes, bucketed joins skip the
+shuffle, upsert is last-write-wins and idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.sources.sinks import (
+    upsert_parquet,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "fact_by_year")
+    li = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_partitioned(li, path, ["order_year"])
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("order_year") == 1997)
+    plan = pruned.queryExecution if False else pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == li.filter(F.col("order_year") == 1997).count()
+    # partition filter present => only the 1997 directory is scanned
+    assert "order_year" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    # managed tables land in the session warehouse dir (/tmp, set in
+    # get_spark — a static conf, unsettable at runtime)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    import shutil
+
+    for t in ("orders_b", "lineitem_b"):
+        shutil.rmtree(f"/tmp/dwspark-warehouse/{t}", ignore_errors=True)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 8
+    )
+    # at test scale the planner would broadcast (and skip bucketing
+    # entirely); force the shuffle-join path to observe bucket co-location
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join must not reshuffle"
+        )
+        assert "Bucketed: true" in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_upsert_parquet_lastwins_idempotent(spark, tmp_path):
+    path = str(tmp_path / "target")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["pk", "val"]
+    )
+    upsert_parquet(spark, v1, path, ["pk"])
+    v2 = spark.createDataFrame(
+        [(2, "b2"), (3, "c")], ["pk", "val"]
+    )
+    upsert_parquet(spark, v2, path, ["pk"])
+    got = {r.pk: r.val for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    # idempotent replay
+    upsert_parquet(spark, v2, path, ["pk"])
+    again = {r.pk: r.val for r in spark.read.parquet(path).collect()}
+    assert again == got
