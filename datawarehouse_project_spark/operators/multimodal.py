@@ -114,6 +114,59 @@ def decode_media(
     )
 
 
+def resize_media(
+    media: DataFrame,
+    target_width: int,
+    target_height: int,
+    decoder: Callable[[bytes, str], dict] = stub_decoder,
+) -> DataFrame:
+    """Resize plumbing: decode -> scale metadata -> re-encoded payload
+    stand-in. The pixel resample itself is the decoder/codec's job
+    (stubbed: the output payload is a deterministic digest of the input
+    plus target dims); aspect-ratio math, schema, and batching are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                try:
+                    d = decoder(bytes(payload), kind)
+                    scale = min(
+                        target_width / max(d["width"], 1),
+                        target_height / max(d["height"], 1),
+                    )
+                    new_w = max(1, int(d["width"] * scale))
+                    new_h = max(1, int(d["height"] * scale))
+                    fake = hashlib.md5(
+                        bytes(payload) + f"{new_w}x{new_h}".encode()
+                    ).digest()
+                    out.append(
+                        {"media_id": media_id, "kind": kind, "width": new_w,
+                         "height": new_h, "payload": fake}
+                    )
+                except Exception:
+                    out.append(
+                        {"media_id": media_id, "kind": kind, "width": None,
+                         "height": None, "payload": None}
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "width", "height", "payload"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame index.
     Frame *extraction* is the decoder's job (stubbed); the fan-out schema

@@ -53,6 +53,26 @@ def test_decoder_swap(media_df):
     assert all(r.width == 42 and r.n_frames == 7 for r in out)
 
 
+def test_resize_media(media_df):
+    from datawarehouse_project_spark.operators.multimodal import resize_media
+
+    out = {r.media_id: r for r in resize_media(media_df, 320, 240).collect()}
+    for mid in (1, 2, 3):
+        r = out[mid]
+        assert r.width <= 320 and r.height <= 240
+        assert r.payload is not None
+        # aspect preserved: scale factor applied to both dims
+        d = stub_decoder(
+            {1: b"\x89PNG fake bytes", 2: b"RIFF fake wav bytes" * 10,
+             3: b"\x00\x00ftyp fake mp4" * 40}[mid],
+            r.kind,
+        )
+        scale = min(320 / max(d["width"], 1), 240 / max(d["height"], 1))
+        assert r.width == max(1, int(d["width"] * scale))
+        assert r.height == max(1, int(d["height"] * scale))
+    assert out[4].payload is None  # unsupported kind quarantined
+
+
 def test_sample_frames(media_df, spark):
     frames = sample_frames(media_df.filter(F.col("kind") != "hologram"), every_n=10)
     rows = frames.collect()
