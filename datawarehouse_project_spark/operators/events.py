@@ -119,6 +119,59 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @register(
+    "events_session_window_native",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + {SESSION_GAP_S} * 1000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-merged event-time sessions; the
+    same operator runs unchanged on a stream with a watermark). The oracle
+    is the manual LAG+running-sum formulation — semantically identical for
+    point events: session end = last event + gap."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "events_enrich_meshjoin",
     oracle="""
 SELECT c.c_mktsegment AS segment, e.event_type,
