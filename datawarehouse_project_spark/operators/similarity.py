@@ -245,6 +245,66 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a="q.embedding", b="c.embedding", dim=DIM)}
+             / ({_DUCK_NORM.format(e="q.embedding")} * {_DUCK_NORM.format(e="c.embedding")})
+             AS cosine
+    FROM q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-shaped approximate top-k: search only the query's coarse
+    partition, exact cosine rank within it. The ``label`` column stands in
+    for the coarse quantizer's cluster assignment (a k-means fit would
+    produce exactly such a column; training it is out of scope here — the
+    search-side plan is the point): partition-restricted candidate join,
+    1/n_clusters selectivity, same shape as production IVF at any scale.
+    Multi-probe = join on several nearest cluster ids instead of one."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "label",
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("q_label"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
 def linear_score_expr(emb, weights: list[int]) -> F.Column:
     """Expression-path linear score: in-order fold dot(emb, w)."""
     warr = F.array(*[F.lit(w) for w in weights])

@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the plans that make these queries
+scale-safe must keep their shape (explain-driven development, SURVEY §4.4).
+Asserts structural properties, not full plan text, to stay robust across
+Spark versions."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from datawarehouse_project_spark.catalog import queries
+from datawarehouse_project_spark.operators.dedup import signature_frame
+from datawarehouse_project_spark.plans.star import fact
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_fact_build_is_shuffle_free(spark, sf_dir):
+    """Dim enrichment must be a broadcast chain — zero exchanges."""
+    p = plan_of(fact(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in p
+    assert p.count("BroadcastHashJoin") == 4
+
+
+def test_q01_plans_topk_not_full_sort(spark, sf_dir):
+    p = plan_of(queries()["q01_top_revenue_products"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_q01_scan_prunes_columns_and_pushes_filter(spark, sf_dir):
+    df = queries()["q01_top_revenue_products"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # lineitem scan reads only the 4 needed of 11 columns
+    m = re.search(r"ReadSchema: struct<([^>]*l_extendedprice[^>]*)>", p)
+    assert m, "lineitem scan not found"
+    assert len(m.group(1).split(",")) <= 4
+    # the year filter reaches the orders parquet scan as a date range
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", p)
+
+
+def test_signature_frame_has_no_shuffle(spark, sf_dir):
+    """Minhash signatures are per-row: any Exchange besides the explicit
+    spread() repartition would be a regression."""
+    p = plan_of(signature_frame(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in p
+    # the only exchange is the deliberate round-robin rebalance
+    assert p.count("Exchange") <= 1
+
+
+def test_agg_queries_do_partial_aggregation(spark, sf_dir):
+    """Map-side partial agg (two HashAggregate levels around one exchange)
+    — the property that collapses 100 TB before the shuffle."""
+    p = plan_of(queries()["q03_supplier_contribution"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No registered query may plan an unintended cartesian product
+    (the ANN brute force is an intended broadcast nested loop)."""
+    allowed = {"similarity_ann_cosine_topk", "similarity_cosine_pairs"}
+    bad = []
+    for name, build in queries().items():
+        if name in allowed:
+            continue
+        try:
+            p = plan_of(build(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover
+            pytest.fail(f"{name} failed to plan: {exc}")
+        if "CartesianProduct" in p:
+            bad.append(name)
+    assert not bad, f"unintended cartesian products in: {bad}"
