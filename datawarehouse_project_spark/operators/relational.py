@@ -32,6 +32,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    prune_right: bool = True,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.right_ts <= left.left_ts`` within the same ``key`` (as-of /
@@ -40,7 +41,17 @@ def asof_join(
     Implementation: union-merge. right rows sort before left rows at equal
     timestamps (side ordinal 0 < 1) so a right row AT the left timestamp
     matches, mirroring ASOF's <= semantics.
+
+    ``prune_right`` semi-joins the right side down to keys that actually
+    appear on the left before the merge — when the left is a sparse probe
+    set (the common point-in-time-lookup shape), this shrinks the window
+    input by orders of magnitude for one cheap extra shuffle. Identical
+    results either way.
     """
+    if prune_right:
+        right = right.join(
+            left.select(F.col(key)).distinct(), key, "left_semi"
+        )
     lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")).withColumn(
         "_side", F.lit(1)
     )
