@@ -20,7 +20,10 @@ Scale posture (100 TB of documents):
 * the inverted-index join's known hazard is ultra-common shingles
   (stop-phrase posting lists); ``ngram_jaccard_pairs`` takes a
   ``df_cap`` to drop shingles with document frequency above a cap —
-  standard practice; the registered oracle query keeps it exact (None).
+  standard practice, and the HEADLINE registered query
+  (``dedup_ngram_jaccard_capped``) runs with the cap so the one
+  data-dependent blow-up is bounded; the exact form stays registered
+  (non-headline) for small/clean corpora.
 """
 
 from __future__ import annotations
@@ -61,6 +64,11 @@ def doc_shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin the whole corpus to one core. At real scale the scan already splits;
     the repartition then just rebalances and stays cheap relative to the
     per-doc work it parallelizes.
+
+    NOTE: consumers explode ``sgs``; ``session.prepare`` excludes the
+    InferFiltersFromGenerate optimizer rule, which would otherwise clone
+    this interpreted shingle expression into pushed-down filters and
+    re-evaluate it 2+ times per row (measured 9.0s -> 0.6s at sf0.1).
     """
     prepare(spark)
     docs = table(spark, sf_dir, "documents").repartition(
@@ -256,69 +264,120 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+#: Document-frequency cap for the headline jaccard: shingles appearing in
+#: more than DF_CAP documents are dropped from the index on BOTH engines
+#: (the standard stop-phrase guard — they carry no dedup signal and are
+#: the quadratic term of the posting-list self-join).
+DF_CAP = 10
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.6,
     df_cap: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
+    """N-gram Jaccard near-dup pairs via a shingle inverted index.
 
     shuffle on shingle -> pair counts -> jaccard = shared/(|a|+|b|-shared).
-    ``df_cap`` drops shingles whose posting list exceeds the cap (the
-    standard stop-phrase guard at scale; None = exact).
+    ``df_cap`` drops shingles whose document frequency exceeds the cap and
+    computes jaccard over the REMAINING shingle universe (sizes recomputed
+    post-cap) — the standard stop-phrase guard that bounds the self-join
+    fan-out to df_cap per posting list at any corpus size. None = exact.
     """
-    # Inverted index with each doc's shingle count attached. The self-join
-    # runs as a SHUFFLED-HASH join (no sort phase — the hint matters: SMJ
-    # would sort both branches) on a 64-bit hash of the shingle instead of
-    # the string: smaller shuffle rows, integer comparisons. Collision risk
-    # is ~|shingles|^2 / 2^65 (~1e-10 here, still <1e-3 at a billion
-    # distinct shingles) and a collision only perturbs one pair's overlap
-    # count by 1. [Measured: SMJ on strings 13.8s -> SHJ on xxhash64 9.5s
-    # at sf0.1; the posting-list pair-generation alternative was slower
-    # (16s) because nested array lambdas run interpreted.]
+    # Posting-list formulation: ONE groupBy on the shingle hash builds the
+    # inverted index as arrays, and pair counting explodes each posting
+    # list twice PARTITION-LOCALLY (Generate — codegen'd, unlike array
+    # lambdas) — no self-join, no second full-index shuffle. The index is
+    # keyed on a 64-bit hash of the shingle, not the string: smaller
+    # shuffle rows, integer grouping. Collision risk is
+    # ~|shingles|^2 / 2^65 (~1e-10 here, still <1e-3 at a billion distinct
+    # shingles) and a collision only perturbs one pair's overlap count
+    # by 1. [History: SMJ string self-join 13.8s -> SHJ on xxhash64 9.5s
+    # -> posting-list explode 1.3s at sf0.1 (the round-1 posting-list
+    # attempt used interpreted array lambdas and lost; double-explode is
+    # the codegen'd form). The dominant round-1 cost was the
+    # InferFiltersFromGenerate pathology — see session.py.]
     sh = doc_shingle_frame(spark, sf_dir)
-    inv = (
-        sh.select(
-            "doc_id", F.size("sgs").alias("n_sg"), F.explode("sgs").alias("sg")
+    if df_cap is None:
+        # Exact: per-doc size is len(sgs), known at explode time — it
+        # rides along INSIDE the posting-list structs, so no sizes join
+        # exists at all (the round-1 n_sg-as-groupBy-key trick, carried
+        # into the posting-list formulation).
+        inv = (
+            sh.select(
+                "doc_id",
+                F.size("sgs").cast("bigint").alias("n_sg"),
+                F.explode("sgs").alias("sg"),
+            )
+            .withColumn("sgh", F.xxhash64("sg"))
+            .drop("sg")
         )
+        posting = inv.groupBy("sgh").agg(
+            F.collect_list(F.struct("doc_id", "n_sg")).alias("docs")
+        )
+        shared = (
+            posting.select(F.explode("docs").alias("d1"), "docs")
+            .select("d1", F.explode("docs").alias("d2"))
+            .filter(F.col("d1.doc_id") < F.col("d2.doc_id"))
+            .groupBy(
+                F.col("d1.doc_id").alias("doc_a"),
+                F.col("d2.doc_id").alias("doc_b"),
+                F.col("d1.n_sg").alias("n_a"),
+                F.col("d2.n_sg").alias("n_b"),
+            )
+            .agg(F.count("*").alias("shared"))
+        )
+        jac = F.col("shared").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("shared")
+        )
+        return shared.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+    # Capped: the cap bounds every posting list, so pair fan-out is
+    # <= df_cap(df_cap-1)/2 per shingle REGARDLESS of corpus size. Sizes
+    # are an aggregate OF the capped index (cannot ride along), joined
+    # back onto the post-aggregation pair frame with SHUFFLE_HASH hints:
+    # without them the optimizer may elect to BROADCAST the pair frame
+    # (the bigger side — measured 11s vs 2s at sf0.1), and at 100 TB
+    # neither side of a pairs⋈sizes join is broadcastable anyway.
+    inv = (
+        sh.select("doc_id", F.explode("sgs").alias("sg"))
         .withColumn("sgh", F.xxhash64("sg"))
         .drop("sg")
     )
-    if df_cap is not None:
-        freq = inv.groupBy("sgh").agg(F.count("*").alias("df"))
-        inv = inv.join(freq.filter(F.col("df") <= df_cap), "sgh").select(
-            "doc_id", "n_sg", "sgh"
-        )
-    # no cache: the two join branches recompute the index in parallel,
-    # which beats serializing on a cache materialization (measured).
-    a, b = inv.alias("a"), inv.alias("b")
+    posting = (
+        inv.groupBy("sgh")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= df_cap)
+    )
     shared = (
-        a.hint("SHUFFLE_HASH")
-        .join(
-            b.hint("SHUFFLE_HASH"),
-            (F.col("a.sgh") == F.col("b.sgh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sg").alias("n_a"),
-            F.col("b.n_sg").alias("n_b"),
-        )
+        posting.select(F.explode("docs").alias("d1"), "docs")
+        .select("d1", F.explode("docs").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy(F.col("d1").alias("doc_a"), F.col("d2").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sg"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sg").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sg").alias("n_b"))
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
-    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    return (
+        shared.join(sa.hint("SHUFFLE_HASH"), "doc_a")
+        .join(sb.hint("SHUFFLE_HASH"), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
 @register(
     "dedup_ngram_jaccard_pairs",
-    headline=True,
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 inv AS (SELECT doc_id, unnest(sgs) AS sg FROM docshingles),
@@ -337,4 +396,41 @@ WHERE CAST(shared AS DOUBLE) / (sa.n_sg + sb.n_sg - shared) >= 0.6
 """,
 )
 def dedup_ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (uncapped) jaccard — correct on any corpus but carries the
+    posting-list quadratic hazard; kept registered as the non-headline
+    reference form."""
     return ngram_jaccard_pairs(spark, sf_dir, threshold=0.6, df_cap=None)
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    headline=True,
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+inv AS (SELECT doc_id, unnest(sgs) AS sg FROM docshingles),
+freq AS (
+    SELECT sg FROM (SELECT sg, COUNT(*) AS df FROM inv GROUP BY 1)
+    WHERE df <= {DF_CAP}
+),
+invc AS (SELECT i.doc_id, i.sg FROM inv i JOIN freq f USING (sg)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sg FROM invc GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM invc a JOIN invc b ON a.sg = b.sg AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / (sa.n_sg + sb.n_sg - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_sg + sb.n_sg - shared) >= 0.6
+""",
+)
+def dedup_ngram_jaccard_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE near-dup path: document-frequency-capped jaccard. The cap
+    (applied identically in the oracle) bounds every posting list to
+    DF_CAP docs, so the self-join fan-out is <= DF_CAP(DF_CAP-1)/2 per
+    shingle REGARDLESS of corpus size — the property that makes this the
+    100 TB-safe registered form."""
+    return ngram_jaccard_pairs(spark, sf_dir, threshold=0.6, df_cap=DF_CAP)

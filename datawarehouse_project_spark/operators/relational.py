@@ -33,6 +33,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     prune_right: bool = True,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.right_ts <= left.left_ts`` within the same ``key`` (as-of /
@@ -47,6 +48,13 @@ def asof_join(
     set (the common point-in-time-lookup shape), this shrinks the window
     input by orders of magnitude for one cheap extra shuffle. Identical
     results either way.
+
+    ``right_tiebreak`` (a column in ``right_cols``) resolves duplicate
+    right rows at the same (key, ts): the row with the GREATEST tiebreak
+    value wins. This folds the dedup into the merge window's sort order —
+    no separate row_number/groupBy pass over the right side (one full
+    shuffle+sort saved). Without it, callers must guarantee unique right
+    (key, ts) pairs themselves or accept an arbitrary winner.
     """
     if prune_right:
         right = right.join(
@@ -78,9 +86,16 @@ def asof_join(
     merged = lt.unionByName(
         rt.withColumn("_l", F.lit(None).cast(lt.schema["_l"].dataType))
     )
+    order_cols: list = [F.col("_ts"), F.col("_side")]
+    if right_tiebreak is not None:
+        # ascending => the LAST right row at a given (key, ts) carries the
+        # greatest tiebreak; left rows sort on NULL here, which is
+        # irrelevant (they all follow every right row at their ts via
+        # _side, and ignoreNulls skips their null _r payloads).
+        order_cols.append(F.col(f"_r_{right_tiebreak}").asc_nulls_first())
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.select(
@@ -133,10 +148,14 @@ ASOF LEFT JOIN ord o
 def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment: each (sampled) event gets the user's most
     recent order as of the event time. Oracle uses DuckDB's native ASOF
-    JOIN; ours is the union-merge operator above. The right side is deduped
-    to one row per (key, ts) first — as-of semantics are only well-defined
-    with unique right timestamps per key (tests assert raw data does carry
-    such ties, so the dedup is load-bearing).
+    JOIN over a right side deduped to one row per (key, ts) — as-of
+    semantics are only well-defined with unique right timestamps per key
+    (tests assert raw data does carry such ties, so the dedup is
+    load-bearing). The Spark side folds that dedup into the merge window's
+    tiebreak ordering (``right_tiebreak``): among right rows at the same
+    (user, date) the greatest orderkey is carried, exactly matching the
+    oracle's ROW_NUMBER dedup — without a separate shuffle+sort over
+    orders.
     """
     prepare(spark)
     ev = (
@@ -144,15 +163,8 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 20 == 0)
         .select("event_id", "user_id", "ts")
     )
-    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
-        F.desc("o_orderkey")
-    )
-    orders = (
-        table(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", "o_orderdate")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
     )
     joined = asof_join(
         ev,
@@ -161,6 +173,7 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="o_orderdate",
         right_cols=["o_orderkey", "o_orderdate"],
+        right_tiebreak="o_orderkey",
     )
     return joined.select(
         "event_id",
