@@ -43,12 +43,12 @@ N_QUERIES = 5
 TOP_K = 10
 
 
-def _hyperplanes() -> list[list[int]]:
+def _hyperplanes(n_planes: int = N_PLANES) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes: weight[j][i] derived from
     md5(f"hp{j}_{i}") — reproducible anywhere, no RNG state, and identical
     to what an ANSI engine would compute from the same recipe."""
     planes = []
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         row = []
         for i in range(DIM):
             h = int(hashlib.md5(f"hp{j}_{i}".encode()).hexdigest()[:15], 16)
@@ -58,6 +58,16 @@ def _hyperplanes() -> list[list[int]]:
 
 
 HYPERPLANES = _hyperplanes()
+
+#: Banded LSH for the near-dup pair join: N_BANDS bands of BAND_BITS sign
+#: bits each (OR across bands). Band width sets precision (2^bits buckets
+#: per band — widen as the corpus grows), band count sets recall:
+#: P(pair surfaces) = 1-(1-p^bits)^bands with p = 1-theta/pi. At the
+#: registered cosine>=0.45 threshold (p~0.66), 8 bands x 2 bits give
+#: ~0.99 per-pair recall. Same md5 recipe, planes 0..15.
+N_BANDS = 8
+BAND_BITS = 2
+ND_PLANES = _hyperplanes(N_BANDS * BAND_BITS)
 
 
 def _norm(emb) -> F.Column:
@@ -364,9 +374,10 @@ FROM pairs WHERE cosine >= 0.45
 """,
 )
 def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold form of the dedup
-    family). Brute-force all-pairs here; at scale the LSH buckets above
-    pre-filter candidates into the same join shape."""
+    """Brute-force all-pairs cosine — the RECALL BASELINE the bucketed
+    near-dup path (``similarity_near_dup_pairs``) is measured against.
+    O(N^2) non-equi join by construction: keep for ground truth at small
+    scale, never the registered path for production near-dup."""
     prepare(spark)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
@@ -377,3 +388,113 @@ def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (_norm(F.col("a_emb")) * _norm(F.col("b_emb")))
     ).alias("cosine")
     return pairs.select("vec_a", "vec_b", cos).filter(F.col("cosine") >= 0.45)
+
+
+# --------------------------------------------------------------------------
+def _band_key_expr(emb, band: int) -> F.Column:
+    """BAND_BITS sign bits of band ``band`` packed into one INT."""
+    total = F.lit(0)
+    for b in range(BAND_BITS):
+        weights = ND_PLANES[band * BAND_BITS + b]
+        warr = F.array(*[F.lit(w) for w in weights])
+        dot = F.aggregate(
+            F.zip_with(emb, warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return total
+
+
+def _duck_band_key(e: str, band: int) -> str:
+    parts = []
+    for b in range(BAND_BITS):
+        weights = ND_PLANES[band * BAND_BITS + b]
+        lit = "[" + ", ".join(str(w) for w in weights) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+            f"i -> {e}[i]::DOUBLE * ({lit})[i])), (x, y) -> x + y)"
+        )
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _duck_nd_bands() -> str:
+    selects = [
+        f"SELECT vec_id, {j} AS band, {_duck_band_key('embedding', j)} AS bkey FROM embeddings"
+        for j in range(N_BANDS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "similarity_near_dup_pairs",
+    oracle=f"""
+WITH bands AS ({_duck_nd_bands()}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.vec_a, c.vec_b,
+           {_DUCK_DOT.format(a="ea.embedding", b="eb.embedding", dim=DIM)}
+             / ({_DUCK_NORM.format(e="ea.embedding")} * {_DUCK_NORM.format(e="eb.embedding")})
+             AS cosine
+    FROM cand c
+    JOIN embeddings ea ON c.vec_a = ea.vec_id
+    JOIN embeddings eb ON c.vec_b = eb.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.45
+""",
+)
+def similarity_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, banded-LSH-composed — the
+    REGISTERED production path (the brute-force form above is its recall
+    baseline). Candidates come from an EQUI-join on (band, band_key)
+    exactly like the minhash LSH pair flow: 8 bands x 2 sign bits give
+    ~0.99 per-pair recall at the 0.45 threshold, each band co-partitions
+    candidates at any scale, and exact cosine verifies and thresholds.
+    Banding (OR across bands) rather than one concatenated bucket is what
+    makes LSH recall tunable — the single 8-bit bucket form has ~3%
+    recall at this threshold. The plan contains no nested-loop over the
+    full table — asserted in plan-shape tests."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        _band_key_expr(F.col("embedding"), j).alias("bkey"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    cos = (
+        _dot(F.col("a_emb"), F.col("b_emb"))
+        / (_norm(F.col("a_emb")) * _norm(F.col("b_emb")))
+    ).alias("cosine")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos)
+        .filter(F.col("cosine") >= 0.45)
+    )

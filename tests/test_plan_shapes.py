@@ -63,6 +63,15 @@ def test_agg_queries_do_partial_aggregation(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_near_dup_pairs_is_bucketed_not_nested_loop(spark, sf_dir):
+    """The registered near-dup path must candidate-generate via the LSH
+    bucket EQUI-join — never a nested loop / cartesian over the table
+    (that is the brute-force baseline's job)."""
+    p = plan_of(queries()["similarity_near_dup_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """No registered query may plan an unintended cartesian product
     (the ANN brute force is an intended broadcast nested loop)."""

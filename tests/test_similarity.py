@@ -13,7 +13,9 @@ from datawarehouse_project_spark.operators.similarity import (
     linear_score_expr,
     make_linear_score_udf,
     similarity_ann_cosine_topk,
+    similarity_cosine_pairs,
     similarity_lsh_topk,
+    similarity_near_dup_pairs,
 )
 
 
@@ -36,6 +38,26 @@ def test_pandas_udf_matches_expression_path(spark, sf_dir):
     assert len(both) > 0
     for r in both:
         assert math.isclose(r.expr_score, r.udf_score, rel_tol=1e-9, abs_tol=1e-6), r
+
+
+def test_near_dup_pairs_recall_vs_brute_force(spark, sf_correct_dir):
+    """The banded-LSH near-dup path must (a) return a SUBSET of the
+    brute-force pairs with identical cosines (no false positives — exact
+    verify guarantees it) and (b) achieve the recall the band design
+    promises (~0.99 expected at 8 bands x 2 bits; assert >= 0.8)."""
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity_cosine_pairs(spark, sf_correct_dir).collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity_near_dup_pairs(spark, sf_correct_dir).collect()
+    }
+    assert set(banded) <= set(brute)
+    for k, v in banded.items():
+        assert brute[k] == v
+    assert brute, "test data should contain qualifying pairs"
+    assert len(banded) / len(brute) >= 0.8, (len(banded), len(brute))
 
 
 def test_lsh_topk_is_subset_of_exact_neighbors(spark, sf_dir):
