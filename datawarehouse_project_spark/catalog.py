@@ -43,3 +43,40 @@ def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: spec.build for name, spec in sorted(REGISTRY.items()) if spec.headline
     }
+
+
+def ordered_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    """O2 presentation variant: the registered builder plus the reference's
+    trailing ORDER BY (QuerySpec.order_by; "-col" = DESC). Off the hot path
+    by default — the engine's registered queries stay unsorted because a
+    global sort of full output is pure cost at scale and the driver's
+    correctness hash is order-insensitive; a human consumer (or a
+    reference-parity report) asks for the sorted form here."""
+    from pyspark.sql import functions as F
+
+    spec = REGISTRY[name]
+    if not spec.order_by:
+        return spec.build
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cols = [
+            F.desc(c[1:]) if c.startswith("-") else F.asc(c)
+            for c in spec.order_by
+        ]
+        return spec.build(spark, sf_dir).orderBy(*cols)
+
+    return build
+
+
+def spark_sql_surface() -> dict[str, str]:
+    """SURVEY §2.11: the catalog as ``spark.sql`` text — dialect-neutral
+    oracle strings verbatim plus Spark-dialect twins for the rest (see
+    plans/sql_twins.py). Every entry is value-identical to its DataFrame
+    builder (tests/test_sql_surface.py)."""
+    from .plans.sql_twins import NEUTRAL_AS_IS, SPARK_SQL
+
+    out = {name: REGISTRY[name].oracle for name in NEUTRAL_AS_IS}
+    out.update(SPARK_SQL)
+    missing = set(out) - set(REGISTRY)
+    assert not missing, f"SQL surface for unregistered queries: {missing}"
+    return dict(sorted(out.items()))

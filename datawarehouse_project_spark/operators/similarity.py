@@ -255,16 +255,113 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+#: IVF coarse quantizer: K_IVF centroids, trained at import time.
+K_IVF = 8
+_IVF_TRAIN_SAMPLE = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _train_ivf_centroids(k: int = K_IVF, iters: int = 5) -> list[list[float]]:
+    """Sample-trained coarse quantizer: deterministic Lloyd's k-means
+    (init = first k vectors by vec_id, fixed iteration count, float64
+    numpy) over the smallest sample table — training the quantizer on a
+    sample and applying it to the full corpus is exactly how production
+    IVF indexes are built. The learned centroids are injected as literals
+    into BOTH engines' assignment expressions (like HYPERPLANES), so the
+    partition is identical everywhere; repr() round-trips float64, so both
+    SQL parsers reconstruct bit-identical doubles.
+
+    Falls back to md5-derived pseudo-centroids if the sample table is
+    absent (keeps import working in a bare checkout)."""
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(_IVF_TRAIN_SAMPLE, columns=["vec_id", "embedding"])
+        order = np.argsort(tbl.column("vec_id").to_numpy())
+        mat = np.vstack(tbl.column("embedding").to_pylist())[order].astype(
+            np.float64
+        )
+    except Exception:  # pragma: no cover - sample table missing
+        return [[float(w) for w in _hyperplanes(k)[j]] for j in range(k)]
+    cent = mat[:k].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+        assign = d.argmin(axis=1)  # first occurrence wins ties: lowest cid
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in cent]
+
+
+IVF_CENTROIDS = _train_ivf_centroids()
+
+
+def _ivf_cluster_expr(emb) -> F.Column:
+    """argmin-over-centroids cluster id: min of (squared_dist, cid) structs
+    — lexicographic struct ordering gives min distance, ties to lowest cid.
+    Distances are in-order float64 folds on identical centroid literals, so
+    the assignment is bit-identical across engines."""
+    pairs = []
+    for cid, cent in enumerate(IVF_CENTROIDS):
+        carr = F.array(*[F.lit(v) for v in cent])
+        d = F.aggregate(
+            F.zip_with(
+                emb, carr, lambda x, m: (x.cast("double") - m) * (x.cast("double") - m)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pairs.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
+    return F.array_min(F.array(*pairs)).getField("c")
+
+
+def _duck_ivf_cluster(e: str) -> str:
+    items = []
+    for cid, cent in enumerate(IVF_CENTROIDS):
+        lit = "[" + ", ".join(repr(v) for v in cent) + "]"
+        d = (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+            f"i -> ({e}[i]::DOUBLE - ({lit})[i]) * ({e}[i]::DOUBLE - ({lit})[i]))), "
+            "(x, y) -> x + y)"
+        )
+        items.append(f"[{d}, {float(cid)!r}]")
+    fold = (
+        f"list_reduce([{', '.join(items)}], "
+        "(a, b) -> CASE WHEN b[1] < a[1] THEN b ELSE a END)"
+    )
+    return f"CAST({fold}[2] AS INT)"
+
+
+def spark_ivf_cluster_sql(e: str) -> str:
+    """Spark-SQL text twin of ``_ivf_cluster_expr`` (used by the dual
+    SQL surface in plans/sql_twins.py)."""
+    items = []
+    for cid, cent in enumerate(IVF_CENTROIDS):
+        lit = "array(" + ", ".join(repr(v) for v in cent) + ")"
+        d = (
+            f"aggregate(zip_with({e}, {lit}, "
+            "(x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        items.append(f"named_struct('d', {d}, 'c', {cid})")
+    return f"array_min(array({', '.join(items)})).c"
+
+
 @register(
     "similarity_ivf_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+WITH assigned AS (
+    SELECT vec_id, embedding, {_duck_ivf_cluster("embedding")} AS cluster_id
+    FROM embeddings
+),
+q AS (SELECT * FROM assigned WHERE vec_id < {N_QUERIES}),
 pairs AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            {_DUCK_DOT.format(a="q.embedding", b="c.embedding", dim=DIM)}
              / ({_DUCK_NORM.format(e="q.embedding")} * {_DUCK_NORM.format(e="c.embedding")})
              AS cosine
-    FROM q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+    FROM q JOIN assigned c ON c.cluster_id = q.cluster_id AND c.vec_id <> q.vec_id
 ),
 ranked AS (
     SELECT query_id, neighbor_id, cosine,
@@ -278,28 +375,31 @@ FROM ranked WHERE rank <= {TOP_K}
 """,
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-shaped approximate top-k: search only the query's coarse
-    partition, exact cosine rank within it. The ``label`` column stands in
-    for the coarse quantizer's cluster assignment (a k-means fit would
-    produce exactly such a column; training it is out of scope here — the
-    search-side plan is the point): partition-restricted candidate join,
-    1/n_clusters selectivity, same shape as production IVF at any scale.
-    Multi-probe = join on several nearest cluster ids instead of one."""
+    """IVF approximate top-k with a TRAINED coarse quantizer: every vector
+    is assigned to its nearest k-means centroid (centroids learned from
+    the sample table, injected as literals on both engines), search is
+    restricted to the query's cluster, exact cosine ranks within it.
+    Partition-restricted candidate equi-join, 1/K_IVF selectivity, same
+    shape as production IVF at any scale. Multi-probe = join on the
+    several nearest cluster ids instead of one."""
     prepare(spark)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    assigned = emb.select(
+        "vec_id", "embedding", _ivf_cluster_expr(F.col("embedding")).alias("cluster_id")
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("label").alias("q_label"),
+        F.col("cluster_id").alias("q_cluster"),
     )
-    c = emb.select(
+    c = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        "label",
+        "cluster_id",
     )
     pairs = c.join(
         F.broadcast(q),
-        (F.col("label") == F.col("q_label"))
+        (F.col("cluster_id") == F.col("q_cluster"))
         & (F.col("neighbor_id") != F.col("query_id")),
     )
     cos = (

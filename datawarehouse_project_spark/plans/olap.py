@@ -70,6 +70,7 @@ def q01_top_revenue_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q02_quarterly_growth_store",
     headline=True,
+    order_by=["sales_quarter", "store_name"],  # olap_queries.sql:37
     oracle=f"""
 WITH {FACT_CTE},
 quarterly AS (
@@ -123,6 +124,7 @@ def q02_quarterly_growth_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q03_supplier_contribution",
     headline=True,
+    order_by=["store_name", "supplier_name", "product_name"],  # olap_queries.sql:48
     oracle=f"""
 WITH {FACT_CTE}
 SELECT store_name, supplier_name, product_name,
@@ -164,6 +166,7 @@ _SEASON_SQL = """CASE
 # Reference: olap_queries.sql:52-70.
 @register(
     "q04_seasonal_product_sales",
+    order_by=["product_name", "season"],  # olap_queries.sql:70
     oracle=f"""
 WITH {FACT_CTE}
 SELECT product_name,
@@ -187,6 +190,7 @@ def q04_seasonal_product_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_monthly_volatility",
     headline=True,
+    order_by=["store_name", "supplier_name", "sales_month"],  # olap_queries.sql:100
     oracle=f"""
 WITH {FACT_CTE},
 monthly AS (
@@ -336,6 +340,7 @@ def q06j_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q07_rollup_yearly",
     headline=True,
+    order_by=["store_name", "supplier_name", "product_name"],  # olap_queries.sql:136
     oracle=f"""
 WITH {FACT_CTE}
 SELECT store_name, supplier_name, product_name,
@@ -380,6 +385,7 @@ def q07j_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference: olap_queries.sql:140-169.
 @register(
     "q08_halfyearly_vs_yearly",
+    order_by=["product_name", "sales_half"],  # olap_queries.sql:169
     oracle=f"""
 WITH {FACT_CTE},
 half AS (
@@ -436,6 +442,7 @@ def q08_halfyearly_vs_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q09_daily_spikes",
     headline=True,
+    order_by=["product_name", "order_date"],  # olap_queries.sql:196
     oracle=f"""
 WITH {FACT_CTE},
 daily AS (
@@ -491,6 +498,7 @@ def q09_daily_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — ordering is applied at the final SELECT.
 @register(
     "q10_store_quarterly_view",
+    order_by=["store_name"],  # olap_queries.sql:207 (ORDER BY 1)
     oracle=f"""
 WITH {FACT_CTE},
 store_quarterly_sales AS (

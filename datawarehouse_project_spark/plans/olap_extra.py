@@ -99,6 +99,23 @@ def events_value_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Approximate median twin of events_value_median_disc: at 100 TB the
+# exact form's per-key ROW_NUMBER is a per-key global sort; the production
+# path is a mergeable quantile sketch (approx_percentile / KLL-style),
+# one pass, bounded memory per group, no sort. Rows-only in the driver
+# gate (sketches are engine-specific by construction); accuracy is
+# asserted against the exact median in tests, mirroring the HLL pattern
+# (events_approx_distinct_users).
+@register("events_value_median_approx")
+def events_value_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_median")
+    )
+
+
+# --------------------------------------------------------------------------
 # Top-N per group: the ranking-window pattern (distinct from global top-k,
 # which plans as TakeOrderedAndProject).
 @register(

@@ -32,16 +32,27 @@ class QuerySpec:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     headline: bool = False  # included in bench.py
+    #: Presentation sort of the reference's SQL (O2), e.g. ["-total", "name"]
+    #: ("-" prefix = DESC). Engine queries stay UNSORTED on the hot path —
+    #: a global sort of full output is pure cost at scale and the driver
+    #: hash is order-insensitive; human consumers get the sorted form via
+    #: ``catalog.ordered_query(name)``.
+    order_by: list[str] | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, headline: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    order_by: list[str] | None = None,
+):
     """Decorator: register a named query builder (idempotent re-import)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, order_by)
         return fn
 
     return deco

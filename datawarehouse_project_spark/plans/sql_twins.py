@@ -1,0 +1,764 @@
+"""Spark-SQL text surface for the full catalog (SURVEY §2.11).
+
+The reference's workload IS SQL text (SQL/olap_queries.sql); the promise is
+that every catalog query runs both as a DataFrame chain and as ``spark.sql``
+text. Most DuckDB oracle strings are already dialect-neutral and run in
+Spark unchanged (``NEUTRAL_AS_IS``); the rest get a Spark-dialect twin here
+(``SPARK_SQL``), mechanically translated:
+
+    DuckDB                      Spark
+    ------------------------    ---------------------------------
+    epoch_us(ts)                unix_micros(ts)
+    regexp_split_to_array       split
+    list_transform/list_filter  transform / filter
+    list_reduce(list_prepend)   aggregate(..., init, (acc,x) -> ...)
+    len(arr)                    size(arr)
+    unnest(arr)                 explode(arr)
+    strftime / try_strptime     date_format / try_to_timestamp
+    string_agg(x, s ORDER BY y) array_join(array_sort(collect_list(..)), s)
+    x // y                      x DIV y
+    CAST(x AS VARCHAR)          CAST(x AS STRING)
+    regexp_matches(x, p)        x RLIKE p
+    encode(s)                   encode(s, 'utf-8')
+    ASOF JOIN                   max-date lookup + equi join-back
+    ('0x'||substr(md5(x),1,15))::BIGINT
+                                CAST(CONV(SUBSTRING(MD5(x),1,15),16,10) AS BIGINT)
+
+``tests/test_sql_surface.py`` runs every entry through ``spark.sql`` over
+temp views and asserts value-identity with the DataFrame builder. Float
+folds use the same operand order as the builders, so results are
+bit-identical, not merely close.
+"""
+
+from __future__ import annotations
+
+from ..functions.text import MINHASH_COEFFS, P
+from ..operators.dedup import DF_CAP, _BANDS
+from ..operators.similarity import (
+    BAND_BITS,
+    DIM,
+    HYPERPLANES,
+    N_BANDS,
+    N_QUERIES,
+    ND_PLANES,
+    TOP_K,
+    spark_ivf_cluster_sql,
+)
+
+#: Oracle strings that are dialect-neutral: Spark runs them verbatim
+#: (verified by the dual-surface test).
+NEUTRAL_AS_IS = [
+    "dedup_exact_md5",
+    "dedup_lastwins_upsert",
+    "events_distinct_users",
+    "events_enrich_meshjoin",
+    "events_value_moments",
+    "pivot_store_priority",
+    "q01_top_revenue_products",
+    "q02_quarterly_growth_store",
+    "q02j_growth_by_store_id",
+    "q03_supplier_contribution",
+    "q04_seasonal_product_sales",
+    "q04j_quarter_seasons",
+    "q05_monthly_volatility",
+    "q06j_copurchase_pairs",
+    "q07_rollup_yearly",
+    "q07j_total_revenue",
+    "q08_halfyearly_vs_yearly",
+    "q10_store_quarterly_view",
+    "range_join_ship_lag",
+    "semi_anti_customers",
+    "setops_customer_cohorts",
+    "skew_salted_store_revenue",
+    "topn_products_per_store",
+]
+
+# --------------------------------------------------------------------------
+# Building blocks (Spark twins of functions/text.py + operators/similarity)
+
+SPARK_H = "CAST(CONV(SUBSTRING(MD5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+#: Twin of DUCK_DOCWORDS (words() / word_shingles() as Spark SQL CTEs).
+SPARK_DOCWORDS = r"""
+docwords AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           split(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+),
+docshingles AS (
+    SELECT doc_id, lang, source, ws,
+           array_distinct(transform(
+               sequence(1, size(ws) - 2),
+               i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                              element_at(ws, i + 2)))) AS sgs
+    FROM docwords
+    WHERE size(ws) >= 3
+)
+"""
+
+
+def _spark_minhash_aggs() -> list[str]:
+    h = SPARK_H.format(x="sg")
+    return [
+        f"MIN(({a} * ({h} % {P}) + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+_SPARK_SIG = f"""
+{SPARK_DOCWORDS},
+exploded AS (SELECT doc_id, explode(sgs) AS sg FROM docshingles),
+sig AS (
+    SELECT doc_id, {", ".join(_spark_minhash_aggs())}
+    FROM exploded
+    GROUP BY doc_id
+)
+"""
+
+_MH_COLS = ", ".join(f"mh{i}" for i in range(len(MINHASH_COEFFS)))
+
+
+def _spark_bands() -> str:
+    selects = [
+        f"SELECT doc_id, {b} AS band, mh{2 * b} * {P} + mh{2 * b + 1} AS band_key FROM sig"
+        for b in range(_BANDS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_SPARK_NORM = (
+    "sqrt(aggregate(transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+)
+
+
+def _arr(weights: list[int]) -> str:
+    return "array(" + ", ".join(str(w) for w in weights) + ")"
+
+
+def _spark_plane_dot(e: str, weights: list[int]) -> str:
+    return (
+        f"aggregate(zip_with({e}, {_arr(weights)}, (x, w) -> CAST(x AS DOUBLE) * w), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _spark_bucket(e: str) -> str:
+    parts = [
+        f"(CASE WHEN {_spark_plane_dot(e, w)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, w in enumerate(HYPERPLANES)
+    ]
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
+
+
+def _spark_band_key(e: str, band: int) -> str:
+    parts = [
+        f"(CASE WHEN {_spark_plane_dot(e, ND_PLANES[band * BAND_BITS + b])} >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(BAND_BITS)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _spark_nd_bands() -> str:
+    selects = [
+        f"SELECT vec_id, {j} AS band, {_spark_band_key('embedding', j)} AS bkey FROM embeddings"
+        for j in range(N_BANDS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+_COS = (
+    _SPARK_DOT.format(a="q.embedding", b="c.embedding")
+    + f" / ({_SPARK_NORM.format(e='q.embedding')} * {_SPARK_NORM.format(e='c.embedding')})"
+)
+
+#: The shared star-schema CTE of the OLAP twins (same text as the oracles).
+_FACT = """
+fact AS (
+    SELECT l.l_orderkey                            AS order_id,
+           CAST(o.o_orderdate AS DATE)             AS order_date,
+           l.l_partkey                             AS product_id,
+           p.p_name                                AS product_name,
+           CAST(p.p_retailprice AS DECIMAL(18,2))  AS product_price,
+           s.s_suppkey                             AS supplier_id,
+           s.s_name                                AS supplier_name,
+           n.n_nationkey                           AS store_id,
+           n.n_name                                AS store_name,
+           o.o_custkey                             AS customer_id,
+           CAST(l.l_quantity AS DECIMAL(18,2))     AS quantity,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) AS sale
+    FROM lineitem l
+    JOIN orders   o ON l.l_orderkey = o.o_orderkey
+    JOIN part     p ON l.l_partkey  = p.p_partkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation   n ON s.s_nationkey = n.n_nationkey
+)
+"""
+
+# --------------------------------------------------------------------------
+#: name -> Spark-dialect SQL for oracles that are NOT dialect-neutral.
+SPARK_SQL: dict[str, str] = {}
+
+SPARK_SQL["events_hourly_windows"] = """
+SELECT event_type,
+       unix_micros(date_trunc('hour', ts)) AS window_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+SPARK_SQL["events_sessionization"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR unix_micros(ts) - unix_micros(prev_ts) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT user_id, event_id, ts,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       unix_micros(MIN(ts)) AS session_start_us,
+       unix_micros(MAX(ts)) AS session_end_us
+FROM numbered
+GROUP BY 1, 2
+"""
+
+SPARK_SQL["events_session_window_native"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR unix_micros(ts) - unix_micros(prev_ts) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       unix_micros(MIN(ts)) AS session_start_us,
+       unix_micros(MAX(ts)) + 1800 * 1000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+SPARK_SQL["events_value_median_disc"] = """
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, value AS median_value
+FROM ranked
+WHERE rn = (n + 1) DIV 2
+"""
+
+SPARK_SQL["asof_join_last_order"] = """
+WITH ev AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0
+),
+ord AS (
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+),
+-- Spark has no ASOF JOIN: find each event's latest prior order date, then
+-- join back to the (deduped) right side on the exact (key, date).
+best AS (
+    SELECT e.event_id, MAX(o.o_orderdate) AS best_date
+    FROM ev e
+    LEFT JOIN ord o
+      ON e.user_id = o.o_custkey
+     AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+    GROUP BY e.event_id
+)
+SELECT e.event_id, e.user_id,
+       unix_micros(e.ts) AS event_ts_us,
+       o.o_orderkey AS last_orderkey,
+       unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) AS last_order_ts_us
+FROM ev e
+JOIN best b ON e.event_id = b.event_id
+LEFT JOIN ord o
+  ON b.best_date = o.o_orderdate AND e.user_id = o.o_custkey
+"""
+
+SPARK_SQL["clean_price_strings"] = """
+WITH dirty AS (
+    SELECT p_partkey, p_brand,
+           CASE
+             WHEN p_partkey % 13 = 0 THEN 'N/A'
+             WHEN p_partkey % 17 = 0 THEN '  ' || CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS STRING) || '$ '
+             ELSE CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS STRING) || '$'
+           END AS price_raw
+    FROM part
+),
+cleaned AS (
+    SELECT p_brand,
+           COALESCE(
+               try_cast(regexp_replace(price_raw, '[^0-9.-]', '') AS DECIMAL(10,2)),
+               CAST('0.00' AS DECIMAL(10,2))
+           ) AS price
+    FROM dirty
+)
+SELECT p_brand,
+       CAST(SUM(price) AS DOUBLE) AS total_price,
+       CAST(SUM(CASE WHEN price = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
+FROM cleaned
+GROUP BY 1
+"""
+
+SPARK_SQL["clean_multiformat_dates"] = """
+WITH dirty AS (
+    SELECT o_orderkey,
+           CASE
+             WHEN o_orderkey % 23 = 0 THEN 'not-a-date'
+             WHEN o_orderkey % 4 = 0 THEN date_format(o_orderdate, 'yyyy-MM-dd')
+             WHEN o_orderkey % 4 = 1 THEN date_format(o_orderdate, 'MM/dd/yyyy') || ' 03:09:00'
+             WHEN o_orderkey % 4 = 2 THEN date_format(o_orderdate, 'dd-MM-yyyy')
+             ELSE date_format(o_orderdate, 'yyyy/MM/dd')
+           END AS order_date_raw
+    FROM orders
+),
+parsed AS (
+    SELECT o_orderkey,
+           CAST(COALESCE(
+               try_to_timestamp(split_part(trim(order_date_raw), ' ', 1), 'yyyy-MM-dd'),
+               try_to_timestamp(split_part(trim(order_date_raw), ' ', 1), 'MM/dd/yyyy'),
+               try_to_timestamp(split_part(trim(order_date_raw), ' ', 1), 'dd-MM-yyyy'),
+               try_to_timestamp(split_part(trim(order_date_raw), ' ', 1), 'yyyy/MM/dd')
+           ) AS DATE) AS order_date
+    FROM dirty
+)
+SELECT CAST(EXTRACT(YEAR FROM order_date) * 100
+            + EXTRACT(MONTH FROM order_date) AS INT) AS year_month,
+       COUNT(*) AS n_rows
+FROM parsed
+WHERE order_date IS NOT NULL
+GROUP BY 1
+"""
+
+SPARK_SQL["q03j_regex_type_filter"] = f"""
+WITH {_FACT},
+typed AS (
+    SELECT f.*, p.p_type
+    FROM fact f JOIN part p ON f.product_id = p.p_partkey
+)
+SELECT p_type, CAST(SUM(sale) AS DOUBLE) AS total_sales
+FROM typed
+WHERE NOT (p_type RLIKE '^(SMALL|MEDIUM)')
+GROUP BY 1
+"""
+
+SPARK_SQL["q06_product_affinity"] = f"""
+WITH {_FACT},
+order_products AS (
+    SELECT order_id,
+           array_join(array_sort(collect_list(product_name)), ', ')
+               AS product_combination
+    FROM fact
+    GROUP BY order_id
+    HAVING COUNT(*) > 1
+),
+pair_counts AS (
+    SELECT product_combination, COUNT(*) AS pair_count
+    FROM order_products
+    GROUP BY product_combination
+)
+SELECT product_combination, pair_count
+FROM pair_counts
+ORDER BY pair_count DESC, product_combination
+LIMIT 5
+"""
+
+SPARK_SQL["q06m_groupconcat_mysql_form"] = f"""
+WITH {_FACT},
+order_products AS (
+    SELECT order_id,
+           array_join(transform(array_sort(collect_list(product_name)),
+                                x -> x || ', '), ',')
+               AS product_combination
+    FROM fact
+    GROUP BY order_id
+    HAVING COUNT(*) > 1
+)
+SELECT product_combination, COUNT(*) AS pair_count
+FROM order_products
+GROUP BY 1
+ORDER BY pair_count DESC, product_combination
+LIMIT 5
+"""
+
+SPARK_SQL["q09_daily_spikes"] = f"""
+WITH {_FACT},
+daily AS (
+    SELECT product_name, order_date, SUM(sale) AS daily_revenue_dec
+    FROM fact
+    GROUP BY 1, 2
+),
+avg_daily AS (
+    SELECT product_name,
+           CAST(SUM(daily_revenue_dec) AS DOUBLE) / COUNT(*) AS avg_daily_revenue
+    FROM daily
+    GROUP BY 1
+)
+SELECT d.product_name, CAST(d.order_date AS STRING) AS order_date,
+       CAST(d.daily_revenue_dec AS DOUBLE) AS daily_revenue,
+       a.avg_daily_revenue,
+       CASE WHEN CAST(d.daily_revenue_dec AS DOUBLE) > 2 * a.avg_daily_revenue
+            THEN 'Outlier' ELSE 'Normal' END AS outlier_flag
+FROM daily d JOIN avg_daily a ON d.product_name = a.product_name
+"""
+
+_H_TEXT = SPARK_H.format(x="text")
+SPARK_SQL["multimodal_binary_features"] = f"""
+WITH media AS (
+    SELECT doc_id AS media_id, encode(text, 'utf-8') AS payload, text
+    FROM documents
+)
+SELECT media_id,
+       octet_length(payload) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST({_H_TEXT} % 1920 AS INT) AS width,
+       CAST({_H_TEXT} % 1080 AS INT) AS height,
+       CAST(octet_length(payload) % 240 AS INT) AS n_frames
+FROM media
+"""
+
+# -- dedup family ----------------------------------------------------------
+
+SPARK_SQL["dedup_minhash_signatures"] = (
+    f"WITH {_SPARK_SIG} SELECT doc_id, {_MH_COLS} FROM sig"
+)
+
+_K = len(MINHASH_COEFFS)
+SPARK_SQL["dedup_minhash_lsh_pairs"] = f"""
+WITH {_SPARK_SIG},
+bands AS ({_spark_bands()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(_K))} AS BIGINT)
+           AS n_matching_minhash
+FROM cand c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+"""
+
+_H_W = SPARK_H.format(x="w")
+_SPARK_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN aggregate(transform(hw, h -> CASE WHEN "
+    f"(h % {1 << (j + 1)}) >= {1 << j} THEN 1 ELSE -1 END), "
+    f"0, (acc, x) -> acc + x) "
+    f">= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(16)
+)
+SPARK_SQL["dedup_simhash"] = f"""
+WITH {SPARK_DOCWORDS},
+hashed AS (
+    SELECT doc_id, transform(ws, w -> {_H_W} % {P}) AS hw
+    FROM docwords
+    WHERE size(ws) >= 1
+)
+SELECT doc_id, CAST(({_SPARK_SIMHASH_BITS}) AS BIGINT) AS simhash_val
+FROM hashed
+"""
+
+SPARK_SQL["dedup_ngram_jaccard_pairs"] = f"""
+WITH {SPARK_DOCWORDS},
+inv AS (SELECT doc_id, explode(sgs) AS sg FROM docshingles),
+sizes AS (SELECT doc_id, size(sgs) AS n_sg FROM docshingles),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / (sa.n_sg + sb.n_sg - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_sg + sb.n_sg - shared) >= 0.6
+"""
+
+SPARK_SQL["dedup_ngram_jaccard_capped"] = f"""
+WITH {SPARK_DOCWORDS},
+inv AS (SELECT doc_id, explode(sgs) AS sg FROM docshingles),
+freq AS (
+    SELECT sg FROM (SELECT sg, COUNT(*) AS df FROM inv GROUP BY 1)
+    WHERE df <= {DF_CAP}
+),
+invc AS (SELECT i.doc_id, i.sg FROM inv i JOIN freq f USING (sg)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sg FROM invc GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM invc a JOIN invc b ON a.sg = b.sg AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / (sa.n_sg + sb.n_sg - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_sg + sb.n_sg - shared) >= 0.6
+"""
+
+# -- text family -----------------------------------------------------------
+
+SPARK_SQL["text_stats_by_lang"] = rf"""
+WITH {SPARK_DOCWORDS},
+per_doc AS (
+    SELECT lang,
+           size(ws) AS n_tokens,
+           length(text) AS n_ch,
+           length(regexp_replace(lower(text), '[a-z0-9\\s]', '')) AS n_punct
+    FROM docwords
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_ch) AS BIGINT) AS total_chars,
+       CAST(SUM(n_punct) AS DOUBLE) / SUM(n_ch) AS punct_ratio
+FROM per_doc
+GROUP BY 1
+"""
+
+
+def _spark_stop_count(stopwords: list[str], ws: str = "ws") -> str:
+    lits = ", ".join(f"'{w}'" for w in stopwords)
+    return f"size(filter({ws}, w -> w IN ({lits})))"
+
+
+def _lang_stop_sql() -> dict[str, str]:
+    from ..operators.textstats import LANG_STOPWORDS
+
+    return {lang: _spark_stop_count(sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+SPARK_SQL["text_quality_scores"] = f"""
+WITH {SPARK_DOCWORDS},
+per_doc AS (
+    SELECT doc_id,
+           size(ws) AS n_tokens,
+           length(regexp_replace(lower(text), '[^a-z]', '')) AS n_alpha,
+           {_lang_stop_sql()["en"]} AS n_stop
+    FROM docwords
+    WHERE size(ws) >= 1
+),
+scored AS (
+    -- D suffixes: bare 0.5/100.0 literals parse as DECIMAL in Spark SQL
+    -- and decimal division rounds differently from the builder's DOUBLE
+    -- arithmetic (1-ulp mismatch without them)
+    SELECT doc_id, n_tokens,
+           0.5D * least(1.0D, n_tokens / 100.0D)
+           + 0.3D * (CASE WHEN CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 3 AND 10
+                         THEN 1.0D ELSE 0.0D END)
+           + 0.2D * least(1.0D, 5.0D * (CAST(n_stop AS DOUBLE) / n_tokens))
+               AS quality
+    FROM per_doc
+)
+SELECT doc_id, n_tokens, quality,
+       CAST(floor(quality * 10) AS INT) AS quality_bucket
+FROM scored
+"""
+
+
+def _spark_langid() -> str:
+    from ..operators.textstats import _LANG_ORDER
+
+    whens = []
+    for i, lang in enumerate(_LANG_ORDER):
+        others = _LANG_ORDER[i + 1 :]
+        cond = (
+            " AND ".join(f"s_{lang} >= s_{o}" for o in others) if others else "TRUE"
+        )
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+def _langid_sql() -> str:
+    from ..operators.textstats import _LANG_ORDER
+
+    stops = _lang_stop_sql()
+    score_cols = ", ".join(f"{stops[lang]} AS s_{lang}" for lang in _LANG_ORDER)
+    return f"""
+WITH {SPARK_DOCWORDS},
+scored AS (
+    SELECT lang, {score_cols}
+    FROM docwords
+),
+predicted AS (
+    SELECT lang, {_spark_langid()} AS predicted_lang FROM scored
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM predicted
+GROUP BY 1, 2
+"""
+
+
+SPARK_SQL["text_langid_stopwords"] = _langid_sql()
+
+_BPE_SQL = r"[a-z]+|[0-9]+|[^a-z0-9\\s]"
+SPARK_SQL["text_token_counts"] = f"""
+WITH {SPARK_DOCWORDS}
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(size(ws)) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(size(regexp_extract_all(lower(text), '{_BPE_SQL}', 0))) AS BIGINT)
+           AS total_bpe_tokens
+FROM docwords
+GROUP BY 1
+"""
+
+SPARK_SQL["text_fingerprints"] = f"""
+WITH {SPARK_DOCWORDS}
+SELECT doc_id,
+       md5(text) AS content_md5,
+       aggregate(ws, CAST(0 AS BIGINT),
+                 (acc, w) -> (acc * 131 + ({_H_W} % {P})) % {P}) AS rolling_fp
+FROM docwords
+WHERE size(ws) >= 1
+"""
+
+# -- similarity family -----------------------------------------------------
+
+SPARK_SQL["similarity_ann_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS} AS cosine
+    FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+SPARK_SQL["similarity_lsh_buckets"] = f"""
+SELECT vec_id, label, {_spark_bucket("embedding")} AS bucket
+FROM embeddings
+"""
+
+SPARK_SQL["similarity_lsh_topk"] = f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_spark_bucket("embedding")} AS bucket
+    FROM embeddings
+),
+q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS} AS cosine
+    FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+SPARK_SQL["similarity_ivf_topk"] = f"""
+WITH assigned AS (
+    SELECT vec_id, embedding, {spark_ivf_cluster_sql("embedding")} AS cluster_id
+    FROM embeddings
+),
+q AS (SELECT * FROM assigned WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS} AS cosine
+    FROM q JOIN assigned c ON c.cluster_id = q.cluster_id AND c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+_COS_AB = (
+    _SPARK_DOT.format(a="a.embedding", b="b.embedding")
+    + f" / ({_SPARK_NORM.format(e='a.embedding')} * {_SPARK_NORM.format(e='b.embedding')})"
+)
+SPARK_SQL["similarity_cosine_pairs"] = f"""
+WITH pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS_AB} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine
+FROM pairs WHERE cosine >= 0.45
+"""
+
+_COS_EA_EB = (
+    _SPARK_DOT.format(a="ea.embedding", b="eb.embedding")
+    + f" / ({_SPARK_NORM.format(e='ea.embedding')} * {_SPARK_NORM.format(e='eb.embedding')})"
+)
+SPARK_SQL["similarity_near_dup_pairs"] = f"""
+WITH bands AS ({_spark_nd_bands()}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.vec_a, c.vec_b, {_COS_EA_EB} AS cosine
+    FROM cand c
+    JOIN embeddings ea ON c.vec_a = ea.vec_id
+    JOIN embeddings eb ON c.vec_b = eb.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.45
+"""

@@ -4,12 +4,45 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datawarehouse_project_spark.catalog import ordered_query, queries
 from datawarehouse_project_spark.io import table
 from datawarehouse_project_spark.operators.relational import (
     asof_join,
     events_approx_distinct_users,
     events_distinct_users,
 )
+from datawarehouse_project_spark.plans.olap_extra import (
+    events_value_median_approx,
+    events_value_median_disc,
+)
+
+
+def test_approx_median_within_tolerance(spark, sf_dir):
+    """The sketch median (approx_percentile, the 100 TB path) must land
+    within a tight relative error of the exact discrete median."""
+    exact = {
+        r.event_type: r.median_value
+        for r in events_value_median_disc(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: r.approx_median
+        for r in events_value_median_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.05, 0.05 * abs(exact[k])), (
+            k, exact[k], approx[k],
+        )
+
+
+def test_ordered_query_applies_reference_presentation_sort(spark, sf_dir):
+    """O2: ordered_query() yields the reference's trailing ORDER BY
+    (olap_queries.sql:48 for Q3) on top of the unsorted engine query."""
+    plain = queries()["q03_supplier_contribution"](spark, sf_dir).collect()
+    ordered = ordered_query("q03_supplier_contribution")(spark, sf_dir).collect()
+    key = lambda r: (r.store_name, r.supplier_name, r.product_name)  # noqa: E731
+    assert ordered == sorted(plain, key=key)
+    assert sorted(ordered) == sorted(plain)  # same multiset, only order
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
