@@ -83,6 +83,52 @@ def stub_decoder(payload: bytes, kind: str) -> dict:
     }
 
 
+def pil_decoder(payload: bytes, kind: str) -> dict:
+    """Real image decode via PIL (optional dependency — not in this
+    container's baseline, so import lives inside the call): dimensions and
+    frame count from the codec, feature = FEATURE_DIM-bin normalized
+    grayscale histogram. Non-image kinds fall through to the stub (PIL is
+    an image library). Same signature and schema as ``stub_decoder`` —
+    the drop-in contract the module docstring promises, golden-tested
+    when PIL is importable (tests/test_multimodal.py)."""
+    if kind != "image":
+        return stub_decoder(payload, kind)
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        n_frames = int(getattr(im, "n_frames", 1))
+        gray = im.convert("L")
+        w, h = gray.size
+        hist = gray.histogram()  # 256 bins
+    step = 256 // FEATURE_DIM
+    total = float(w * h) or 1.0
+    feature = [
+        float(sum(hist[i * step : (i + 1) * step])) / total
+        for i in range(FEATURE_DIM)
+    ]
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "feature": feature,
+    }
+
+
+def default_decoder() -> Callable[[bytes, str], dict]:
+    """The best decoder this environment supports: PIL when importable,
+    deterministic stub otherwise. Tests run against whichever is active,
+    so the same suite passes with either."""
+    try:
+        import PIL  # noqa: F401
+
+        return pil_decoder
+    except ImportError:
+        return stub_decoder
+
+
 def decode_media(
     media: DataFrame,
     decoder: Callable[[bytes, str], dict] = stub_decoder,

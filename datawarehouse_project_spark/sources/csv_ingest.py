@@ -75,10 +75,25 @@ TRANSACTIONS_SCHEMA = T.StructType(
 )
 
 
+#: Replay-order columns attached by ``_read_csv`` (major, minor).
+ORDINAL_COLS = ["_src_file", "_ordinal"]
+
+
 def _read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """S1-S3 scan: header-skipped, quote-aware, malformed rows quarantined
-    into _corrupt_record instead of aborting (P7) — with a per-file ordinal
-    so S7 dedup replays in file order like MySQL upserts did."""
+    into _corrupt_record instead of aborting (P7) — with a replay ordinal
+    so S7 dedup replays in file order like MySQL upserts did.
+
+    The ordinal is (input_file_name, monotonically_increasing_id): the
+    file name is the MAJOR key because Spark packs splits into partitions
+    by size, not file order, so the bare partition-indexed id does not
+    follow file order across files. Within one file the id follows byte
+    offset per split; a single file only splits above
+    ``spark.sql.files.maxPartitionBytes`` (128 MB — far beyond any dim
+    CSV; for larger single-file feeds raise that conf or ship an explicit
+    ordinal column), so within-file order is exact in practice and the
+    cross-FILE order is exact by construction.
+    """
     df = (
         spark.read.option("header", True)
         .option("quote", '"')
@@ -88,9 +103,9 @@ def _read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
         .schema(schema)
         .csv(path)
     )
-    # monotonically_increasing_id is monotone in (partition, offset) and CSV
-    # splits preserve file offset order => a valid upsert-replay ordinal.
-    return df.withColumn("_ordinal", F.monotonically_increasing_id())
+    return df.withColumn("_src_file", F.input_file_name()).withColumn(
+        "_ordinal", F.monotonically_increasing_id()
+    )
 
 
 def quarantine(df: DataFrame) -> DataFrame:
@@ -104,9 +119,17 @@ def quarantine(df: DataFrame) -> DataFrame:
     return df.cache().filter(F.col(CORRUPT_COL).isNotNull())
 
 
-def dedup_last_wins(df: DataFrame, pk: list[str], ordinal: str = "_ordinal") -> DataFrame:
-    """S7: PK upsert as deterministic last-write-wins dedup."""
-    w = Window.partitionBy(*pk).orderBy(F.desc(ordinal))
+def dedup_last_wins(
+    df: DataFrame, pk: list[str], ordinal: list[str] | str | None = None
+) -> DataFrame:
+    """S7: PK upsert as deterministic last-write-wins dedup. Replay order
+    is (file, within-file position) by default — lexicographically later
+    files count as later writes."""
+    if ordinal is None:
+        ordinal = ORDINAL_COLS
+    if isinstance(ordinal, str):
+        ordinal = [ordinal]
+    w = Window.partitionBy(*pk).orderBy(*[F.desc(c) for c in ordinal])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -123,17 +146,27 @@ def read_customers(spark: SparkSession, path: str) -> DataFrame:
             F.trim("customer_id").alias("customer_id"),
             F.trim("customer_name").alias("customer_name"),
             F.trim("gender").alias("gender"),
+            "_src_file",
             "_ordinal",
         )
     )
-    return dedup_last_wins(cleaned, ["customer_id"]).drop("_ordinal")
+    return dedup_last_wins(cleaned, ["customer_id"]).drop("_src_file", "_ordinal")
 
 
 def read_products(spark: SparkSession, path: str) -> DataFrame:
     raw = _read_csv(spark, path, PRODUCTS_SCHEMA)
     priced = (
         raw.filter(F.col(CORRUPT_COL).isNull())
-        .filter(non_empty("product_id") & non_empty("product_name"))
+        # P8: the reference requires ALL six identity fields non-empty
+        # (MeshJoin.java:114-117) — id/name for product, supplier, store.
+        .filter(
+            non_empty("product_id")
+            & non_empty("product_name")
+            & non_empty("supplier_id")
+            & non_empty("supplier_name")
+            & non_empty("store_id")
+            & non_empty("store_name")
+        )
         .withColumn("product_price", clean_price("product_price_raw"))
         # P9: negative price drops the row; P10 already defaulted unparsable
         # to 0.00 (kept) — the reference's deliberate asymmetry.
@@ -146,10 +179,11 @@ def read_products(spark: SparkSession, path: str) -> DataFrame:
             F.trim("supplier_name").alias("supplier_name"),
             F.trim("store_id").alias("store_id"),
             F.trim("store_name").alias("store_name"),
+            "_src_file",
             "_ordinal",
         )
     )
-    return dedup_last_wins(priced, ["product_id"]).drop("_ordinal")
+    return dedup_last_wins(priced, ["product_id"]).drop("_src_file", "_ordinal")
 
 
 def read_transactions(spark: SparkSession, path: str) -> DataFrame:
@@ -168,10 +202,11 @@ def read_transactions(spark: SparkSession, path: str) -> DataFrame:
             F.trim("product_id").alias("product_id"),
             "quantity",
             F.trim("customer_id").alias("customer_id"),
+            "_src_file",
             "_ordinal",
         )
     )
-    return dedup_last_wins(cleaned, ["order_id"]).drop("_ordinal")
+    return dedup_last_wins(cleaned, ["order_id"]).drop("_src_file", "_ordinal")
 
 
 def build_fact(

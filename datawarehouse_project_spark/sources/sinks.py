@@ -67,27 +67,33 @@ def upsert_parquet(
     ON DUPLICATE KEY UPDATE provided and our streaming sink contract
     requires."""
     cols = incoming.columns
+    # Within-batch ordinal: monotonically_increasing_id over the incoming
+    # frame — duplicates INSIDE one batch resolve deterministically by the
+    # batch's own (partition, offset) order, the only row order a
+    # distributed batch has (same input plan => same winner on replay,
+    # which is what idempotence needs). Incumbent rows sit below every
+    # incoming row (-1), so any incoming PK beats the stored one.
+    ordered = incoming.withColumn("_ordinal", F.monotonically_increasing_id())
     if os.path.exists(path):
-        incumbent = spark.read.parquet(path).select(cols)
+        incumbent = (
+            spark.read.parquet(path)
+            .select(cols)
+            .withColumn("_ordinal", F.lit(-1).cast("bigint"))
+        )
         merged = dedup_last_wins(
-            incumbent.withColumn("_ordinal", F.lit(0)).unionByName(
-                incoming.withColumn("_ordinal", F.lit(1))
-            ),
-            pk,
+            incumbent.unionByName(ordered), pk, ordinal="_ordinal"
         ).drop("_ordinal")
     else:
-        merged = dedup_last_wins(
-            incoming.withColumn("_ordinal", F.monotonically_increasing_id()), pk
-        ).drop("_ordinal")
-    # parquet cannot overwrite in place from its own scan: stage then swap
+        merged = dedup_last_wins(ordered, pk, ordinal="_ordinal").drop("_ordinal")
+    # parquet cannot overwrite in place from its own scan: stage fully,
+    # then RENAME into place (one write, not a second full copy). The
+    # swap window is not atomic under concurrent writers — documented
+    # limitation; a table format (Delta/Iceberg MERGE) is the concurrent
+    # answer.
+    import shutil
+
     tmp = path.rstrip("/") + "._staged"
     merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    # best-effort cleanup of the staging dir
-    try:
-        import shutil
-
-        shutil.rmtree(tmp)
-    except OSError:  # pragma: no cover
-        pass
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)

@@ -66,8 +66,12 @@ def run_windowed_stream(
     checkpoint_dir: str | None = None,
 ) -> None:
     """Drive ``windowed_counts`` over a file stream; ``sink(df, batch_id)``
-    receives *complete* window results per trigger via foreachBatch over the
-    aggregate in update mode drained with availableNow."""
+    receives the FULL window result set per trigger: this runner uses
+    COMPLETE output mode for the availableNow drain (simplest contract for
+    a sink that overwrites). Note complete mode never evicts window state
+    — the module's bounded-state claim applies to the long-running
+    append/update deployment of ``windowed_counts`` (watermark eviction
+    active), not to this finite-drain runner, which ends with the drain."""
     prepare(spark)
     stream = (
         spark.readStream.schema(source_schema)

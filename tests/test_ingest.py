@@ -122,6 +122,7 @@ def test_ingest_idempotent(spark, dirty_dir):
             once.withColumn("_ordinal", F.monotonically_increasing_id() + 10**12)
         ),
         ["customer_id"],
+        ordinal="_ordinal",
     ).drop("_ordinal")
     assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))
 

@@ -10,6 +10,8 @@ from datawarehouse_project_spark.operators.multimodal import (
     FEATURE_DIM,
     MEDIA_SCHEMA,
     decode_media,
+    default_decoder,
+    pil_decoder,
     sample_frames,
     stub_decoder,
 )
@@ -51,6 +53,53 @@ def test_decoder_swap(media_df):
 
     out = decode_media(media_df, decoder=constant_decoder).collect()
     assert all(r.width == 42 and r.n_frames == 7 for r in out)
+
+
+def test_default_decoder_runs_whatever_env_provides(media_df):
+    """decode_media(default_decoder()) must work in ANY environment:
+    with PIL installed it decodes real images, without it the stub takes
+    over — same schema, same quarantine behavior, same suite."""
+    out = {
+        r.media_id: r
+        for r in decode_media(media_df, decoder=default_decoder()).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # audio/video always go through the stub path -> deterministic
+    assert out[2].n_bytes == len(b"RIFF fake wav bytes" * 10)
+    assert out[4].width is None  # unsupported kind still quarantined
+    # the fake-PNG payload is NOT a valid image: with PIL active it lands
+    # in quarantine (NULLs); with the stub it decodes to fake dims. Both
+    # are valid outcomes of the same contract.
+    try:
+        import PIL  # noqa: F401
+
+        assert out[1].width is None
+    except ImportError:
+        assert out[1].width == stub_decoder(b"\x89PNG fake bytes", "image")["width"]
+
+
+def test_pil_decoder_golden_image(spark):
+    """Golden test for the real codec path — runs wherever PIL exists
+    (skips cleanly here; the decode plumbing it exercises is identical)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = Image.new("L", (13, 7))
+    im.putdata([i % 256 for i in range(13 * 7)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    d = pil_decoder(png, "image")
+    assert (d["width"], d["height"], d["n_frames"]) == (13, 7, 1)
+    assert len(d["feature"]) == FEATURE_DIM
+    assert abs(sum(d["feature"]) - 1.0) < 1e-9  # normalized histogram
+
+    media = spark.createDataFrame(
+        [(1, "image", png, None)], MEDIA_SCHEMA
+    )
+    row = decode_media(media, decoder=pil_decoder).collect()[0]
+    assert (row.width, row.height) == (13, 7)
 
 
 def test_resize_media(media_df):
