@@ -436,14 +436,15 @@ def q08_halfyearly_vs_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q9 — daily revenue spike outliers (A9 two-level agg + J6 agg-join + F4).
-# Reference: olap_queries.sql:173-196. Reference shape kept (two aggs + a
-# join); the window form avg() OVER (PARTITION BY product) is the optimized
-# variant (one shuffle fewer) — noted, not used, for oracle parity.
-@register(
-    "q09_daily_spikes",
-    headline=True,
-    order_by=["product_name", "order_date"],  # olap_queries.sql:196
-    oracle=f"""
+# Reference: olap_queries.sql:173-196. The HEADLINE form computes the
+# per-product average as a WINDOW over the daily aggregate — in the
+# reference's two-CTE shape, `avg_daily` is a separate branch of `daily`,
+# and Spark recomputes the whole fact build per branch (scan + 4 joins
+# twice) before a join on product_name; the window form is one pipeline:
+# fact build once, daily agg, one exchange on product_name. Values are
+# bit-identical (same decimal sum / count operands). The reference's
+# agg⋈agg shape stays registered below (J6 exemplar).
+_Q09_ORACLE = f"""
 WITH {FACT_CTE},
 daily AS (
     SELECT product_name, order_date, SUM(sale) AS daily_revenue_dec
@@ -462,9 +463,54 @@ SELECT d.product_name, CAST(d.order_date AS VARCHAR) AS order_date,
        CASE WHEN CAST(d.daily_revenue_dec AS DOUBLE) > 2 * a.avg_daily_revenue
             THEN 'Outlier' ELSE 'Normal' END AS outlier_flag
 FROM daily d JOIN avg_daily a ON d.product_name = a.product_name
-""",
+"""
+
+
+def _q09_finish(daily: DataFrame, avg_col) -> DataFrame:
+    d = daily.withColumn("daily_revenue", F.col("daily_revenue_dec").cast("double"))
+    # Date leaves as an ISO string: unambiguous across Spark/DuckDB/pandas
+    # canonicalizations (a DATE round-trips as midnight Timestamp in pandas).
+    return d.select(
+        "product_name",
+        F.col("order_date").cast("string").alias("order_date"),
+        "daily_revenue",
+        avg_col.alias("avg_daily_revenue"),
+    ).select(
+        "*",
+        F.when(
+            F.col("daily_revenue") > 2 * F.col("avg_daily_revenue"), "Outlier"
+        )
+        .otherwise("Normal")
+        .alias("outlier_flag"),
+    )
+
+
+@register(
+    "q09_daily_spikes",
+    headline=True,
+    order_by=["product_name", "order_date"],  # olap_queries.sql:196
+    oracle=_Q09_ORACLE,
 )
 def q09_daily_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        fact(spark, sf_dir)
+        .groupBy("product_name", "order_date")
+        .agg(F.sum("sale").alias("daily_revenue_dec"))
+    )
+    w = Window.partitionBy("product_name")
+    avg_col = (
+        F.sum("daily_revenue_dec").over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return _q09_finish(daily, avg_col)
+
+
+@register("q09j_spikes_aggjoin", oracle=_Q09_ORACLE)
+def q09j_spikes_aggjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal two-CTE shape: daily agg joined with a
+    re-aggregate of itself (J6 agg⋈agg exemplar). Same oracle and values
+    as the headline window form; slower because the avg branch recomputes
+    the fact build."""
     daily = (
         fact(spark, sf_dir)
         .groupBy("product_name", "order_date")
@@ -475,19 +521,8 @@ def q09_daily_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_daily_revenue"
         )
     )
-    d = daily.withColumn("daily_revenue", F.col("daily_revenue_dec").cast("double"))
-    # Date leaves as an ISO string: unambiguous across Spark/DuckDB/pandas
-    # canonicalizations (a DATE round-trips as midnight Timestamp in pandas).
-    return d.join(avg_daily, "product_name").select(
-        "product_name",
-        F.col("order_date").cast("string").alias("order_date"),
-        "daily_revenue",
-        "avg_daily_revenue",
-        F.when(
-            F.col("daily_revenue") > 2 * F.col("avg_daily_revenue"), "Outlier"
-        )
-        .otherwise("Normal")
-        .alias("outlier_flag"),
+    return _q09_finish(
+        daily.join(avg_daily, "product_name"), F.col("avg_daily_revenue")
     )
 
 

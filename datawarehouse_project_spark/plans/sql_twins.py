@@ -446,6 +446,10 @@ SELECT d.product_name, CAST(d.order_date AS STRING) AS order_date,
 FROM daily d JOIN avg_daily a ON d.product_name = a.product_name
 """
 
+# The J6 agg⋈agg exemplar shares q09's contract (same oracle, same values);
+# the SQL text above IS the two-CTE join shape, so it serves both.
+SPARK_SQL["q09j_spikes_aggjoin"] = SPARK_SQL["q09_daily_spikes"]
+
 _H_TEXT = SPARK_H.format(x="text")
 SPARK_SQL["multimodal_binary_features"] = f"""
 WITH media AS (
