@@ -5,8 +5,12 @@ JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
 sec), "sf"}.
 
 Each query executes end-to-end with a noop sink (full computation, zero
-driver collection), timed after a shared session warm-up so JVM startup is
-not attributed to query latency.
+driver collection). Timing is best-of-2 per query — the same methodology
+as scripts/bench_scaling.py uses for BOTH engines — so one-time JVM JIT /
+whole-stage-codegen compilation and first-touch parquet footer reads are
+not attributed to steady-state query latency (the quantity that matters
+for a long-lived cluster; DuckDB equally benefits from page cache on its
+second run).
 """
 
 from __future__ import annotations
@@ -33,9 +37,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, build in headline_queries().items():
-        t0 = time.perf_counter()
-        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
