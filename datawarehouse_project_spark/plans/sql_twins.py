@@ -285,6 +285,18 @@ FROM ranked
 WHERE rn = (n + 1) DIV 2
 """
 
+SPARK_SQL["events_click_attribution"] = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       unix_micros(c.ts) AS click_ts_us, unix_micros(p.ts) AS purchase_ts_us,
+       CAST(unix_micros(p.ts) - unix_micros(c.ts) AS DOUBLE) / 1000000.0D
+           AS latency_s,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+"""
+
 SPARK_SQL["asof_join_last_order"] = """
 WITH ev AS (
     SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0

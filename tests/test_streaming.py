@@ -13,6 +13,11 @@ from datawarehouse_project_spark.streaming.meshjoin import (
     enrich_batch,
     run_meshjoin_stream,
 )
+from datawarehouse_project_spark.streaming.stream_join import (
+    click_attribution,
+    run_stream_stream_join,
+    split_clicks_purchases,
+)
 from datawarehouse_project_spark.streaming.windows import (
     run_windowed_stream,
     windowed_counts,
@@ -82,3 +87,33 @@ def test_windowed_stream_equals_batch(spark, chunked_events, tmp_path):
     batch = windowed_counts(ev, "1 hour", "2 hours")
     assert streamed == _collect_sorted(batch)
     assert len(streamed) > 10
+
+
+def test_stream_stream_join_equals_batch(spark, chunked_events, tmp_path):
+    """The watermarked stream-stream inner join must emit exactly the
+    batch join's pairs. The chunk fixture splits by event_id, so a chunk
+    spans the full month — an unordered backfill — and the documented
+    contract is that the watermark must cover the source's event-time
+    disorder; hence the full-span watermark here. Eager emission (inner
+    joins don't wait for the watermark) is asserted via rows arriving
+    across multiple micro-batches."""
+    src, schema = chunked_events
+
+    got = []
+    run_stream_stream_join(
+        spark,
+        src,
+        schema,
+        sink=lambda df, bid: got.append(df.collect()),
+        watermark="40 days",
+        files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    batches_with_rows = [b for b in got if b]
+    assert len(batches_with_rows) >= 2, "pairs must be emitted incrementally"
+    streamed = sorted(str(r) for batch in got for r in batch)
+
+    ev = spark.read.schema(schema).parquet(src)
+    batch = click_attribution(*split_clicks_purchases(ev))
+    assert streamed == _collect_sorted(batch)
+    assert len(streamed) > 0
