@@ -380,6 +380,80 @@ def q07j_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q7c — CUBE over (store, product): every subtotal combination, not just
+# the ROLLUP prefix chain (A7 extension; same Expand+HashAggregate plan
+# shape, 4 grouping sets). GROUPING() flags disambiguate a genuine NULL
+# key from a subtotal row — the standard CUBE-consumer contract.
+@register(
+    "q07c_cube_store_product",
+    order_by=["store_name", "product_name"],
+    oracle=f"""
+WITH {FACT_CTE}
+SELECT store_name, product_name,
+       CAST(GROUPING(store_name) AS INT) AS g_store,
+       CAST(GROUPING(product_name) AS INT) AS g_product,
+       CAST(SUM(sale) AS DOUBLE) AS total_revenue
+FROM fact
+WHERE EXTRACT(YEAR FROM order_date) = {YEAR}
+GROUP BY CUBE (store_name, product_name)
+""",
+)
+def q07c_cube_store_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        fact(spark, sf_dir)
+        .filter(_in_year("order_date"))
+        .cube("store_name", "product_name")
+        .agg(
+            F.grouping("store_name").cast("int").alias("g_store"),
+            F.grouping("product_name").cast("int").alias("g_product"),
+            F.sum("sale").cast("double").alias("total_revenue"),
+        )
+        .select(
+            "store_name", "product_name", "g_store", "g_product", "total_revenue"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7g — explicit GROUPING SETS: two independent one-dimensional rollups
+# plus the grand total in ONE pass over the fact (the alternative is three
+# separate aggregations and a union — three fact builds). Spark's Expand
+# replicates each input row once per set; at 100 TB that 3× row blow-up
+# happens after the scan filter and before the shuffle, with partial aggs
+# shrinking it map-side.
+@register(
+    "q07g_grouping_sets",
+    order_by=["store_name", "supplier_name"],
+    oracle=f"""
+WITH {FACT_CTE}
+SELECT store_name, supplier_name,
+       CAST(GROUPING(store_name) AS INT) AS g_store,
+       CAST(GROUPING(supplier_name) AS INT) AS g_supplier,
+       CAST(SUM(sale) AS DOUBLE) AS total_revenue
+FROM fact
+WHERE EXTRACT(YEAR FROM order_date) = {YEAR}
+GROUP BY GROUPING SETS ((store_name), (supplier_name), ())
+""",
+)
+def q07g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        fact(spark, sf_dir)
+        .filter(_in_year("order_date"))
+        .groupingSets(
+            [["store_name"], ["supplier_name"], []], "store_name", "supplier_name"
+        )
+        .agg(
+            F.grouping("store_name").cast("int").alias("g_store"),
+            F.grouping("supplier_name").cast("int").alias("g_supplier"),
+            F.sum("sale").cast("double").alias("total_revenue"),
+        )
+        .select(
+            "store_name", "supplier_name", "g_store", "g_supplier", "total_revenue"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q8 — H1/H2 half-yearly revenue & volume joined to yearly totals
 # (A5 half bucket + A1 + A2, then J5 agg-to-agg join on a non-key).
 # Reference: olap_queries.sql:140-169.

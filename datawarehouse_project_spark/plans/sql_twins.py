@@ -63,6 +63,8 @@ NEUTRAL_AS_IS = [
     "q05_monthly_volatility",
     "q06j_copurchase_pairs",
     "q07_rollup_yearly",
+    "q07c_cube_store_product",
+    "q07g_grouping_sets",
     "q07j_total_revenue",
     "q08_halfyearly_vs_yearly",
     "q10_store_quarterly_view",
