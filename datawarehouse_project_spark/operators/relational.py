@@ -411,3 +411,42 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s2d - s1d * (s1d / F.col("n"))) / (F.col("n") - 1), 6
         ).alias("var_value"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "bigjoin_order_priority_revenue",
+    oracle="""
+SELECT o.o_orderpriority AS order_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+)
+def bigjoin_order_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⨝fact join: neither side is broadcast-able at 100 TB, so this
+    is THE query shape that shuffles both inputs on the key. On plain
+    parquet Catalyst/AQE picks the strategy (locally it broadcasts the
+    smaller side; at scale it sort-merge-joins); the zero-shuffle
+    production path for a repeated join like this is the bucketed layout
+    in sources/bucketed.py, which plans this exact join with no Exchange
+    (asserted in tests/test_bucketed.py)."""
+    prepare(spark)
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -48,6 +48,7 @@ from ..operators.similarity import (
 #: Oracle strings that are dialect-neutral: Spark runs them verbatim
 #: (verified by the dual-surface test).
 NEUTRAL_AS_IS = [
+    "bigjoin_order_priority_revenue",
     "dedup_exact_md5",
     "dedup_lastwins_upsert",
     "events_distinct_users",
