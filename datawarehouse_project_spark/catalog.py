@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .plans import cleaning as _cleaning  # noqa: F401
 from .plans import olap as _olap  # noqa: F401
 from .plans import olap_extra as _olap_extra  # noqa: F401
-from .plans.registry import REGISTRY
+from .plans.registry import REGISTRY, resolve_oracle
 from .operators import dedup as _dedup  # noqa: F401
 from .operators import events as _events  # noqa: F401
 from .operators import multimodal as _multimodal  # noqa: F401
@@ -26,13 +26,44 @@ from .operators import skew as _skew  # noqa: F401
 from .operators import textstats as _textstats  # noqa: F401
 
 
+#: The external correctness harness sweeps at most this many names
+#: (sorted); the driver-facing catalog must fit inside the window so every
+#: entry it exposes earns a CORRECTNESS row. Enforced by a pytest.
+DRIVER_WINDOW = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.build for name, spec in sorted(REGISTRY.items())}
+    """The driver-facing acceptance catalog (≤ DRIVER_WINDOW entries).
+
+    Exemplars / superseded variants / quadratic baselines stay registered
+    with ``driver_facing=False`` — see :func:`all_queries` — and keep full
+    pytest oracle coverage, but are excluded here so the driver's bounded
+    sweep verifies every name this function returns.
+    """
+    return {
+        name: spec.build
+        for name, spec in sorted(REGISTRY.items())
+        if spec.driver_facing
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle
+        name: resolve_oracle(spec)
+        for name, spec in sorted(REGISTRY.items())
+        if spec.oracle is not None and spec.driver_facing
+    }
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every registered query, driver-facing or not (pytest surface)."""
+    return {name: spec.build for name, spec in sorted(REGISTRY.items())}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    """Every registered oracle, driver-facing or not (pytest surface)."""
+    return {
+        name: resolve_oracle(spec)
         for name, spec in sorted(REGISTRY.items())
         if spec.oracle is not None
     }
@@ -75,7 +106,7 @@ def spark_sql_surface() -> dict[str, str]:
     builder (tests/test_sql_surface.py)."""
     from .plans.sql_twins import NEUTRAL_AS_IS, SPARK_SQL
 
-    out = {name: REGISTRY[name].oracle for name in NEUTRAL_AS_IS}
+    out = {name: resolve_oracle(REGISTRY[name]) for name in NEUTRAL_AS_IS}
     out.update(SPARK_SQL)
     missing = set(out) - set(REGISTRY)
     assert not missing, f"SQL surface for unregistered queries: {missing}"

@@ -50,6 +50,27 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
 
 
+def require_small(df: DataFrame, limit: int, what: str) -> DataFrame:
+    """Executable contract for documented small-corpus-only baselines.
+
+    The O(N^2) recall/ground-truth baselines (all-pairs cosine, uncapped
+    jaccard) are *meant* to be quadratic — but "never run this at scale"
+    must be a refusal, not a docstring. Counts the input (cheap metadata-
+    only count for parquet scans) and raises above ``limit`` so a pipeline
+    that accidentally points a baseline at a production corpus fails fast
+    instead of launching an N^2 job. Call the scale-safe twin instead, or
+    re-invoke the operator function directly with ``allow_large=True``.
+    """
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{what}: input has {n} rows > baseline limit {limit}. "
+            f"This is an O(N^2) ground-truth baseline — use its registered "
+            f"scale-safe twin, or pass allow_large=True if you really mean it."
+        )
+    return df
+
+
 def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Rebalance a small-file scan across all cores before per-row-expensive
     work (interpreted higher-order lambdas, md5 folds, vector math).

@@ -43,7 +43,7 @@ from ..functions.text import (
     word_shingles,
     words,
 )
-from ..io import table
+from ..io import require_small, table
 from ..session import prepare
 from ..plans.registry import register
 
@@ -236,6 +236,7 @@ _DUCK_SIMHASH_BITS = " + ".join(
 
 @register(
     "dedup_simhash",
+    driver_facing=False,  # signature listing; dedup_simhash_pairs pins the same integers via its oracle
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 hashed AS (
@@ -304,6 +305,17 @@ def ngram_jaccard_pairs(
         # rides along INSIDE the posting-list structs, so no sizes join
         # exists at all (the round-1 n_sg-as-groupBy-key trick, carried
         # into the posting-list formulation).
+        #
+        # MEMORY SHAPE (not just time): collect_list materializes each
+        # shingle's FULL posting list in one aggregation buffer, so an
+        # ultra-common shingle is a single-key executor OOM here — a
+        # sharper failure mode than the old self-join's merely-slow
+        # fan-out. That is why this exact form is (a) gated behind
+        # require_small at the registered entry point and (b) never the
+        # production path: the capped branch below bounds every buffer
+        # to df_cap entries by filtering AFTER the agg, and at true scale
+        # the df-cap is the only defensible semantic anyway (a shingle
+        # shared by millions of docs carries no near-dup signal).
         inv = (
             sh.select(
                 "doc_id",
@@ -378,6 +390,7 @@ def ngram_jaccard_pairs(
 
 @register(
     "dedup_ngram_jaccard_pairs",
+    driver_facing=False,  # uncapped quadratic baseline; production path is dedup_ngram_jaccard_capped
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 inv AS (SELECT doc_id, unnest(sgs) AS sg FROM docshingles),
@@ -395,10 +408,22 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(shared AS DOUBLE) / (sa.n_sg + sb.n_sg - shared) >= 0.6
 """,
 )
-def dedup_ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_pairs_q(
+    spark: SparkSession, sf_dir: str, *, allow_large: bool = False
+) -> DataFrame:
     """Exact (uncapped) jaccard — correct on any corpus but carries the
-    posting-list quadratic hazard; kept registered as the non-headline
-    reference form."""
+    posting-list quadratic hazard (time AND the collect_list buffer, see
+    ngram_jaccard_pairs); kept registered as the ground-truth form.
+    Refuses corpora above BASELINE_ROW_LIMIT unless ``allow_large=True``
+    — use dedup_ngram_jaccard_capped at scale."""
+    from .similarity import BASELINE_ROW_LIMIT
+
+    if not allow_large:
+        require_small(
+            table(spark, sf_dir, "documents"),
+            BASELINE_ROW_LIMIT,
+            "dedup_ngram_jaccard_pairs",
+        )
     return ngram_jaccard_pairs(spark, sf_dir, threshold=0.6, df_cap=None)
 
 

@@ -265,7 +265,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@register("multimodal_decode_stub")  # no oracle: Python decode path,
+@register("multimodal_decode_stub", driver_facing=False)  # no oracle: Python decode path,
 # rows-only check — the decoder output is pinned by tests instead.
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end mapInPandas decode over synthetic media built from

@@ -349,7 +349,7 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@register("events_approx_distinct_users")  # no oracle: HLL sketches are
+@register("events_approx_distinct_users", driver_facing=False)  # no oracle: HLL sketches are
 # engine-specific by construction; tests bound the relative error instead.
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the sketch path for

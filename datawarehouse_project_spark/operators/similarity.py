@@ -26,11 +26,13 @@ plans/registry.py).
 from __future__ import annotations
 
 import hashlib
+import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import spread, table
+from ..io import require_small, spread, table
 from ..plans.registry import register
 from ..session import prepare
 
@@ -41,6 +43,11 @@ N_PLANES = 8
 #: Query set for the top-k operators: the first QUERY_IDS vectors.
 N_QUERIES = 5
 TOP_K = 10
+#: Hard ceiling for the O(N^2) ground-truth baselines (all-pairs cosine
+#: here, uncapped jaccard in operators/dedup.py): 20k rows => ~200M pairs,
+#: the most a "small-corpus ground truth" run should ever mean. Enforced
+#: by io.require_small; production paths are the banded/capped twins.
+BASELINE_ROW_LIMIT = 20_000
 
 
 def _hyperplanes(n_planes: int = N_PLANES) -> list[list[int]]:
@@ -196,6 +203,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "similarity_lsh_topk",
+    driver_facing=False,  # superseded by similarity_ivf_topk / similarity_near_dup_pairs
     oracle=f"""
 WITH b AS (
     SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket
@@ -255,9 +263,16 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-#: IVF coarse quantizer: K_IVF centroids, trained at import time.
+#: IVF coarse quantizer: K_IVF centroids, trained LAZILY on first use
+#: (import must touch no data files — import-time I/O on an absolute path
+#: is fragile outside the bench container).
 K_IVF = 8
-_IVF_TRAIN_SAMPLE = "/root/testdata/sf0.001/embeddings.parquet"
+#: Training sample location — overridable so a deployment trains from its
+#: own (small) sample table rather than this container's default.
+_IVF_SAMPLE_ENV = "SPARK_GRAFT_IVF_SAMPLE"
+_IVF_SAMPLE_DEFAULT = "/root/testdata/sf0.001/embeddings.parquet"
+
+_IVF_CACHE: list[list[float]] | None = None
 
 
 def _train_ivf_centroids(k: int = K_IVF, iters: int = 5) -> list[list[float]]:
@@ -270,19 +285,26 @@ def _train_ivf_centroids(k: int = K_IVF, iters: int = 5) -> list[list[float]]:
     partition is identical everywhere; repr() round-trips float64, so both
     SQL parsers reconstruct bit-identical doubles.
 
-    Falls back to md5-derived pseudo-centroids if the sample table is
-    absent (keeps import working in a bare checkout)."""
+    Falls back (with a warning) to md5-derived pseudo-centroids only when
+    the sample table or numpy/pyarrow is absent — a narrow except, so a
+    genuine read/shape bug fails loudly instead of silently degrading
+    every IVF result."""
+    sample = os.environ.get(_IVF_SAMPLE_ENV, _IVF_SAMPLE_DEFAULT)
     try:
         import numpy as np
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(_IVF_TRAIN_SAMPLE, columns=["vec_id", "embedding"])
-        order = np.argsort(tbl.column("vec_id").to_numpy())
-        mat = np.vstack(tbl.column("embedding").to_pylist())[order].astype(
-            np.float64
+        tbl = pq.read_table(sample, columns=["vec_id", "embedding"])
+    except (ImportError, FileNotFoundError, OSError) as exc:
+        warnings.warn(
+            f"IVF training sample unavailable ({exc!r}); falling back to "
+            f"pseudo-random centroids. Set ${_IVF_SAMPLE_ENV} to a small "
+            "embeddings parquet to train a real quantizer.",
+            stacklevel=2,
         )
-    except Exception:  # pragma: no cover - sample table missing
         return [[float(w) for w in _hyperplanes(k)[j]] for j in range(k)]
+    order = np.argsort(tbl.column("vec_id").to_numpy())
+    mat = np.vstack(tbl.column("embedding").to_pylist())[order].astype(np.float64)
     cent = mat[:k].copy()
     for _ in range(iters):
         d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
@@ -294,7 +316,12 @@ def _train_ivf_centroids(k: int = K_IVF, iters: int = 5) -> list[list[float]]:
     return [[float(x) for x in row] for row in cent]
 
 
-IVF_CENTROIDS = _train_ivf_centroids()
+def ivf_centroids() -> list[list[float]]:
+    """The trained centroids, computed once on first query build."""
+    global _IVF_CACHE
+    if _IVF_CACHE is None:
+        _IVF_CACHE = _train_ivf_centroids()
+    return _IVF_CACHE
 
 
 def _ivf_cluster_expr(emb) -> F.Column:
@@ -303,7 +330,7 @@ def _ivf_cluster_expr(emb) -> F.Column:
     Distances are in-order float64 folds on identical centroid literals, so
     the assignment is bit-identical across engines."""
     pairs = []
-    for cid, cent in enumerate(IVF_CENTROIDS):
+    for cid, cent in enumerate(ivf_centroids()):
         carr = F.array(*[F.lit(v) for v in cent])
         d = F.aggregate(
             F.zip_with(
@@ -318,7 +345,7 @@ def _ivf_cluster_expr(emb) -> F.Column:
 
 def _duck_ivf_cluster(e: str) -> str:
     items = []
-    for cid, cent in enumerate(IVF_CENTROIDS):
+    for cid, cent in enumerate(ivf_centroids()):
         lit = "[" + ", ".join(repr(v) for v in cent) + "]"
         d = (
             f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
@@ -337,7 +364,7 @@ def spark_ivf_cluster_sql(e: str) -> str:
     """Spark-SQL text twin of ``_ivf_cluster_expr`` (used by the dual
     SQL surface in plans/sql_twins.py)."""
     items = []
-    for cid, cent in enumerate(IVF_CENTROIDS):
+    for cid, cent in enumerate(ivf_centroids()):
         lit = "array(" + ", ".join(repr(v) for v in cent) + ")"
         d = (
             f"aggregate(zip_with({e}, {lit}, "
@@ -348,9 +375,9 @@ def spark_ivf_cluster_sql(e: str) -> str:
     return f"array_min(array({', '.join(items)})).c"
 
 
-@register(
-    "similarity_ivf_topk",
-    oracle=f"""
+def _ivf_topk_oracle() -> str:
+    """Lazy: interpolating the trained centroids must not run at import."""
+    return f"""
 WITH assigned AS (
     SELECT vec_id, embedding, {_duck_ivf_cluster("embedding")} AS cluster_id
     FROM embeddings
@@ -372,8 +399,10 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank
 FROM ranked WHERE rank <= {TOP_K}
-""",
-)
+"""
+
+
+@register("similarity_ivf_topk", oracle=_ivf_topk_oracle)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k with a TRAINED coarse quantizer: every vector
     is assigned to its nearest k-means centroid (centroids learned from
@@ -461,6 +490,7 @@ def similarity_pandas_linear_scores(spark: SparkSession, sf_dir: str) -> DataFra
 # --------------------------------------------------------------------------
 @register(
     "similarity_cosine_pairs",
+    driver_facing=False,  # O(N^2) recall baseline; production path is similarity_near_dup_pairs
     oracle=f"""
 WITH pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -473,13 +503,19 @@ SELECT vec_a, vec_b, cosine
 FROM pairs WHERE cosine >= 0.45
 """,
 )
-def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_cosine_pairs(
+    spark: SparkSession, sf_dir: str, *, allow_large: bool = False
+) -> DataFrame:
     """Brute-force all-pairs cosine — the RECALL BASELINE the bucketed
     near-dup path (``similarity_near_dup_pairs``) is measured against.
     O(N^2) non-equi join by construction: keep for ground truth at small
-    scale, never the registered path for production near-dup."""
+    scale, never the registered path for production near-dup. Refuses
+    inputs above BASELINE_ROW_LIMIT unless ``allow_large=True`` — the
+    small-corpus-only contract is executable, not advisory."""
     prepare(spark)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    if not allow_large:
+        require_small(emb, BASELINE_ROW_LIMIT, "similarity_cosine_pairs")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))

@@ -364,6 +364,7 @@ def q07_rollup_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference: MeshJoin.java:621-634 (degenerate Q7 variant).
 @register(
     "q07j_total_revenue",
+    driver_facing=False,  # A8 grand total; subsumed by q07_rollup_yearly's NULL,NULL,NULL row
     oracle=f"""
 WITH {FACT_CTE}
 SELECT CAST(SUM(sale) AS DOUBLE) AS total_revenue
@@ -579,7 +580,7 @@ def q09_daily_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q09_finish(daily, avg_col)
 
 
-@register("q09j_spikes_aggjoin", oracle=_Q09_ORACLE)
+@register("q09j_spikes_aggjoin", oracle=_Q09_ORACLE, driver_facing=False)
 def q09j_spikes_aggjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's literal two-CTE shape: daily agg joined with a
     re-aggregate of itself (J6 agg⋈agg exemplar). Same oracle and values
@@ -645,6 +646,7 @@ def q10_store_quarterly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stages: agg then window-over-aggregate). Reference: MeshJoin.java:475-496.
 @register(
     "q02j_growth_by_store_id",
+    driver_facing=False,  # W2 two-stage exemplar; q02/q09 pin the production forms
     oracle=f"""
 WITH {FACT_CTE},
 quarterly AS (
@@ -735,6 +737,7 @@ def q03j_regex_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1..4 mapping and document the defect instead of reproducing it.
 @register(
     "q04j_quarter_seasons",
+    driver_facing=False,  # reference-bug-compat exemplar of q04
     oracle=f"""
 WITH {FACT_CTE}
 SELECT product_name,

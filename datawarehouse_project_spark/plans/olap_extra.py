@@ -21,6 +21,7 @@ from ..session import prepare
 # guarantee — documented divergence).
 @register(
     "q06m_groupconcat_mysql_form",
+    driver_facing=False,  # MySQL 2-arg GROUP_CONCAT bug-compat exemplar of q06
     oracle=f"""
 WITH {FACT_CTE},
 order_products AS (
@@ -106,7 +107,7 @@ def events_value_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate (sketches are engine-specific by construction); accuracy is
 # asserted against the exact median in tests, mirroring the HLL pattern
 # (events_approx_distinct_users).
-@register("events_value_median_approx")
+@register("events_value_median_approx", driver_facing=False)
 def events_value_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     ev = table(spark, sf_dir, "events")

@@ -9,7 +9,7 @@ import re
 
 import pytest
 
-from datawarehouse_project_spark.catalog import queries
+from datawarehouse_project_spark.catalog import all_queries, queries
 from datawarehouse_project_spark.operators.dedup import signature_frame
 from datawarehouse_project_spark.plans.star import fact
 
@@ -77,7 +77,7 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     (the ANN brute force is an intended broadcast nested loop)."""
     allowed = {"similarity_ann_cosine_topk", "similarity_cosine_pairs"}
     bad = []
-    for name, build in queries().items():
+    for name, build in all_queries().items():
         if name in allowed:
             continue
         try:

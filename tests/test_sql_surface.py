@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from datawarehouse_project_spark.catalog import queries, spark_sql_surface
+from datawarehouse_project_spark.catalog import all_queries, spark_sql_surface
 from datawarehouse_project_spark.io import TABLES, load_all
 from tests.oracle_check import canon_rows
 
@@ -35,6 +35,6 @@ def views(spark, sf_dir):
 
 @pytest.mark.parametrize("name", sorted(SURFACE))
 def test_sql_text_matches_dataframe(spark, sf_dir, views, name):
-    df_result = queries()[name](spark, sf_dir).toPandas()
+    df_result = all_queries()[name](spark, sf_dir).toPandas()
     sql_result = spark.sql(SURFACE[name]).toPandas()
     assert canon_rows(df_result) == canon_rows(sql_result)
