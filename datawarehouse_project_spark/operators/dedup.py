@@ -265,6 +265,108 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+#: Simhash near-dup search: emit pairs at hamming distance <= SIMHASH_HD_MAX.
+SIMHASH_HD_MAX = 3
+#: Candidate generation is the block-split of Manku et al. (WWW'07, the
+#: Google simhash dedup paper): split the b-bit value into HD_MAX+1
+#: blocks; by pigeonhole any pair within hamming distance HD_MAX agrees
+#: EXACTLY on at least one block, so an equi-join on (block, block_value)
+#: has guaranteed 100% recall — unlike probabilistic LSH banding — and
+#: exact bit_count(xor) verification removes false positives.
+_SH_BLOCKS = SIMHASH_HD_MAX + 1
+_SH_BLOCK_BITS = 16 // _SH_BLOCKS
+_SH_BLOCK_MASK = (1 << _SH_BLOCK_BITS) - 1
+
+
+def _duck_sh_blocks() -> str:
+    selects = [
+        f"SELECT doc_id, {j} AS block, "
+        f"(simhash_val >> {j * _SH_BLOCK_BITS}) & {_SH_BLOCK_MASK} AS bval FROM sig"
+        for j in range(_SH_BLOCKS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+hashed AS (
+    SELECT doc_id,
+           list_transform(ws, w -> {DUCK_H.format(x="w")} % {P}) AS hw
+    FROM docwords
+    WHERE len(ws) >= 1
+),
+sig AS (SELECT doc_id, ({_DUCK_SIMHASH_BITS})::BIGINT AS simhash_val FROM hashed),
+blocks AS ({_duck_sh_blocks()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM blocks a JOIN blocks b
+      ON a.block = b.block AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash_val, sb.simhash_val)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash_val, sb.simhash_val)) <= {SIMHASH_HD_MAX}
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash hamming-distance neighbors (hamming <= SIMHASH_HD_MAX) via
+    the Manku block-split bucket join — candidates from an EQUI-join on
+    (block, block_value), verified by exact popcount on the signature xor.
+    No nested loop anywhere (plan-asserted).
+
+    Scale posture: the signature is per-row/shuffle-free; the candidate
+    join shuffles on (block, bval). Bucket population is corpus_size /
+    2^block_bits per block, so block WIDTH (and hence total simhash width
+    = blocks x width) must grow with the corpus: the 16-bit/4x4 layout
+    here is pinned by the 16-bit oracle-checked simhash; a 100 TB corpus
+    runs the same plan at 64-bit signatures with 4x16-bit blocks (65k
+    buckets/block), which is exactly the production Google layout. A hot
+    bucket then means a true near-dup cluster, which AQE skew-split
+    handles like the minhash-LSH join above."""
+    sig = dedup_simhash(spark, sf_dir)
+    blocks = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("block"),
+                        F.shiftright(F.col("simhash_val"), j * _SH_BLOCK_BITS)
+                        .bitwiseAND(F.lit(_SH_BLOCK_MASK))
+                        .alias("bval"),
+                    )
+                    for j in range(_SH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.block", "bk.bval")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash_val").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash_val").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(hamming <= SIMHASH_HD_MAX)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+# --------------------------------------------------------------------------
 #: Document-frequency cap for the headline jaccard: shingles appearing in
 #: more than DF_CAP documents are dropped from the index on BOTH engines
 #: (the standard stop-phrase guard — they carry no dedup signal and are

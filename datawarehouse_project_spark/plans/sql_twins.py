@@ -522,6 +522,42 @@ SELECT doc_id, CAST(({_SPARK_SIMHASH_BITS}) AS BIGINT) AS simhash_val
 FROM hashed
 """
 
+from ..operators.dedup import SIMHASH_HD_MAX  # noqa: E402
+
+
+def _spark_sh_blocks() -> str:
+    from ..operators.dedup import _SH_BLOCK_BITS, _SH_BLOCK_MASK, _SH_BLOCKS
+
+    selects = [
+        f"SELECT doc_id, {j} AS block, "
+        f"(simhash_val >> {j * _SH_BLOCK_BITS}) & {_SH_BLOCK_MASK} AS bval FROM sig"
+        for j in range(_SH_BLOCKS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+SPARK_SQL["dedup_simhash_pairs"] = f"""
+WITH {SPARK_DOCWORDS},
+hashed AS (
+    SELECT doc_id, transform(ws, w -> {_H_W} % {P}) AS hw
+    FROM docwords
+    WHERE size(ws) >= 1
+),
+sig AS (SELECT doc_id, CAST(({_SPARK_SIMHASH_BITS}) AS BIGINT) AS simhash_val FROM hashed),
+blocks AS ({_spark_sh_blocks()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM blocks a JOIN blocks b
+      ON a.block = b.block AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(sa.simhash_val ^ sb.simhash_val) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+WHERE bit_count(sa.simhash_val ^ sb.simhash_val) <= {SIMHASH_HD_MAX}
+"""
+
 SPARK_SQL["dedup_ngram_jaccard_pairs"] = f"""
 WITH {SPARK_DOCWORDS},
 inv AS (SELECT doc_id, explode(sgs) AS sg FROM docshingles),

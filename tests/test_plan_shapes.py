@@ -72,6 +72,14 @@ def test_near_dup_pairs_is_bucketed_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_simhash_pairs_is_block_bucketed_not_nested_loop(spark, sf_dir):
+    """dedup_simhash_pairs candidates must come from the block-split
+    EQUI-join, never a nested loop over the corpus."""
+    p = plan_of(queries()["dedup_simhash_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """No registered query may plan an unintended cartesian product
     (the ANN brute force is an intended broadcast nested loop)."""
