@@ -72,6 +72,17 @@ def test_near_dup_pairs_is_bucketed_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_partitioned_orders_scan_prunes_partitions(spark, sf_dir):
+    """The year predicate over the partitioned layout must reach the scan
+    as a PartitionFilter (directory-level pruning, zero I/O on other
+    years) — not merely a row-level parquet filter."""
+    df = queries()["partitioned_orders_year_agg"](spark, sf_dir)
+    p = plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m, p
+    assert "o_year" in m.group(1) and "1997" in m.group(1), m.group(1)
+
+
 def test_simhash_pairs_is_block_bucketed_not_nested_loop(spark, sf_dir):
     """dedup_simhash_pairs candidates must come from the block-split
     EQUI-join, never a nested loop over the corpus."""
