@@ -97,7 +97,7 @@ def run_stream_stream_join(
     watermark: str = "2 hours",
     files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
-) -> None:
+) -> dict[str, int]:
     """Drive ``click_attribution`` as a watermarked stream-stream join.
 
     Both sides are file streams over ``source_dir`` (chunk = micro-batch,
@@ -106,6 +106,17 @@ def run_stream_stream_join(
     exactly once). ``watermark`` must cover the source's cross-batch
     event-time disorder; pairs whose click was evicted before its purchase
     arrived are dropped, which is the documented late-data contract.
+
+    That contract is OBSERVABLE, not just documented: returns a metrics
+    dict so an operator can alarm on silent attribution loss —
+
+    * ``pairs_emitted``   — rows the join emitted (observe() on the
+      joined stream: Spark's run-cost-free metrics channel);
+    * ``rows_dropped_by_watermark`` — input rows the join's state store
+      refused because they arrived older than the watermark (summed from
+      the state-operator progress of every micro-batch); any non-zero
+      value means late data exceeded ``watermark`` and pairs may be
+      missing vs the batch twin.
     """
     prepare(spark)
 
@@ -121,7 +132,7 @@ def run_stream_stream_join(
         clicks.withWatermark("click_ts", watermark),
         purchases.withWatermark("purchase_ts", watermark),
         attribution_window,
-    )
+    ).observe("attribution", F.count(F.lit(1)).alias("pairs_emitted"))
 
     writer = (
         joined.writeStream.foreachBatch(sink)
@@ -130,4 +141,16 @@ def run_stream_stream_join(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    writer.start().awaitTermination()
+    query = writer.start()
+    query.awaitTermination()
+
+    metrics = {"pairs_emitted": 0, "rows_dropped_by_watermark": 0}
+    for progress in query.recentProgress:
+        observed = progress["observedMetrics"].get("attribution")
+        if observed is not None:
+            metrics["pairs_emitted"] += observed["pairs_emitted"]
+        for op in progress["stateOperators"]:
+            metrics["rows_dropped_by_watermark"] += op.get(
+                "numRowsDroppedByWatermark", 0
+            )
+    return metrics

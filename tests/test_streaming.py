@@ -117,3 +117,89 @@ def test_stream_stream_join_equals_batch(spark, chunked_events, tmp_path):
     batch = click_attribution(*split_clicks_purchases(ev))
     assert streamed == _collect_sorted(batch)
     assert len(streamed) > 0
+
+
+def test_stream_stream_join_reports_metrics(spark, chunked_events, tmp_path):
+    """With a watermark covering all disorder: observed pairs_emitted ==
+    batch pair count and zero watermark drops."""
+    src, schema = chunked_events
+    got = []
+    metrics = run_stream_stream_join(
+        spark,
+        src,
+        schema,
+        sink=lambda df, bid: got.append(df.count()),
+        watermark="40 days",
+        checkpoint_dir=str(tmp_path / "ckpt_m"),
+    )
+    batch_pairs = click_attribution(
+        *split_clicks_purchases(spark.read.schema(schema).parquet(src))
+    ).count()
+    assert metrics["pairs_emitted"] == sum(got) == batch_pairs
+    assert metrics["rows_dropped_by_watermark"] == 0
+
+
+def test_stream_stream_join_observes_late_drops(spark, tmp_path):
+    """VERDICT r2 #9: deliberately late purchases must surface in the
+    returned metrics (rows_dropped_by_watermark > 0) instead of vanishing
+    silently. Chunk 0 carries clicks up to t+60min (advancing the
+    watermark); chunk 1 delivers purchases at t+1..3min — far older than
+    the 1-minute watermark horizon by the time they arrive."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = 1_600_000_000
+    # Three chunks, because two watermark mechanics must fire BEFORE the
+    # late rows arrive: (a) with the default min-of-watermarks policy both
+    # sides' watermarks must advance (chunk 0 carries a high-ts purchase
+    # for that), and (b) state eviction happens at the END of the batch
+    # that advances the watermark — so chunk 1 is a quiet batch whose
+    # processing evicts the old clicks, and only chunk 2's purchases meet
+    # an already-evicted state and count as droppedByWatermark.
+    chunk0 = [(i, 1, "click", i * 60, 0.0) for i in range(61)]  # t+0..60min
+    chunk0.append((99, 2, "purchase", 60 * 60, 1.0))
+    chunk1 = [(200, 2, "click", 3660, 0.0), (201, 2, "purchase", 3665, 1.0)]
+    late_purchases = [(100 + i, 1, "purchase", i * 60 + 30, 9.9) for i in (1, 2, 3)]
+    src = str(tmp_path / "late_src")
+
+    import datetime
+    import time
+
+    def write_chunk(rows):
+        data = [
+            (e, u, k, datetime.datetime.utcfromtimestamp(base + s), v)
+            for e, u, k, s, v in rows
+        ]
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes keep the file-source chunk order
+
+    write_chunk(chunk0)
+    write_chunk(chunk1)
+    write_chunk(late_purchases)
+
+    got = []
+    metrics = run_stream_stream_join(
+        spark,
+        src,
+        schema,
+        sink=lambda df, bid: got.append(df.count()),
+        watermark="1 minute",
+        files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "ckpt_late"),
+    )
+    assert metrics["rows_dropped_by_watermark"] > 0
+    # the batch twin WOULD have attributed those purchases — the metric is
+    # exactly the observability of that divergence
+    ev = spark.read.schema(schema).parquet(src)
+    batch_pairs = click_attribution(*split_clicks_purchases(ev)).count()
+    assert batch_pairs > sum(got)
