@@ -78,28 +78,77 @@ def test_default_decoder_runs_whatever_env_provides(media_df):
         assert out[1].width == stub_decoder(b"\x89PNG fake bytes", "image")["width"]
 
 
-def test_pil_decoder_golden_image(spark):
-    """Golden test for the real codec path — runs wherever PIL exists
-    (skips cleanly here; the decode plumbing it exercises is identical)."""
-    Image = pytest.importorskip("PIL.Image")
-    import io
+def _pgm_bytes(w: int, h: int) -> bytes:
+    """Deterministic binary P5 with a header comment and the gradient
+    pattern the old PIL golden used."""
+    raster = bytes(i % 256 for i in range(w * h))
+    return b"P5\n# golden\n%d %d\n255\n" % (w, h) + raster
 
-    im = Image.new("L", (13, 7))
-    im.putdata([i % 256 for i in range(13 * 7)])
-    buf = io.BytesIO()
-    im.save(buf, format="PNG")
-    png = buf.getvalue()
 
-    d = pil_decoder(png, "image")
+def _ppm_bytes(w: int, h: int) -> bytes:
+    raster = bytes(
+        v for i in range(w * h) for v in (i % 256, (2 * i) % 256, (3 * i) % 256)
+    )
+    return b"P6 %d %d 255\n" % (w, h) + raster
+
+
+def _bmp_bytes(w: int, h: int) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP with the P6 pixel grid."""
+    import struct
+
+    row_bytes = (w * 3 + 3) & ~3
+    pixels = bytearray()
+    for r in range(h):
+        row = bytearray()
+        for c in range(w):
+            i = r * w + c
+            # BGR order on disk
+            row += bytes(((3 * i) % 256, (2 * i) % 256, i % 256))
+        row += b"\x00" * (row_bytes - len(row))
+        pixels += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    return bytes(header) + bytes(pixels)
+
+
+def test_real_codec_golden_image(spark):
+    """Golden test for the REAL codec path — always runs: the pure-python
+    netpbm/BMP decoder needs no third-party library. P5, P6 and BMP of
+    the same pixel grid must agree on dims and (for P6 vs BMP, identical
+    pixels) on the histogram feature."""
+    from datawarehouse_project_spark.operators.multimodal import netpbm_decoder
+
+    pgm = _pgm_bytes(13, 7)
+    d = netpbm_decoder(pgm, "image")
     assert (d["width"], d["height"], d["n_frames"]) == (13, 7, 1)
     assert len(d["feature"]) == FEATURE_DIM
     assert abs(sum(d["feature"]) - 1.0) < 1e-9  # normalized histogram
+    # gradient 0..90 over 16 bins: first 6 bins populated, none beyond
+    assert d["feature"][0] > 0 and d["feature"][-1] == 0.0
 
-    media = spark.createDataFrame(
-        [(1, "image", png, None)], MEDIA_SCHEMA
-    )
-    row = decode_media(media, decoder=pil_decoder).collect()[0]
+    d6 = netpbm_decoder(_ppm_bytes(13, 7), "image")
+    dbmp = netpbm_decoder(_bmp_bytes(13, 7), "image")
+    assert (d6["width"], d6["height"]) == (dbmp["width"], dbmp["height"]) == (13, 7)
+    # BMP rows are stored bottom-up, but a histogram is order-free:
+    # identical pixel values => identical feature
+    assert d6["feature"] == dbmp["feature"]
+
+    media = spark.createDataFrame([(1, "image", pgm, None)], MEDIA_SCHEMA)
+    row = decode_media(media, decoder=netpbm_decoder).collect()[0]
     assert (row.width, row.height) == (13, 7)
+    assert abs(sum(row.feature) - 1.0) < 1e-6
+
+    # where PIL exists, the two real codecs must agree bit-for-bit on the
+    # same PGM (conditional cross-check, not a skip)
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        p = pil_decoder(pgm, "image")
+        assert (p["width"], p["height"]) == (13, 7)
+        assert p["feature"] == pytest.approx(d["feature"])
 
 
 def test_resize_media(media_df):
