@@ -75,8 +75,13 @@ TRANSACTIONS_SCHEMA = T.StructType(
 )
 
 
-#: Replay-order columns attached by ``_read_csv`` (major, minor).
-ORDINAL_COLS = ["_src_file", "_ordinal"]
+#: Replay-order columns attached by ``_read_csv`` (major..minor):
+#: numeric feed sequence, then full URI, then within-file position.
+ORDINAL_COLS = ["_src_seq", "_src_file", "_ordinal"]
+
+#: Digit run immediately before the file extension — the conventional
+#: feed sequence (feed_9.csv, feed_10.csv, part-00012.csv...).
+_SEQ_RE = r"(\d+)\.[A-Za-z0-9]+$"
 
 
 def _read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -84,11 +89,16 @@ def _read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     into _corrupt_record instead of aborting (P7) — with a replay ordinal
     so S7 dedup replays in file order like MySQL upserts did.
 
-    The ordinal is (input_file_name, monotonically_increasing_id): the
-    file name is the MAJOR key because Spark packs splits into partitions
-    by size, not file order, so the bare partition-indexed id does not
-    follow file order across files. Within one file the id follows byte
-    offset per split; a single file only splits above
+    The ordinal is (numeric file sequence, input_file_name,
+    monotonically_increasing_id): a file-level key is the MAJOR part
+    because Spark packs splits into partitions by size, not file order,
+    so the bare partition-indexed id does not follow file order across
+    files. The leading key is the NUMERIC suffix before the extension
+    (NATURAL order: feed_10 replays after feed_9, where bare
+    lexicographic URI order would invert them and silently flip upsert
+    winners); files without a numeric suffix get -1 and fall back to the
+    lexicographic URI tiebreak among themselves. Within one file the id
+    follows byte offset per split; a single file only splits above
     ``spark.sql.files.maxPartitionBytes`` (128 MB — far beyond any dim
     CSV; for larger single-file feeds raise that conf or ship an explicit
     ordinal column), so within-file order is exact in practice and the
@@ -103,8 +113,15 @@ def _read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
         .schema(schema)
         .csv(path)
     )
-    return df.withColumn("_src_file", F.input_file_name()).withColumn(
-        "_ordinal", F.monotonically_increasing_id()
+    src = F.input_file_name()
+    seq = F.regexp_extract(src, _SEQ_RE, 1)
+    return (
+        df.withColumn("_src_file", src)
+        .withColumn(
+            "_src_seq",
+            F.when(seq == "", F.lit(-1)).otherwise(seq.cast("bigint")),
+        )
+        .withColumn("_ordinal", F.monotonically_increasing_id())
     )
 
 
@@ -123,8 +140,9 @@ def dedup_last_wins(
     df: DataFrame, pk: list[str], ordinal: list[str] | str | None = None
 ) -> DataFrame:
     """S7: PK upsert as deterministic last-write-wins dedup. Replay order
-    is (file, within-file position) by default — lexicographically later
-    files count as later writes."""
+    is (numeric feed sequence, file URI, within-file position) by default
+    — naturally-later feeds (feed_10 after feed_9) count as later
+    writes; see ``_read_csv`` for the full key semantics."""
     if ordinal is None:
         ordinal = ORDINAL_COLS
     if isinstance(ordinal, str):
@@ -147,10 +165,11 @@ def read_customers(spark: SparkSession, path: str) -> DataFrame:
             F.trim("customer_name").alias("customer_name"),
             F.trim("gender").alias("gender"),
             "_src_file",
+            "_src_seq",
             "_ordinal",
         )
     )
-    return dedup_last_wins(cleaned, ["customer_id"]).drop("_src_file", "_ordinal")
+    return dedup_last_wins(cleaned, ["customer_id"]).drop("_src_file", "_src_seq", "_ordinal")
 
 
 def read_products(spark: SparkSession, path: str) -> DataFrame:
@@ -180,10 +199,11 @@ def read_products(spark: SparkSession, path: str) -> DataFrame:
             F.trim("store_id").alias("store_id"),
             F.trim("store_name").alias("store_name"),
             "_src_file",
+            "_src_seq",
             "_ordinal",
         )
     )
-    return dedup_last_wins(priced, ["product_id"]).drop("_src_file", "_ordinal")
+    return dedup_last_wins(priced, ["product_id"]).drop("_src_file", "_src_seq", "_ordinal")
 
 
 def read_transactions(spark: SparkSession, path: str) -> DataFrame:
@@ -203,10 +223,11 @@ def read_transactions(spark: SparkSession, path: str) -> DataFrame:
             "quantity",
             F.trim("customer_id").alias("customer_id"),
             "_src_file",
+            "_src_seq",
             "_ordinal",
         )
     )
-    return dedup_last_wins(cleaned, ["order_id"]).drop("_src_file", "_ordinal")
+    return dedup_last_wins(cleaned, ["order_id"]).drop("_src_file", "_src_seq", "_ordinal")
 
 
 def build_fact(

@@ -86,14 +86,22 @@ def upsert_parquet(
     else:
         merged = dedup_last_wins(ordered, pk, ordinal="_ordinal").drop("_ordinal")
     # parquet cannot overwrite in place from its own scan: stage fully,
-    # then RENAME into place (one write, not a second full copy). The
-    # swap window is not atomic under concurrent writers — documented
+    # then swap via RENAMES (one write, not a second full copy).
+    # Crash-recovery story: the incumbent is renamed ASIDE (path._old),
+    # the staged result renamed into place, THEN ._old is deleted — a
+    # crash between any two steps leaves at least one complete copy on
+    # disk (._staged before the swap, ._old during it), never zero live
+    # data; recovery is "rename whichever complete dir back". The swap
+    # window is still not atomic under CONCURRENT writers — documented
     # limitation; a table format (Delta/Iceberg MERGE) is the concurrent
     # answer.
     import shutil
 
     tmp = path.rstrip("/") + "._staged"
+    old = path.rstrip("/") + "._old"
     merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

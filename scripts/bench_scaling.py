@@ -31,8 +31,9 @@ from datawarehouse_project_spark.session import get_spark  # noqa: E402
 
 
 #: Best-of-N per query on BOTH engines: the scaling claim is about
-#: steady-state engine cost, not first-run plan-compilation noise (the
-#: driver's own bench stays single-shot cold — this harness is analysis).
+#: steady-state engine cost, not first-run plan-compilation noise.
+#: (bench.py dual-reports: value_cold single-shot AND value_warm
+#: best-of-3 with shared caches — see PERFORMANCE.md for the history.)
 RUNS = 2
 
 

@@ -178,3 +178,16 @@ def test_reference_transactions_replay(spark):
     assert df.count() == expected
     outlier = df.filter(F.year("order_date") == 1819)
     assert outlier.count() == 1  # transactions.csv:442
+
+
+def test_upsert_replay_order_is_natural_not_lexicographic(spark, tmp_path):
+    """ADVICE r2: feed_10.csv must replay AFTER feed_9.csv (natural order
+    on the numeric suffix) even though it sorts BEFORE it
+    lexicographically — the upsert winner must come from the highest
+    feed number."""
+    hdr = "customer_id,customer_name,gender\n"
+    for n, name in [(2, "from_feed_2"), (9, "from_feed_9"), (10, "from_feed_10")]:
+        (tmp_path / f"feed_{n}.csv").write_text(hdr + f"1,{name},F\n")
+    out = read_customers(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].customer_name == "from_feed_10"
