@@ -265,6 +265,108 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node's label converges
+    to the smallest node id in its connected component — the dedup
+    endgame that turns candidate PAIRS into CLUSTERS with a canonical
+    representative (the component id) per cluster.
+
+    ``nodes``: one column ``doc_id``; ``edges``: ``doc_a``/``doc_b``
+    undirected. Each round is one shuffle (neighbor-min groupBy + label
+    join); rounds needed = graph diameter. Near-dup graphs are
+    shallow — LSH buckets produce clique-ish clusters, so diameter is
+    small and bounded in practice; for adversarial billion-node chains
+    the same primitive composes into large-star/small-star (alternating
+    min-propagation variants, O(log n) rounds) without changing the
+    per-round plan shape. Labels are persisted per round and the prior
+    round unpersisted, so lineage stays one round deep; convergence is a
+    count of changed labels (a metadata-cheap action, not a collect).
+    The fixpoint (min id per component) is partitioning-independent, so
+    the result is deterministic and oracle-checkable."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
+    labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce("nbr_min", F.col("component_id")),
+                ).alias("component_id"),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "graph diameter exceeds the bound; raise max_iter or switch to "
+        "the large-star/small-star composition for deep chains"
+    )
+
+
+@register(
+    "dedup_minhash_components",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_SIG},
+bands AS ({_duck_bands()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(doc_id, seen) AS (
+    SELECT doc_id, doc_id AS seen FROM sig
+    UNION
+    SELECT r.doc_id, e.dst AS seen
+    FROM reach r JOIN edges e ON e.src = r.seen
+)
+SELECT doc_id, MIN(seen) AS component_id
+FROM reach
+GROUP BY doc_id
+""",
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash-LSH candidate graph: each doc
+    labeled with the smallest doc_id reachable through candidate pairs —
+    the canonical representative a dedup pipeline keeps. Spark side runs
+    iterative min-label propagation (see connected_components); the
+    oracle computes the same fixpoint as a DuckDB recursive CTE
+    (transitive reachability, MIN over the reachable set)."""
+    sig = signature_frame(spark, sf_dir)
+    nodes = sig.select("doc_id")
+    edges = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(nodes, edges)
+
+
+# --------------------------------------------------------------------------
 #: Simhash near-dup search: emit pairs at hamming distance <= SIMHASH_HD_MAX.
 SIMHASH_HD_MAX = 3
 #: Candidate generation is the block-split of Manku et al. (WWW'07, the

@@ -120,6 +120,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_session_window_native",
+    driver_facing=False,  # value-identical twin of events_sessionization (driver row);
+    # the native operator stays pytest-oracle-checked + streaming-tested
     oracle=f"""
 WITH ordered AS (
     SELECT user_id, event_id, ts,
