@@ -24,6 +24,7 @@ from .operators import relational as _relational  # noqa: F401
 from .operators import similarity as _similarity  # noqa: F401
 from .operators import skew as _skew  # noqa: F401
 from .operators import textstats as _textstats  # noqa: F401
+from .sources import jdbc_scan as _jdbc_scan  # noqa: F401
 from .sources import partitioned as _partitioned  # noqa: F401
 
 

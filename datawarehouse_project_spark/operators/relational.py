@@ -330,6 +330,8 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_distinct_users",
+    driver_facing=False,  # COUNT(DISTINCT) stays pytest-oracle-checked; the
+    # driver slot goes to the live JDBC scan (S4) this twin outranked
     oracle="""
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_users,

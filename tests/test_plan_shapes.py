@@ -83,6 +83,16 @@ def test_partitioned_orders_scan_prunes_partitions(spark, sf_dir):
     assert "o_year" in m.group(1) and "1997" in m.group(1), m.group(1)
 
 
+def test_jdbc_scan_is_partitioned(spark, sf_dir):
+    """The S4 JDBC dim read must plan as a PARTITIONED JDBCRelation
+    (bounded range query per partition — the paged scan), not a single
+    full-table pull."""
+    from datawarehouse_project_spark.sources.jdbc_scan import N_PARTITIONS
+
+    p = plan_of(queries()["jdbc_nation_dim_agg"](spark, sf_dir))
+    assert f"JDBCRelation(nation) [numPartitions={N_PARTITIONS}]" in p
+
+
 def test_simhash_pairs_is_block_bucketed_not_nested_loop(spark, sf_dir):
     """dedup_simhash_pairs candidates must come from the block-split
     EQUI-join, never a nested loop over the corpus."""
