@@ -265,6 +265,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@register(
+    "dedup_verified_near_dup",
+    driver_facing=False,  # composed two-stage exemplar; both stages hold driver rows
+    oracle=f"""
+WITH {_DUCK_SIG},
+bands AS ({_duck_bands()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sgs, sb.sgs)) AS DOUBLE)
+             / (len(sa.sgs) + len(sb.sgs) - len(list_intersect(sa.sgs, sb.sgs)))
+             AS jaccard
+    FROM cand c
+    JOIN docshingles sa ON c.doc_a = sa.doc_id
+    JOIN docshingles sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
+""",
+)
+def dedup_verified_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION two-stage near-dup pipeline as one query: MinHash-
+    LSH candidate generation (bucket equi-join) followed by EXACT jaccard
+    verification computed per candidate pair via array_intersect over the
+    pair's own shingle sets — never a corpus-wide posting-list join. At
+    scale the verify cost is O(candidates x avg shingle-set size), i.e.
+    proportional to what LSH surfaced, not to the corpus; this is the
+    shape that replaces both the uncapped jaccard baseline AND raw
+    unverified LSH output in a real pipeline. Pytest-only exemplar: each
+    stage separately holds a driver CORRECTNESS row
+    (dedup_minhash_lsh_pairs, dedup_ngram_jaccard_capped)."""
+    sh = doc_shingle_frame(spark, sf_dir).select("doc_id", "sgs")
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgs").alias("sgs_b"))
+    inter = F.size(F.array_intersect("sgs_a", "sgs_b"))
+    jac = inter.cast("double") / (
+        F.size("sgs_a") + F.size("sgs_b") - inter
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+# --------------------------------------------------------------------------
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:

@@ -92,3 +92,24 @@ def test_dedup_last_wins_properties(spark, rows):
     # idempotent
     twice = dedup_last_wins(once, ["pk"], ordinal="ord")
     assert sorted(map(str, twice.collect())) == sorted(map(str, once.collect()))
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """The convergence guard must fail loudly on a graph deeper than the
+    round budget instead of returning partial labels."""
+    import pytest as _pytest
+
+    from datawarehouse_project_spark.operators.dedup import connected_components
+
+    # a 6-node chain has diameter 5: min label needs 5 rounds to reach the end
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+    labels = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes, edges, max_iter=10).collect()
+    }
+    assert labels == {i: 0 for i in range(6)}
