@@ -54,6 +54,8 @@ NEUTRAL_AS_IS = [
     "events_distinct_users",
     "events_enrich_meshjoin",
     "events_value_moments",
+    "jdbc_nation_dim_agg",
+    "partitioned_orders_year_agg",
     "pivot_store_priority",
     "q01_top_revenue_products",
     "q02_quarterly_growth_store",
@@ -556,6 +558,26 @@ FROM cand c
 JOIN sig sa ON c.doc_a = sa.doc_id
 JOIN sig sb ON c.doc_b = sb.doc_id
 WHERE bit_count(sa.simhash_val ^ sb.simhash_val) <= {SIMHASH_HD_MAX}
+"""
+
+SPARK_SQL["dedup_verified_near_dup"] = f"""
+WITH {_SPARK_SIG},
+bands AS ({_spark_bands()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(size(array_intersect(sa.sgs, sb.sgs)) AS DOUBLE)
+             / (size(sa.sgs) + size(sb.sgs) - size(array_intersect(sa.sgs, sb.sgs)))
+             AS jaccard
+    FROM cand c
+    JOIN docshingles sa ON c.doc_a = sa.doc_id
+    JOIN docshingles sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
 """
 
 SPARK_SQL["dedup_ngram_jaccard_pairs"] = f"""
