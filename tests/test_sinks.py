@@ -75,3 +75,49 @@ def test_upsert_parquet_lastwins_idempotent(spark, tmp_path):
     upsert_parquet(spark, v2, path, ["pk"])
     again = {r.pk: r.val for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_streaming_to_upsert_sink_exactly_once_effect(spark, tmp_path):
+    """Integration: micro-batched stream -> foreachBatch upsert_parquet.
+    Replaying the WHOLE stream into the same target (crash-recovery
+    without checkpoint, the worst case) must leave the target identical —
+    exactly-once EFFECT through the idempotent merge, the contract the
+    reference's ON DUPLICATE KEY UPDATE provided."""
+    import pyspark.sql.types as T
+
+    from datawarehouse_project_spark.sources.sinks import upsert_parquet
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    rows = [(u, e, float(e)) for e in range(20) for u in (e % 3,)]
+    df = spark.createDataFrame(rows, schema)
+    df.withColumn("part", (F.col("event_id") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    target = str(tmp_path / "target")
+
+    def run_once():
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: upsert_parquet(spark, bdf, target, ["event_id"])
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    first = sorted(map(str, spark.read.parquet(target).collect()))
+    assert len(first) == 20
+    run_once()  # full replay, no checkpoint: same target state
+    assert sorted(map(str, spark.read.parquet(target).collect())) == first
