@@ -21,6 +21,7 @@ from .operators import dedup as _dedup  # noqa: F401
 from .operators import events as _events  # noqa: F401
 from .operators import multimodal as _multimodal  # noqa: F401
 from .operators import relational as _relational  # noqa: F401
+from .operators import sampling as _sampling  # noqa: F401
 from .operators import similarity as _similarity  # noqa: F401
 from .operators import skew as _skew  # noqa: F401
 from .operators import textstats as _textstats  # noqa: F401

@@ -1,0 +1,73 @@
+"""Deterministic stratified sampling — reproducible corpus downsampling.
+
+Every large-scale training-data pipeline downsamples (rebalance languages,
+cap a dominant source, carve eval splits). Random sampling is the wrong
+tool at 100 TB: rerunning changes the sample, engines disagree, and
+adding data reshuffles previously-kept rows. The standard production
+answer is HASH sampling: keep a row iff ``H(salt || key) % M < rate``.
+The decision is a pure function of the row key, so the sample is stable
+across reruns, engines, partitionings, AND incremental loads (new rows
+don't flip old decisions) — and it needs no shuffle at all: the filter
+evaluates per-row at the scan and pushes into the parquet reader's
+row-group pipeline.
+
+Per-stratum rates come as a literal map (lang -> per-mille keep rate),
+the portable md5-derived hash (functions/text.py) makes the SAME rows
+survive on Spark and the DuckDB oracle, and the salt isolates this hash
+stream from every other doc_id-derived hash in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_H
+from ..io import table
+from ..plans.registry import register
+from ..session import prepare
+
+#: Per-mille keep rate per language: downsample the dominant language,
+#: keep the tail languages at a higher rate — the usual rebalance shape.
+SAMPLE_RATES = {"en": 200, "de": 700, "es": 700, "fr": 700, "zh": 700}
+DEFAULT_RATE = 500
+_SALT = "sample:"
+_MOD = 1000
+
+
+def _duck_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {DEFAULT_RATE} END"
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {DUCK_H.format(x=f"('{_SALT}' || CAST(doc_id AS VARCHAR))")} % {_MOD}
+      < {_duck_rate_case()}
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample of ``documents``: keep a row iff
+    the salted portable hash of its doc_id lands under its language's
+    per-mille rate. Shuffle-free (per-row filter at the scan); identical
+    row set on every engine, rerun, and partitioning."""
+    prepare(spark)
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_SALT), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter((h % _MOD) < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

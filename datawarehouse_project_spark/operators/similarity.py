@@ -186,6 +186,8 @@ def similarity_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "similarity_lsh_buckets",
+    driver_facing=False,  # hyperplane hashing stays driver-checked via
+    # similarity_near_dup_pairs' band keys; the slot goes to hash sampling
     oracle=f"""
 SELECT vec_id, label, {_duck_bucket("embedding")} AS bucket
 FROM embeddings

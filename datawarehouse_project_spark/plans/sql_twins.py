@@ -560,6 +560,19 @@ JOIN sig sb ON c.doc_b = sb.doc_id
 WHERE bit_count(sa.simhash_val ^ sb.simhash_val) <= {SIMHASH_HD_MAX}
 """
 
+def _sampling_twin() -> str:
+    from ..operators.sampling import _MOD, _SALT, _duck_rate_case
+
+    h = SPARK_H.format(x=f"CONCAT('{_SALT}', CAST(doc_id AS STRING))")
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {h} % {_MOD} < {_duck_rate_case()}
+"""
+
+
+SPARK_SQL["sample_stratified_hash"] = _sampling_twin()
+
 SPARK_SQL["dedup_verified_near_dup"] = f"""
 WITH {_SPARK_SIG},
 bands AS ({_spark_bands()}),
