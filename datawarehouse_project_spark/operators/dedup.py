@@ -371,6 +371,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
+    labels.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "graph diameter exceeds the bound; raise max_iter or switch to "
