@@ -459,9 +459,13 @@ def linear_score_expr(emb, weights: list[int]) -> F.Column:
 def make_linear_score_udf(weights: list[int]):
     """Arrow-batched pandas_udf twin of ``linear_score_expr``: the model-
     scoring hot path when the model is Python-side (sklearn/torch exports).
-    numpy matmul per Arrow batch — vectorized, 10-100x over row-at-a-time
-    Python UDFs; differs from the fold only by float summation order
-    (asserted ~1e-9-close in tests)."""
+    Vectorized ACROSS the batch (one numpy op per dimension), but summed
+    IN ARRAY ORDER per row — the same left fold as the SQL expression and
+    DuckDB's list_reduce, so all three engines produce bit-identical IEEE
+    doubles and the query is hash-checkable against its oracle. (A plain
+    ``mat @ w`` matmul is marginally faster but reorders the summation
+    SIMD-style, which costs the exact-parity guarantee for ~nothing: the
+    per-dimension loop is still 100% numpy, zero per-row Python.)"""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -469,8 +473,11 @@ def make_linear_score_udf(weights: list[int]):
     w = np.asarray(weights, dtype=np.float64)
 
     def score(emb):
-        mat = np.vstack(emb.to_numpy())  # (batch, dim) float32
-        return pd.Series(mat.astype(np.float64) @ w)
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for j in range(w.shape[0]):  # left fold in array order, like the SQL
+            acc = acc + mat[:, j] * w[j]
+        return pd.Series(acc)
 
     # real annotation objects: the module-level `from __future__ import
     # annotations` would stringify inline hints, which pyspark's type-hint
@@ -479,9 +486,16 @@ def make_linear_score_udf(weights: list[int]):
     return pandas_udf("double")(score)
 
 
-@register("similarity_pandas_linear_scores")  # rows-only: numpy's SIMD
-# summation order differs from the SQL fold by ~1 ulp, so no exact oracle;
-# tests assert closeness to the expression path instead.
+def _pandas_linear_oracle() -> str:
+    lit = "[" + ", ".join(str(w) for w in HYPERPLANES[0]) + "]"
+    dot = (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+        f"i -> embedding[i]::DOUBLE * ({lit})[i])), (x, y) -> x + y)"
+    )
+    return f"SELECT vec_id, {dot} AS score FROM embeddings"
+
+
+@register("similarity_pandas_linear_scores", oracle=_pandas_linear_oracle)
 def similarity_pandas_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
