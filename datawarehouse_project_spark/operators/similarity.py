@@ -121,14 +121,21 @@ _DUCK_DOT = (
 )
 
 
+def _duck_dot_lit(e: str, weights) -> str:
+    """DuckDB left-fold dot product of column ``e`` against a weights
+    literal — the single source for every weights-literal oracle
+    (bucket keys, band keys, pandas-scoring oracle)."""
+    lit = "[" + ", ".join(str(w) for w in weights) + "]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+        f"i -> {e}[i]::DOUBLE * ({lit})[i])), (x, y) -> x + y)"
+    )
+
+
 def _duck_bucket(e: str) -> str:
     parts = []
     for j, weights in enumerate(HYPERPLANES):
-        lit = "[" + ", ".join(str(w) for w in weights) + "]"
-        dot = (
-            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
-            f"i -> {e}[i]::DOUBLE * ({lit})[i])), (x, y) -> x + y)"
-        )
+        dot = _duck_dot_lit(e, weights)
         parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")::BIGINT"
 
@@ -476,7 +483,7 @@ def make_linear_score_udf(weights: list[int]):
         mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
         acc = np.zeros(mat.shape[0], dtype=np.float64)
         for j in range(w.shape[0]):  # left fold in array order, like the SQL
-            acc = acc + mat[:, j] * w[j]
+            acc += mat[:, j] * w[j]
         return pd.Series(acc)
 
     # real annotation objects: the module-level `from __future__ import
@@ -487,11 +494,7 @@ def make_linear_score_udf(weights: list[int]):
 
 
 def _pandas_linear_oracle() -> str:
-    lit = "[" + ", ".join(str(w) for w in HYPERPLANES[0]) + "]"
-    dot = (
-        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
-        f"i -> embedding[i]::DOUBLE * ({lit})[i])), (x, y) -> x + y)"
-    )
+    dot = _duck_dot_lit("embedding", HYPERPLANES[0])
     return f"SELECT vec_id, {dot} AS score FROM embeddings"
 
 
@@ -561,12 +564,7 @@ def _band_key_expr(emb, band: int) -> F.Column:
 def _duck_band_key(e: str, band: int) -> str:
     parts = []
     for b in range(BAND_BITS):
-        weights = ND_PLANES[band * BAND_BITS + b]
-        lit = "[" + ", ".join(str(w) for w in weights) + "]"
-        dot = (
-            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
-            f"i -> {e}[i]::DOUBLE * ({lit})[i])), (x, y) -> x + y)"
-        )
+        dot = _duck_dot_lit(e, ND_PLANES[band * BAND_BITS + b])
         parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
 

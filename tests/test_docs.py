@@ -28,3 +28,40 @@ def test_readme_counts_match_registry():
     assert int(m.group(2)) == len(all_oracle_sql())
     assert int(m.group(3)) == len(spark_sql_surface())
     assert int(m.group(4)) == len(queries())
+
+
+def test_performance_bench_prose_fresh():
+    """PERFORMANCE.md's headline bench numbers must match the BENCH file of
+    the round the prose cites, and that round must not lag the newest
+    recorded bench by more than one round (VERDICT r3+r4 both caught stale
+    bench prose — this makes it a CI failure)."""
+    import glob
+    import json
+
+    text = open("/root/repo/PERFORMANCE.md").read()
+    m = re.search(
+        r"Latest recorded driver bench \(round (\d+), sf([\d.]+)\): "
+        r"\*\*`value_warm` ([\d.]+) s\*\*,\s+`value_cold` ([\d.]+) s, "
+        r"`cache_build_sec` ([\d.]+) s",
+        text,
+    )
+    assert m, "PERFORMANCE.md latest-bench sentence missing or reworded"
+    cited_round = int(m.group(1))
+
+    bench_files = sorted(glob.glob("/root/repo/BENCH_r*.json"))
+    assert bench_files, "no BENCH_r*.json recorded"
+    newest_round = max(
+        int(re.search(r"BENCH_r(\d+)\.json", f).group(1)) for f in bench_files
+    )
+    assert cited_round >= newest_round - 1, (
+        f"PERFORMANCE.md cites round {cited_round} but BENCH_r{newest_round:02d}"
+        ".json exists — update the prose"
+    )
+
+    bench = json.load(
+        open(f"/root/repo/BENCH_r{cited_round:02d}.json")
+    )["parsed"]
+    assert float(m.group(2)) == bench["sf"]
+    assert float(m.group(3)) == bench["value_warm"]
+    assert float(m.group(4)) == bench["value_cold"]
+    assert float(m.group(5)) == bench["cache_build_sec"]

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -27,8 +26,9 @@ def test_embedding_dim_matches_constant(spark, sf_dir):
 
 
 def test_pandas_udf_matches_expression_path(spark, sf_dir):
-    """The Arrow/numpy scorer and the JVM fold compute the same linear
-    score up to float summation order."""
+    """The Arrow/numpy scorer folds per-dimension in array order, making it
+    bit-identical to the JVM fold (and DuckDB's list_reduce) — assert exact
+    equality so a reintroduced SIMD-reordering ``mat @ w`` fails here."""
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
     w = HYPERPLANES[0]
     both = emb.select(
@@ -38,7 +38,7 @@ def test_pandas_udf_matches_expression_path(spark, sf_dir):
     ).collect()
     assert len(both) > 0
     for r in both:
-        assert math.isclose(r.expr_score, r.udf_score, rel_tol=1e-9, abs_tol=1e-6), r
+        assert r.expr_score == r.udf_score, r
 
 
 def test_near_dup_pairs_recall_vs_brute_force(spark, sf_correct_dir):
