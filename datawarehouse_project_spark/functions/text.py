@@ -46,6 +46,14 @@ def portable_hash(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def portable_hash_hi(c: Column) -> Column:
+    """H_hi(s): a SECOND independent 60-bit value from the SAME md5 digest
+    (hex chars 16-30) — 120 portable hash bits per string for one md5,
+    which is what the 64-bit simhash needs (the digest's 128 bits are
+    i.i.d., so any disjoint substring is an independent hash)."""
+    return F.conv(F.substring(F.md5(c), 16, 15), 16, 10).cast("bigint")
+
+
 def words(c: Column | str) -> Column:
     """Lowercased whitespace tokenization (array<string>)."""
     c = F.col(c) if isinstance(c, str) else c
@@ -106,6 +114,43 @@ def simhash(hashed: Column, bits: int = SIMHASH_BITS) -> Column:
     return total.cast("bigint")
 
 
+#: 64-bit simhash: the PRODUCTION signature width (Manku et al., WWW'07 —
+#: Google's web-scale layout). Bits 0..31 test the low word-hash, bits
+#: 32..63 the high word-hash (two 60-bit values from one md5). The value
+#: is the signed-BIGINT reinterpretation of the 64 bits: bit 63
+#: contributes -2^63, so packing stays inside BIGINT on both engines
+#: (max positive partial sum is exactly 2^63-1 — no overflow even under
+#: Spark's ANSI arithmetic).
+SIMHASH64_BITS = 64
+
+
+def simhash64(hashed_lo: Column, hashed_hi: Column) -> Column:
+    """Frequency-weighted 64-bit sign-hash over pre-hashed words.
+
+    ``hashed_lo``/``hashed_hi`` are arrays of the two 60-bit per-word
+    hashes (see ``portable_hash``/``portable_hash_hi`` — one md5 each
+    element, two values). bit_j = 1 iff sum over words of (+1 if bit j'
+    of the word-hash else -1) >= 0, with j' = j % 32 and the hash picked
+    by j // 32. Integer arithmetic end-to-end, modulo-based bit test —
+    exact and ANSI-portable, like the 16-bit form."""
+
+    def bit_sign(j: int):
+        return lambda h: F.when(
+            (h % F.lit(1 << (j + 1))) >= F.lit(1 << j), 1
+        ).otherwise(-1)
+
+    total = F.lit(0).cast("bigint")
+    for j in range(SIMHASH64_BITS):
+        src = hashed_lo if j < 32 else hashed_hi
+        jj = j % 32
+        contrib = F.aggregate(
+            F.transform(src, bit_sign(jj)), F.lit(0), lambda acc, x: acc + x
+        )
+        term = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+        total = total + F.when(contrib >= 0, term).otherwise(F.lit(0))
+    return total.cast("bigint")
+
+
 def rolling_fingerprint(ws: Column) -> Column:
     """Order-sensitive document fingerprint: left fold
     fp = (fp * 131 + H(word) mod P) mod P  over the word sequence.
@@ -121,6 +166,7 @@ def rolling_fingerprint(ws: Column) -> Column:
 # DuckDB-side templates for the same primitives (used by oracle strings).
 
 DUCK_H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+DUCK_H_HI = "(('0x' || substr(md5({x}), 16, 15))::BIGINT)"
 
 
 def duck_minhash_exprs(shingle_col: str = "sg") -> list[str]:

@@ -36,10 +36,12 @@ from ..functions.text import (
     DUCK_H,
     MINHASH_COEFFS,
     P,
+    SIMHASH64_BITS,
     duck_minhash_exprs,
     hash_array,
     minhash_signature,
     simhash,
+    simhash64,
     word_shingles,
     words,
 )
@@ -443,6 +445,9 @@ def _duck_sh_blocks() -> str:
 
 @register(
     "dedup_simhash_pairs",
+    driver_facing=False,  # 16-bit toy layout, superseded by the 64-bit
+    # production twin dedup_simhash64_pairs below; stays oracle-checked in
+    # pytest at both scale factors
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 hashed AS (
@@ -494,6 +499,143 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("bval"),
                     )
                     for j in range(_SH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.block", "bk.bval")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash_val").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash_val").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(hamming <= SIMHASH_HD_MAX)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+# --------------------------------------------------------------------------
+#: 64-bit simhash — the PRODUCTION layout (Manku et al. WWW'07, Google's
+#: web-scale configuration): 64 sign bits, hamming <= 3, candidates from a
+#: 4-block x 16-bit split. 16-bit block values give 65k buckets per block,
+#: so bucket population is corpus/65536 per block at any scale — the
+#: property the 16-bit toy layout (above) lacks.
+_SH64_BLOCKS = SIMHASH_HD_MAX + 1
+_SH64_BLOCK_BITS = SIMHASH64_BITS // _SH64_BLOCKS
+_SH64_BLOCK_MASK = (1 << _SH64_BLOCK_BITS) - 1
+
+_DUCK_SIMHASH64_BITS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform({'hwa' if j < 32 else 'hwb'}, "
+    f"h -> CASE WHEN (h % {1 << (j % 32 + 1)}) >= {1 << j % 32} "
+    f"THEN 1 ELSE -1 END)) >= 0 "
+    f"THEN {-(1 << 63) if j == 63 else (1 << j)} ELSE 0 END)"
+    for j in range(SIMHASH64_BITS)
+)
+
+#: md5 computed ONCE per word; two 60-bit values sliced from the digest
+#: feed bits 0..31 (low) and 32..63 (high).
+_DUCK_SIG64 = f"""
+hashed AS (
+    SELECT doc_id, list_transform(ws, w -> md5(w)) AS m5
+    FROM docwords
+    WHERE len(ws) >= 1
+),
+hh AS (
+    SELECT doc_id,
+           list_transform(m5, m -> ('0x' || substr(m, 1, 15))::BIGINT) AS hwa,
+           list_transform(m5, m -> ('0x' || substr(m, 16, 15))::BIGINT) AS hwb
+    FROM hashed
+),
+sig AS (SELECT doc_id, ({_DUCK_SIMHASH64_BITS})::BIGINT AS simhash_val FROM hh)
+"""
+
+
+def simhash64_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + 64-bit simhash (signed-BIGINT packing). Per-row expression,
+    shuffle-free; md5 is materialized once per word and both 60-bit hash
+    views are sliced from it (see functions/text.py portable_hash_hi)."""
+    prepare(spark)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    h_lo = lambda m: F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    h_hi = lambda m: F.conv(F.substring(m, 16, 15), 16, 10).cast("bigint")  # noqa: E731
+    return (
+        docs.withColumn("ws", words("text"))
+        .filter(F.size("ws") >= 1)
+        .withColumn("m5", F.transform(F.col("ws"), lambda w: F.md5(w)))
+        .withColumn("hwa", F.transform(F.col("m5"), h_lo))
+        .withColumn("hwb", F.transform(F.col("m5"), h_hi))
+        .select(
+            "doc_id", simhash64(F.col("hwa"), F.col("hwb")).alias("simhash_val")
+        )
+    )
+
+
+def _duck_sh64_blocks() -> str:
+    selects = [
+        f"SELECT doc_id, {j} AS block, "
+        f"(simhash_val >> {j * _SH64_BLOCK_BITS}) & {_SH64_BLOCK_MASK} AS bval "
+        "FROM sig"
+        for j in range(_SH64_BLOCKS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dedup_simhash64_pairs",
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+{_DUCK_SIG64.strip().rstrip()},
+blocks AS ({_duck_sh64_blocks()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM blocks a JOIN blocks b
+      ON a.block = b.block AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash_val, sb.simhash_val)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash_val, sb.simhash_val)) <= {SIMHASH_HD_MAX}
+""",
+)
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash hamming neighbors (hamming <= SIMHASH_HD_MAX) — the
+    PRODUCTION layout: 4 blocks x 16 bits, candidates from the (block,
+    block_value) EQUI-join (pigeonhole guarantees 100% recall at hd <= 3),
+    exact popcount on the signature xor verifies. Same plan as the 16-bit
+    twin, but 65,536 buckets per block instead of 16: bucket population
+    is corpus/65k per block, so candidate fan-out stays bounded on a
+    100 TB corpus where the 16-bit layout would degenerate into 16
+    giant buckets. Signed-BIGINT packing (bit 63 = -2^63) keeps the
+    value, the xor and the popcount identical across Spark and DuckDB.
+    No nested loop anywhere (plan-asserted)."""
+    sig = simhash64_frame(spark, sf_dir)
+    blocks = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("block"),
+                        F.shiftright(F.col("simhash_val"), j * _SH64_BLOCK_BITS)
+                        .bitwiseAND(F.lit(_SH64_BLOCK_MASK))
+                        .alias("bval"),
+                    )
+                    for j in range(_SH64_BLOCKS)
                 ]
             )
         ).alias("bk"),

@@ -94,9 +94,20 @@ def test_jdbc_scan_is_partitioned(spark, sf_dir):
 
 
 def test_simhash_pairs_is_block_bucketed_not_nested_loop(spark, sf_dir):
-    """dedup_simhash_pairs candidates must come from the block-split
-    EQUI-join, never a nested loop over the corpus."""
-    p = plan_of(queries()["dedup_simhash_pairs"](spark, sf_dir))
+    """Simhash candidates (both the 16-bit twin and the 64-bit production
+    layout) must come from the block-split EQUI-join, never a nested loop
+    over the corpus."""
+    for name in ["dedup_simhash_pairs", "dedup_simhash64_pairs"]:
+        p = plan_of(all_queries()[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_ivf_multiprobe_is_cluster_equi_join(spark, sf_dir):
+    """Multi-probe IVF must stay a (cluster_id = probe) EQUI-join after
+    the query-side probe explode — probing widens the candidate set, not
+    the join strategy."""
+    p = plan_of(queries()["similarity_ivf_multiprobe_topk"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 

@@ -14,6 +14,8 @@ from datawarehouse_project_spark.operators.similarity import (
     make_linear_score_udf,
     similarity_ann_cosine_topk,
     similarity_cosine_pairs,
+    similarity_ivf_multiprobe_topk,
+    similarity_ivf_topk,
     similarity_lsh_topk,
     similarity_near_dup_pairs,
 )
@@ -74,6 +76,32 @@ def test_lsh_topk_is_subset_of_exact_neighbors(spark, sf_dir):
     for r in lsh:
         if (r.query_id, r.neighbor_id) in exact:
             assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_ivf_multiprobe_recall_vs_single_probe(spark, sf_correct_dir):
+    """Multi-probe IVF must dominate single-probe on recall@k vs the exact
+    brute-force ground truth. With identical exact-cosine ranking, a probe
+    superset can only improve recall (a true top-k member has < k globally
+    better neighbors, so it survives any candidate-set growth); this test
+    fails if multi-probe stops widening the candidate set — or if IVF
+    recall degrades outright (absolute floor)."""
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ann_cosine_topk(spark, sf_correct_dir).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ivf_topk(spark, sf_correct_dir).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ivf_multiprobe_topk(spark, sf_correct_dir).collect()
+    }
+    assert truth, "ground truth should be non-empty"
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_single, (recall_multi, recall_single)
+    assert recall_multi >= 0.5, recall_multi
 
 
 def test_quadratic_baselines_refuse_large_input(spark, sf_dir, monkeypatch):
