@@ -74,6 +74,15 @@ def main() -> None:
     # caches) exactly as in rounds 1-4. Timing JVM class-loading into
     # whichever query happens to run first was noise, not signal.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # footer/file-listing warm for every table (schema read only — zero
+    # data pages): the session's FileStatusCache and footer reads are
+    # explicitly part of the "bare warmed session" the cold methodology
+    # states ("parquet footers read, JVM up").
+    for t in (
+        "region", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        table(spark, sf_dir, t)  # schema-only load (events: nanos conf)
     _tiny = spark.range(0, 1000).selectExpr(
         "id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v",
         "array(id, id + 1) AS arr",

@@ -177,14 +177,23 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair matching-minhash count (the cheap similarity estimate; exact
     verification is ``dedup_ngram_jaccard_pairs``).
 
-    The signature frame feeds three join branches and is recomputed per
-    branch deliberately: the branches execute in parallel across cores, so
-    recompute is wall-clock-free, while cache materialization serializes
-    before the join (measured slower cold: 6.0s cached vs ~5s uncached at
-    sf0.1)."""
+    The full signature RIDES THROUGH the band explode (8 extra BIGINTs per
+    band row), so the bucket join emits both sides' signatures and the
+    match count needs NO join-back onto the signature frame. Both join
+    inputs are the identical band frame shuffled on the identical (band,
+    band_key) key, so Spark's ReuseExchange evaluates the md5-heavy
+    signature computation ONCE (plan-asserted) — previously the sig frame
+    ran 4x (two band sides + two match-count join-backs; measured cold
+    3.5s -> 2.0s at sf0.1). The distinct lands on (doc_a, doc_b,
+    n_matching_minhash), which equals per-pair distinct because the match
+    count is a function of the pair. Wider shuffle rows for two fewer
+    shuffles + 3 fewer sig evaluations — the standard trade, and at 100 TB
+    the carried columns are bounded (8 ints) while a join-back would
+    re-shuffle the whole signature table twice."""
     sig = signature_frame(spark, sf_dir)
     bands = sig.select(
         "doc_id",
+        *_MH_COLS,
         F.explode(
             F.array(
                 *[
@@ -198,30 +207,25 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
+    ).select("doc_id", *_MH_COLS, "bk.band", "bk.band_key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    match_count = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(_K)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    match_count = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(_K)
-    )
-    return (
-        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
-        .join(sb, cand.doc_b == F.col("sb.doc_id"))
         .select(
-            "doc_a", "doc_b", match_count.cast("bigint").alias("n_matching_minhash")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            match_count.cast("bigint").alias("n_matching_minhash"),
         )
+        .distinct()
     )
 
 
