@@ -380,8 +380,117 @@ def connected_components(
     labels.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "graph diameter exceeds the bound; raise max_iter or switch to "
-        "the large-star/small-star composition for deep chains"
+        "graph diameter exceeds the bound; raise max_iter or use "
+        "connected_components_star (large-star/small-star, O(log n) "
+        "rounds) for deep chains"
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round variant that handles graphs whose
+    diameter would starve plain min-label propagation (a 1M-node chain
+    needs 1M propagation rounds but only ~20 star rounds).
+
+    Edge set is kept oriented ``(u, v)`` with ``u > v`` (no self loops,
+    deduped). Per round:
+
+    * **large-star**: every node ``u`` connects each STRICTLY LARGER
+      neighbor to ``m = min(neighbors(u) + {u})`` — long chains fold onto
+      local minima, roughly halving component depth;
+    * **small-star**: every node ``u`` connects each smaller-or-equal
+      neighbor (and itself) to its minimum neighbor — flattening local
+      minima into stars.
+
+    At the fixpoint the graph is a union of stars whose centers are the
+    component minima, so the label of a non-center node is its unique
+    neighbor and centers/isolated nodes label themselves. Every round is
+    a constant number of shuffles (one groupBy-min + one equi-join per
+    phase, plus the dedup distinct), state is the edge set itself (no
+    driver-side graph), and convergence is detected by an
+    order-independent checksum of the edge set — a metadata-cheap
+    aggregate, not a collect. Same fixpoint as ``connected_components``
+    (min id per component), so the two are interchangeable under the
+    driver's oracle; this one is the production default.
+    """
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e.persist()
+
+    def _checksum(frame: DataFrame):
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _checksum(e)
+    if sig[0] == 0:
+        e.unpersist()
+        return nodes.select("doc_id", F.col("doc_id").alias("component_id"))
+    for _ in range(max_iter):
+        # ---- large-star: (v, min(N(u) + {u})) for every neighbor v > u
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on the (hi, lo)-oriented output: every smaller
+        # neighbor v of u, and u itself, connects to u's minimum neighbor.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        )
+        new_e = (
+            small.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_e.persist()
+        new_sig = _checksum(new_e)
+        e.unpersist()
+        e = new_e
+        if new_sig == sig:
+            # fixpoint: stars centered at component minima
+            star = e.groupBy("u").agg(F.min("v").alias("component_id"))
+            out = (
+                nodes.join(
+                    star.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce("component_id", "doc_id").alias("component_id"),
+                )
+            )
+            return out
+        sig = new_sig
+    e.unpersist()
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
     )
 
 
@@ -415,13 +524,14 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from the MinHash-LSH candidate graph: each doc
     labeled with the smallest doc_id reachable through candidate pairs —
     the canonical representative a dedup pipeline keeps. Spark side runs
-    iterative min-label propagation (see connected_components); the
-    oracle computes the same fixpoint as a DuckDB recursive CTE
-    (transitive reachability, MIN over the reachable set)."""
+    alternating large-star/small-star rounds (connected_components_star,
+    O(log n) rounds — safe even for adversarially deep candidate
+    graphs); the oracle computes the same fixpoint as a DuckDB recursive
+    CTE (transitive reachability, MIN over the reachable set)."""
     sig = signature_frame(spark, sf_dir)
     nodes = sig.select("doc_id")
     edges = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(nodes, edges)
+    return connected_components_star(nodes, edges)
 
 
 # --------------------------------------------------------------------------

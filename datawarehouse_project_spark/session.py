@@ -18,6 +18,14 @@ _RUNTIME_CONFS = {
     # Timestamp->date and year()/quarter() must agree with the (naive) DuckDB
     # oracle reading the same parquet.
     "spark.sql.session.timeZone": "UTC",
+    # The testdata parquet stores timestamps without a timezone
+    # (isAdjustedToUTC=false); Spark 4's default inference maps those to
+    # TIMESTAMP_NTZ, which event-time watermarks reject outright
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and which diverges from the
+    # DuckDB oracle's naive-as-UTC reading. Reading them as TIMESTAMP
+    # (LTZ) under the pinned UTC session timezone gives identical values
+    # batch-side and makes the same column watermarkable stream-side.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Adaptive execution: coalesce post-shuffle partitions, convert to
     # broadcast joins at runtime, split skewed partitions. This is the
     # 100 TB posture — plans degrade gracefully without code changes.

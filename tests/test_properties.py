@@ -113,3 +113,51 @@ def test_connected_components_raises_without_convergence(spark):
         for r in connected_components(nodes, edges, max_iter=10).collect()
     }
     assert labels == {i: 0 for i in range(6)}
+
+
+def test_star_components_deep_chain_and_parity(spark):
+    """large-star/small-star must label a 100-node chain (diameter 99)
+    within its O(log n) round budget — the graph shape that defeats plain
+    min-label propagation — and must agree with label propagation on a
+    multi-component graph with isolated nodes."""
+    from datawarehouse_project_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 100
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    # 12 rounds ~ log2(100)^2 headroom; plain propagation needs 99
+    labels = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(nodes, chain, max_iter=12).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+
+    # mixed shape: two components + isolated nodes, edges in random orientation
+    nodes2 = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    edges2 = spark.createDataFrame(
+        [(3, 1), (1, 2), (7, 5), (6, 7), (5, 6), (9, 8)], ["doc_a", "doc_b"]
+    )
+    star = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(nodes2, edges2).collect()
+    }
+    prop = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes2, edges2).collect()
+    }
+    assert star == prop
+    assert star[3] == 1 and star[6] == 5 and star[9] == 8
+    assert star[0] == 0 and star[11] == 11  # isolated nodes self-label
+
+    # empty edge set: every node is its own component
+    none = spark.createDataFrame([], "doc_a long, doc_b long")
+    solo = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(nodes2, none).collect()
+    }
+    assert solo == {i: i for i in range(12)}
