@@ -322,6 +322,22 @@ def dedup_verified_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of the storage blocks behind a
+    ``localCheckpoint()``'d DataFrame. Spark exposes no public API for
+    this — ``DataFrame.unpersist()`` only covers cache-manager entries,
+    while localCheckpoint persists the physical RDD directly — so we dig
+    the checkpointed RDD out of the ``LogicalRDD`` leaf via py4j and
+    unpersist it. Any reflection failure is swallowed: the blocks are
+    then reclaimed by the ContextCleaner once the JVM Dataset is
+    garbage-collected, so this is an eager-release optimization, never a
+    correctness dependency."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:
@@ -337,19 +353,21 @@ def connected_components(
     small and bounded in practice; for adversarial billion-node chains
     the same primitive composes into large-star/small-star (alternating
     min-propagation variants, O(log n) rounds) without changing the
-    per-round plan shape. Labels are persisted per round and the prior
-    round unpersisted, so lineage stays one round deep; convergence is a
-    count of changed labels (a metadata-cheap action, not a collect).
-    The fixpoint (min id per component) is partitioning-independent, so
-    the result is deterministic and oracle-checkable."""
+    per-round plan shape. Labels are ``localCheckpoint``'d per round —
+    truncating logical-plan LINEAGE, not just caching data, so the
+    per-round plan stays constant-size no matter how many rounds run —
+    and the prior round's blocks are released; convergence is a count of
+    changed labels (a metadata-cheap action, not a collect). The
+    fixpoint (min id per component) is partitioning-independent, so the
+    result is deterministic and oracle-checkable."""
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
-    labels.persist()
-    labels.count()
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -365,24 +383,23 @@ def connected_components(
                     F.coalesce("nbr_min", F.col("component_id")),
                 ).alias("component_id"),
             )
-        )
-        new_labels.persist()
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.component_id") != F.col("o.component_id"))
             .count()
         )
-        labels.unpersist()
+        _release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             return labels
-    labels.unpersist()
+    _release_checkpoint(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "graph diameter exceeds the bound; raise max_iter or use "
-        "connected_components_star (large-star/small-star, O(log n) "
-        "rounds) for deep chains"
+        "connected_components_star (large-star/small-star, O(log^2 n) "
+        "rounds proven, ~log n in practice) for deep chains"
     )
 
 
@@ -391,9 +408,12 @@ def connected_components_star(
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14) — the O(log n)-round variant that handles graphs whose
-    diameter would starve plain min-label propagation (a 1M-node chain
-    needs 1M propagation rounds but only ~20 star rounds).
+    SoCC'14) — the variant that handles graphs whose diameter would
+    starve plain min-label propagation (a 1M-node chain needs 1M
+    propagation rounds but only ~20 star rounds). Kiveris et al. prove
+    O(log^2 n) rounds for this alternating form; in practice it behaves
+    like ~log n, and ``max_iter=50`` is empirical headroom over that
+    observed behavior, not a theoretical bound.
 
     Edge set is kept oriented ``(u, v)`` with ``u > v`` (no self loops,
     deduped). Per round:
@@ -412,9 +432,15 @@ def connected_components_star(
     phase, plus the dedup distinct), state is the edge set itself (no
     driver-side graph), and convergence is detected by an
     order-independent checksum of the edge set — a metadata-cheap
-    aggregate, not a collect. Same fixpoint as ``connected_components``
-    (min id per component), so the two are interchangeable under the
-    driver's oracle; this one is the production default.
+    aggregate, not a collect. The per-round edge frame is
+    ``localCheckpoint``'d: that truncates logical-plan LINEAGE (persist
+    alone caches data but leaves the plan tree compounding geometrically,
+    which OOMs the driver during analysis on deep graphs — exactly the
+    shape this variant exists for), so the analyzed plan stays
+    constant-size across rounds and the prior round's blocks are
+    released eagerly. Same fixpoint as ``connected_components`` (min id
+    per component), so the two are interchangeable under the driver's
+    oracle; this one is the production default.
     """
     e = (
         edges.select(
@@ -423,19 +449,26 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    e.persist()
 
     def _checksum(frame: DataFrame):
+        # Two independently-seeded order-free hash sums: a collision
+        # between consecutive DISTINCT edge sets would need to fool both
+        # 64-bit sums simultaneously (~2^-128), so early-termination on
+        # a false fixpoint is out of the failure model.
         row = frame.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            F.sum(
+                F.xxhash64(F.lit(0x5EED), "u", "v").cast("decimal(38,0)")
+            ).alias("h2"),
         ).first()
-        return (row["n"], row["h"])
+        return (row["n"], row["h"], row["h2"])
 
     sig = _checksum(e)
     if sig[0] == 0:
-        e.unpersist()
+        _release_checkpoint(e)
         return nodes.select("doc_id", F.col("doc_id").alias("component_id"))
     for _ in range(max_iter):
         # ---- large-star: (v, min(N(u) + {u})) for every neighbor v > u
@@ -469,14 +502,21 @@ def connected_components_star(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        new_e.persist()
         new_sig = _checksum(new_e)
-        e.unpersist()
+        _release_checkpoint(e)
         e = new_e
         if new_sig == sig:
-            # fixpoint: stars centered at component minima
-            star = e.groupBy("u").agg(F.min("v").alias("component_id"))
+            # fixpoint: stars centered at component minima. Checkpoint
+            # the (output-sized) label frame so the edge blocks can be
+            # released before returning.
+            star = (
+                e.groupBy("u")
+                .agg(F.min("v").alias("component_id"))
+                .localCheckpoint(eager=True)
+            )
+            _release_checkpoint(e)
             out = (
                 nodes.join(
                     star.withColumnRenamed("u", "doc_id"), "doc_id", "left"
@@ -488,7 +528,7 @@ def connected_components_star(
             )
             return out
         sig = new_sig
-    e.unpersist()
+    _release_checkpoint(e)
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
@@ -525,7 +565,7 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled with the smallest doc_id reachable through candidate pairs —
     the canonical representative a dedup pipeline keeps. Spark side runs
     alternating large-star/small-star rounds (connected_components_star,
-    O(log n) rounds — safe even for adversarially deep candidate
+    O(log^2 n) rounds proven, ~log n observed — safe even for deep candidate
     graphs); the oracle computes the same fixpoint as a DuckDB recursive
     CTE (transitive reachability, MIN over the reachable set)."""
     sig = signature_frame(spark, sf_dir)
