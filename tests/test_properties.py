@@ -161,3 +161,29 @@ def test_star_components_deep_chain_and_parity(spark):
         for r in connected_components_star(nodes2, none).collect()
     }
     assert solo == {i: i for i in range(12)}
+
+
+def test_star_components_10k_chain_stress(spark):
+    """Continuous verification of the deep-graph claim at driver scale:
+    a 10k-node chain (diameter 9999) must converge within the ~log-n
+    round budget with constant per-round plan size (the lineage-
+    truncation property — before the localCheckpoint fix this shape
+    OOM'd the JVM at 100 nodes). Built with spark.range, so the graph
+    never materializes driver-side."""
+    from datawarehouse_project_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 10_000
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = connected_components_star(nodes, edges, max_iter=30)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("component_id").alias("k"),
+        F.min("component_id").alias("lo"),
+        F.max("component_id").alias("hi"),
+    ).first()
+    assert (agg["n"], agg["k"], agg["lo"], agg["hi"]) == (n, 1, 0, 0)
