@@ -1,0 +1,205 @@
+"""Skew evidence for the 100 TB posture (round-3 task, VERDICT r4/r6):
+the salting + AQE story must be *demonstrated* on a hot key, not just
+stated. Three pieces of evidence, all deterministic:
+
+1. ``salted_sum`` is exactly equal to the plain aggregation on a
+   zipfian-hot corpus (parity — salting is invisible in the result);
+2. salting actually balances the reduce side: the max rows any single
+   hash partition owns drops by >= 4x when the hot key is salted — the
+   row-count analog of tail-task time, measured through Spark's real
+   hash partitioning (``repartition`` + ``spark_partition_id``), so
+   this test FAILS if salting stops spreading the hot key;
+3. AQE's skew-join split fires on a skewed sort-merge join (the join-
+   side answer salting doesn't cover): the finalized adaptive plan
+   carries the skew marker.
+
+Plus the LSH-specific shape: a hot LSH bucket (a genuine 60-doc
+near-dup clique, every band colliding) flows through the banded
+pair join correctly — candidate generation stays an equi-join and
+emits exactly C(60,2) clique pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.operators.skew import salted_sum
+
+#: hot store 0 owns every even row (~50% of the corpus); the rest is
+#: spread uniformly over 96 cold stores — the "one store takes half the
+#: fact" shape salting exists for.
+_N_COLD = 96
+
+
+def _zipfian_fact(spark, n):
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise((F.col("id") / 2).cast("long") % _N_COLD + 1)
+        .alias("store_id"),
+        (F.col("id") % 1000).cast("decimal(18,2)").alias("sale"),
+        F.col("id").alias("row_id"),
+    )
+
+
+def test_salted_sum_parity_on_zipfian(spark):
+    """Exact (decimal) equality of salted vs plain aggregation when one
+    key owns half the corpus — parity must hold on skewed data, not just
+    the uniform corpora every other test uses."""
+    fact = _zipfian_fact(spark, 2_000_000)
+    plain = {
+        r["store_id"]: r["total"]
+        for r in fact.groupBy("store_id")
+        .agg(F.sum("sale").alias("total"))
+        .collect()
+    }
+    salted = {
+        r["store_id"]: r["total"]
+        for r in salted_sum(
+            fact, ["store_id"], F.col("sale"), n_salts=8,
+            salt_on=F.col("row_id"),
+        ).collect()
+    }
+    assert len(plain) == _N_COLD + 1
+    assert salted == plain
+
+
+def test_salting_balances_reduce_partitions(spark):
+    """The mechanism itself: hash-partitioning on the bare key pins the
+    hot key's ~50% of rows onto ONE partition (the critical-path reducer
+    at scale); adding the salt to the partitioning key must cut the max
+    per-partition row count by >= 4x (32 salts over 32 partitions; the
+    floor is loose against balls-in-bins collisions among sub-keys —
+    hash(key, salt) placement is uniform, not round-robin). Fails if
+    salting stops helping."""
+    n = 400_000
+    fact = _zipfian_fact(spark, n)
+    parts = 32
+
+    def max_partition_rows(df, cols):
+        counts = (
+            df.repartition(parts, *[F.col(c) for c in cols])
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        return max(r["cnt"] for r in counts)
+
+    unsalted_max = max_partition_rows(fact, ["store_id"])
+    salted = fact.withColumn("_salt", (F.abs(F.col("row_id")) % 32))
+    salted_max = max_partition_rows(salted, ["store_id", "_salt"])
+
+    # the hot key alone is n/2 rows; its partition holds at least that
+    assert unsalted_max >= n // 2
+    assert salted_max * 4 <= unsalted_max, (
+        f"salting stopped helping: unsalted max {unsalted_max} rows/"
+        f"partition vs salted max {salted_max}"
+    )
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """Join-side skew is AQE's job (salting covers aggregation): on a
+    sort-merge join whose probe side has one partition ~100x the median,
+    the finalized adaptive plan must carry the skew-split marker. Conf
+    thresholds are lowered to make the sf-test-sized skew visible to the
+    detector (production defaults: 256MB / factor 5) and restored after.
+    """
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k in tuned:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        # incompressible per-row pad so the hot partition's COMPRESSED
+        # shuffle bytes clear the (lowered) skew threshold
+        fact = _zipfian_fact(spark, 400_000).withColumn(
+            "pad", F.sha2(F.col("row_id").cast("string"), 256)
+        )
+        dim = spark.range(_N_COLD + 1).select(
+            F.col("id").alias("store_id"),
+            F.concat(F.lit("store_"), F.col("id")).alias("store_name"),
+        )
+        joined = fact.join(dim, "store_id").select(
+            "store_name", "sale", "pad"
+        )
+        # aggregate consumes pad AFTER the join so column pruning keeps
+        # it in the fact-side shuffle; collect() executes THIS Dataset's
+        # QueryExecution, finalizing its adaptive plan in place
+        probe = joined.agg(
+            F.sum(F.length("pad")).alias("pad_bytes"),
+            F.sum("sale").alias("total"),
+        )
+        probe.collect()
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "skewed" in plan.lower(), (
+            "AQE skew-join split did not fire on a 50%-hot join key:\n"
+            + plan[:4000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_lsh_hot_bucket_clique_pairs(spark, tmp_path):
+    """A hot LSH bucket — 60 identical docs, every band colliding — is a
+    genuine near-dup cluster, the one shape where bucket fan-out is
+    irreducible. The banded pair join must emit exactly C(60,2) = 1770
+    clique pairs (all 8 minhashes matching), stay an equi-join (no
+    cartesian product in the plan), and not disturb pairs for the
+    unrelated filler corpus."""
+    from datawarehouse_project_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    clique = 60
+    filler = 200
+    rows = []
+    for i in range(clique):
+        rows.append((i, "the same exact near duplicate document text", "en"))
+    for i in range(filler):
+        rows.append(
+            (
+                clique + i,
+                f"unique filler words alpha{i} beta{i * 7} gamma{i * 13} "
+                f"delta{i * 29} epsilon{i * 31}",
+                "en",
+            )
+        )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array(["synthetic"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+
+    pairs = dedup_minhash_lsh_pairs(spark, str(tmp_path))
+    assert "CartesianProduct" not in pairs._jdf.queryExecution().executedPlan().toString()
+    got = pairs.filter(
+        (F.col("doc_a") < clique) & (F.col("doc_b") < clique)
+    )
+    rows_out = got.collect()
+    assert len(rows_out) == clique * (clique - 1) // 2
+    assert all(r["n_matching_minhash"] == 8 for r in rows_out)
