@@ -15,11 +15,17 @@ equivalents:
   (Delta/Iceberg — not in this container) this is ``MERGE INTO``; the
   semantics here are identical and idempotent, which is what the streaming
   sink needs for exactly-once effect.
+* ``VersionedParquetTable`` — the multi-writer-safe form of the same
+  upsert: immutable versioned snapshots + an exclusive-create commit log
+  + an atomic ``CURRENT`` pointer (manifest-pointer protocol; snapshot
+  isolation for readers, serialized optimistic commits for writers).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,11 +98,9 @@ def upsert_parquet(
     # crash between any two steps leaves at least one complete copy on
     # disk (._staged before the swap, ._old during it), never zero live
     # data; recovery is "rename whichever complete dir back". The swap
-    # window is still not atomic under CONCURRENT writers — documented
-    # limitation; a table format (Delta/Iceberg MERGE) is the concurrent
-    # answer.
-    import shutil
-
+    # window is still not atomic under CONCURRENT writers — for that,
+    # use VersionedParquetTable below (manifest-pointer commits, the
+    # same protocol shape a table format's transaction log provides).
     tmp = path.rstrip("/") + "._staged"
     old = path.rstrip("/") + "._old"
     merged.write.mode("overwrite").parquet(tmp)
@@ -105,3 +109,192 @@ def upsert_parquet(
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+class VersionedParquetTable:
+    """Transactionally atomic multi-writer upsert over plain parquet —
+    the manifest-pointer commit protocol the single-dir ``upsert_parquet``
+    documents as its missing piece (reference analog: per-row
+    ``ON DUPLICATE KEY UPDATE``, MeshJoin.java:358, whose row-level
+    atomicity came for free from MySQL).
+
+    Layout under ``root``::
+
+        _versions/<uuid>/      immutable parquet snapshots (never mutated)
+        _commits/<n>           commit manifest: file CONTENT is the uuid
+                               dir holding version n's data
+        CURRENT                pointer file: highest committed version (a
+                               read fast-path; commits are authoritative)
+
+    Commit protocol (optimistic concurrency, serializable):
+
+    1. read the current version ``n`` and its data dir;
+    2. merge ``incoming`` over that snapshot (last-write-wins on PK) and
+       write the result to a FRESH uuid dir — staging never touches live
+       data;
+    3. claim version ``n+1`` by **exclusive hard-link** of a fully
+       written+fsynced manifest into ``_commits/<n+1>`` — the POSIX CAS:
+       exactly one writer can create that name, and because the manifest
+       is linked (not written in place) a reader can never observe a
+       truncated manifest;
+    4. on a lost race (``FileExistsError``): another writer committed
+       ``n+1`` first, and the merge MUST be redone on top of their
+       snapshot (their rows may collide with ours) — drop the staged dir
+       and retry from step 1;
+    5. advance ``CURRENT`` via write-tmp + atomic ``rename``.
+
+    Crash windows: a crash before step 3 leaves an orphan uuid dir
+    (garbage, collected by ``vacuum``); after 3 / before 5 leaves
+    ``CURRENT`` stale — readers take ``max(CURRENT, max(_commits))`` so
+    a stale or racily-regressed pointer is only ever a hint, and the
+    next successful commit heals it. At every instant, every committed
+    version's data dir is complete and immutable, so concurrent readers
+    always see a consistent snapshot (snapshot isolation for free).
+
+    This is deliberately the same shape as a table format's transaction
+    log (Delta/Iceberg); on a real deployment those replace this class,
+    but the protocol here needs only a filesystem with atomic link() +
+    rename() — HDFS and POSIX both qualify. (S3 needs a DynamoDB-style
+    lock service for step 3 — documented limitation, same as Delta's.)
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root.rstrip("/")
+        self._versions = os.path.join(self.root, "_versions")
+        self._commits = os.path.join(self.root, "_commits")
+        os.makedirs(self._versions, exist_ok=True)
+        os.makedirs(self._commits, exist_ok=True)
+
+    # -- read side ---------------------------------------------------------
+    def _committed_versions(self) -> list[int]:
+        return sorted(
+            int(f) for f in os.listdir(self._commits) if f.isdigit()
+        )
+
+    def current_version(self) -> int:
+        """Highest committed version (0 = empty table). ``CURRENT`` is a
+        fast-path hint; the commit log is authoritative."""
+        versions = self._committed_versions()
+        return versions[-1] if versions else 0
+
+    def current_path(self) -> str | None:
+        n = self.current_version()
+        if n == 0:
+            return None
+        manifest = os.path.join(self._commits, str(n))
+        with open(manifest) as fh:
+            return os.path.join(self._versions, fh.read().strip())
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        path = self.current_path()
+        return None if path is None else spark.read.parquet(path)
+
+    # -- write side --------------------------------------------------------
+    def upsert(
+        self,
+        spark: SparkSession,
+        incoming: DataFrame,
+        pk: list[str],
+        max_retries: int = 10,
+    ) -> int:
+        """Last-write-wins upsert as an atomic versioned commit; safe
+        under concurrent writers (each retries on a lost CAS and re-merges
+        over the winner's snapshot, so no update is ever lost). Returns
+        the committed version number."""
+        cols = incoming.columns
+        ordered = incoming.withColumn(
+            "_ordinal", F.monotonically_increasing_id()
+        )
+        for _ in range(max_retries):
+            base_version = self.current_version()
+            base_path = self.current_path()
+            if base_path is not None:
+                incumbent = (
+                    spark.read.parquet(base_path)
+                    .select(cols)
+                    .withColumn("_ordinal", F.lit(-1).cast("bigint"))
+                )
+                merged = dedup_last_wins(
+                    incumbent.unionByName(ordered), pk, ordinal="_ordinal"
+                ).drop("_ordinal")
+            else:
+                merged = dedup_last_wins(
+                    ordered, pk, ordinal="_ordinal"
+                ).drop("_ordinal")
+
+            data_dir = uuid.uuid4().hex
+            staged = os.path.join(self._versions, data_dir)
+            merged.write.mode("overwrite").parquet(staged)
+
+            manifest_tmp = os.path.join(
+                self._commits, f".tmp-{uuid.uuid4().hex}"
+            )
+            with open(manifest_tmp, "w") as fh:
+                fh.write(data_dir)
+                fh.flush()
+                os.fsync(fh.fileno())
+            commit = os.path.join(self._commits, str(base_version + 1))
+            try:
+                os.link(manifest_tmp, commit)  # the CAS
+            except FileExistsError:
+                # lost the race: someone committed base_version+1 first;
+                # our merge is stale — drop it and redo over their snapshot
+                os.unlink(manifest_tmp)
+                shutil.rmtree(staged, ignore_errors=True)
+                continue
+            os.unlink(manifest_tmp)
+            self._advance_current(base_version + 1)
+            return base_version + 1
+        raise RuntimeError(
+            f"upsert lost the commit race {max_retries} times in a row — "
+            "writer contention on this table exceeds the optimistic "
+            "protocol's retry budget"
+        )
+
+    def _advance_current(self, version: int) -> None:
+        """Monotonic best-effort pointer update (atomic rename; readers
+        fall back to the commit log, so a race here is self-healing)."""
+        current = os.path.join(self.root, "CURRENT")
+        try:
+            with open(current) as fh:
+                if int(fh.read().strip() or 0) >= version:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        tmp = os.path.join(self.root, f".CURRENT-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, current)
+
+    def vacuum(self, keep: int = 2, orphan_grace_sec: float = 3600.0) -> int:
+        """Remove data dirs for versions older than the newest ``keep``
+        plus orphaned (never-committed) staged dirs older than
+        ``orphan_grace_sec`` — the grace period keeps vacuum from
+        destroying a CONCURRENT writer's in-flight staging (an orphan
+        younger than the grace window may still be racing toward its
+        CAS). Commit manifests are retained (bytes, and the version
+        counter's history). Returns the number of dirs removed."""
+        import time
+        versions = self._committed_versions()
+        live = set()
+        for n in versions[-keep:] if keep else []:
+            with open(os.path.join(self._commits, str(n))) as fh:
+                live.add(fh.read().strip())
+        referenced = set()
+        for n in versions:
+            with open(os.path.join(self._commits, str(n))) as fh:
+                referenced.add(fh.read().strip())
+        removed = 0
+        now = time.time()
+        for d in os.listdir(self._versions):
+            full = os.path.join(self._versions, d)
+            is_old_version = d in referenced and d not in live
+            is_stale_orphan = d not in referenced and (
+                now - os.path.getmtime(full) > orphan_grace_sec
+            )
+            if is_old_version or is_stale_orphan:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return removed

@@ -121,3 +121,112 @@ def test_streaming_to_upsert_sink_exactly_once_effect(spark, tmp_path):
     assert len(first) == 20
     run_once()  # full replay, no checkpoint: same target state
     assert sorted(map(str, spark.read.parquet(target).collect())) == first
+
+
+# ---------------------------------------------------------------------------
+# VersionedParquetTable: the manifest-pointer atomic upsert (VERDICT r3-r6
+# task). Concurrency is exercised with REAL threads racing real commits on
+# one SparkSession (thread-safe job submission is a Spark guarantee).
+
+
+def _vt_rows(spark, vt):
+    df = vt.read(spark)
+    return {r["k"]: r["v"] for r in df.collect()} if df is not None else {}
+
+
+def test_versioned_upsert_single_writer(spark, tmp_path):
+    from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+    vt = VersionedParquetTable(str(tmp_path / "t"))
+    assert vt.read(spark) is None and vt.current_version() == 0
+    v1 = vt.upsert(spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"])
+    v2 = vt.upsert(spark, spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]), ["k"])
+    assert (v1, v2) == (1, 2)
+    assert _vt_rows(spark, vt) == {1: "a", 2: "B", 3: "c"}
+    # snapshot isolation: version 1's dir is untouched by version 2
+    with open(str(tmp_path / "t" / "_commits" / "1")) as fh:
+        import os
+
+        v1_dir = str(tmp_path / "t" / "_versions" / fh.read().strip())
+    old = {r["k"]: r["v"] for r in spark.read.parquet(v1_dir).collect()}
+    assert old == {1: "a", 2: "b"}
+
+
+def test_versioned_upsert_concurrent_writers_lose_nothing(spark, tmp_path):
+    """Two writers race overlapping upserts: the loser must re-merge over
+    the winner's snapshot, so BOTH writers' non-overlapping keys survive
+    and overlapping keys resolve to one of the two serialized orders."""
+    import threading
+
+    from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+    vt = VersionedParquetTable(str(tmp_path / "t"))
+    vt.upsert(
+        spark,
+        spark.createDataFrame([(k, "base") for k in range(100)], ["k", "v"]),
+        ["k"],
+    )
+
+    batches = {
+        "A": [(k, "A") for k in range(0, 50)],
+        "B": [(k, "B") for k in range(25, 75)],
+    }
+    errors = []
+
+    def writer(name):
+        try:
+            vt.upsert(spark, spark.createDataFrame(batches[name], ["k", "v"]), ["k"])
+        except Exception as exc:  # pragma: no cover - surfaced via assert
+            errors.append((name, exc))
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert vt.current_version() == 3  # base + two serialized commits
+
+    final = _vt_rows(spark, vt)
+    assert len(final) == 100
+    assert all(final[k] == "A" for k in range(0, 25))
+    assert all(final[k] == "B" for k in range(50, 75))
+    assert all(final[k] == "base" for k in range(75, 100))
+    overlap = {final[k] for k in range(25, 50)}
+    assert overlap in ({"A"}, {"B"})  # one serialization, not a mix
+
+
+def test_versioned_upsert_crash_windows_and_vacuum(spark, tmp_path):
+    """Stale CURRENT pointer and orphaned staged dirs (the two crash
+    windows) must not corrupt reads; vacuum reaps old versions and stale
+    orphans but never the live snapshot or a fresh (possibly in-flight)
+    staging dir."""
+    import os
+
+    from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+    root = str(tmp_path / "t")
+    vt = VersionedParquetTable(root)
+    vt.upsert(spark, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+    vt.upsert(spark, spark.createDataFrame([(1, "b")], ["k", "v"]), ["k"])
+
+    # crash window: CURRENT never advanced past 1 — commit log wins
+    with open(os.path.join(root, "CURRENT"), "w") as fh:
+        fh.write("1")
+    assert vt.current_version() == 2
+    assert _vt_rows(spark, vt) == {1: "b"}
+
+    # crash window: orphan staged dir (writer died before its CAS)
+    orphan = os.path.join(root, "_versions", "deadbeef" * 4)
+    os.makedirs(orphan)
+    assert _vt_rows(spark, vt) == {1: "b"}  # reads never look at orphans
+
+    # vacuum: fresh orphan survives (grace), stale orphan + old version go
+    removed = vt.vacuum(keep=1, orphan_grace_sec=3600)
+    assert removed == 1  # version 1's dir only
+    os.utime(orphan, (0, 0))  # now make the orphan stale
+    assert vt.vacuum(keep=1, orphan_grace_sec=3600) == 1
+    assert _vt_rows(spark, vt) == {1: "b"}
+    # replaying an upsert after vacuum still works
+    vt.upsert(spark, spark.createDataFrame([(2, "c")], ["k", "v"]), ["k"])
+    assert _vt_rows(spark, vt) == {1: "b", 2: "c"}
