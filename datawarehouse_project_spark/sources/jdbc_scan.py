@@ -74,14 +74,25 @@ GROUP BY n_regionkey
 def jdbc_nation_dim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over the nation dim read through the PARTITIONED JDBC
     source (N_PARTITIONS bounded range queries on n_nationkey, streamed
-    in parallel — the S4 paged scan). Values must match the parquet
-    truth the database was seeded from, which is exactly what the oracle
-    checks."""
+    in parallel — the S4 paged scan). Partition bounds come from the
+    DATABASE ITSELF (a single-row MIN/MAX pushdown query over the same
+    JDBC connection — the real-world shape, where no parquet twin
+    exists); parquet is touched only to seed Derby. Values must match
+    the parquet truth the database was seeded from, which is exactly
+    what the oracle checks."""
     prepare(spark)
     url = seed_nation_jdbc(spark, sf_dir)
     bounds = (
-        table(spark, sf_dir, "nation")
-        .agg(F.min("n_nationkey"), F.max("n_nationkey"))
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            # Spark's JDBC writer creates case-exact quoted identifiers,
+            # so the pushdown query must quote them the same way
+            "query",
+            'SELECT MIN("n_nationkey") AS "lo", MAX("n_nationkey") AS "hi" '
+            "FROM nation",
+        )
+        .load()
         .first()
     )
     dim = spark.read.jdbc(
