@@ -30,13 +30,37 @@ ALWAYS_BROADCAST = {"region", "nation"}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table. Never collects; never caches globally.
+    """Load one star-schema table. Never collects; never caches data.
+
+    The resolved leaf ``DataFrame`` HANDLE is memoized per
+    ``(session, sf_dir, name)`` — this is a catalog, not a data cache: a
+    warehouse resolves a table (open footers, infer schema) once per
+    session, not once per query, and ``spark.read.parquet`` costs a
+    ~60-70 ms py4j/footer round-trip per call that repeated resolution
+    would pay 40+ times across the query catalog. The memo holds only
+    the logical scan relation; every execution re-lists and re-reads the
+    files, so data freshness is unaffected (only a schema-on-disk change
+    mid-session would need ``_table_cache.clear()``). The cache dict
+    lives on the session object itself, so its lifetime (and identity)
+    is exactly the session's.
 
     ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
     vectorized parquet reader rejects outright — read it as raw nanos
     (legacy conf) and truncate to a microsecond timestamp, matching how
     DuckDB coerces nanos to its µs TIMESTAMP.
     """
+    cache = getattr(spark, "_dw_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dw_table_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
+    cache[key] = _load_table(spark, sf_dir, name)
+    return cache[key]
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
