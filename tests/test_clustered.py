@@ -1,0 +1,103 @@
+"""Range-clustered layout: row-group min/max pruning evidence.
+
+The claim under test is the 100 TB one: sorting a fact on its filter key
+makes parquet footer statistics tight enough that a selective range
+predicate decodes only the overlapping row groups. We write the SAME
+rows in two layouts with the SAME file count — range-clustered vs
+hash-scattered — and assert from the footers (the reader's own prune
+input) that the clustered layout skips most row groups while the
+scattered one can skip none; and that both layouts return identical
+query results, so the layout is pure physics, no semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.sources.clustered import (
+    rowgroup_prune_stats,
+    write_range_clustered,
+)
+
+SF = "/root/testdata/sf0.001"
+N_FILES = 8
+LO = datetime.datetime(1998, 1, 1)
+HI = datetime.datetime(1998, 3, 31)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("clustered")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    clustered = str(base / "li_clustered")
+    scattered = str(base / "li_scattered")
+    write_range_clustered(li, clustered, "l_shipdate", n_files=N_FILES)
+    # same rows, same file count, same stats-capable timestamp encoding
+    # (TIMESTAMP_MICROS — INT96 would have no stats at all and make the
+    # control trivially unprunable), order destroyed — the layout-only
+    # control.
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        li.repartition(N_FILES).write.mode("overwrite").parquet(scattered)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    return clustered, scattered
+
+
+def test_clustered_layout_prunes_rowgroups(layouts):
+    clustered, scattered = layouts
+    c = rowgroup_prune_stats(clustered, "l_shipdate", LO, HI)
+    s = rowgroup_prune_stats(scattered, "l_shipdate", LO, HI)
+    # identical totals: same rows, same file count
+    assert c["rows"] == s["rows"]
+    assert c["row_groups"] == s["row_groups"] == N_FILES
+    # the ~3-month window is ~1/27 of the 1995-2001 key span: clustered
+    # row groups are equi-depth ranges, so at most 2 of 8 can overlap
+    # (the window plus one boundary straddle); scattered row groups all
+    # span the full key range, so not one can be skipped.
+    assert c["overlapping"] <= 2, c
+    assert s["overlapping"] == N_FILES, s
+    # decoded-row bound: the reader touches <= 2/8 of the data on the
+    # clustered layout vs 100% on the scattered one
+    assert c["overlapping_rows"] <= c["rows"] * (2 / N_FILES)
+    assert s["overlapping_rows"] == s["rows"]
+
+
+def test_clustered_scan_pushes_range_predicate(spark, layouts):
+    clustered, _ = layouts
+    df = spark.read.parquet(clustered).filter(
+        (F.col("l_shipdate") >= F.lit(LO)) & (F.col("l_shipdate") <= F.lit(HI))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the plan string elides long filter lists, so assert the block
+    # exists and at least the lower bound reached the scan un-truncated
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_layouts_are_value_identical(spark, layouts):
+    clustered, scattered = layouts
+
+    def agg(path):
+        return (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("l_shipdate") >= F.lit(LO))
+                & (F.col("l_shipdate") <= F.lit(HI))
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("l_extendedprice").alias("rev"),
+                F.countDistinct("l_orderkey").alias("orders"),
+            )
+            .collect()[0]
+        )
+
+    c, s = agg(clustered), agg(scattered)
+    assert c["n"] == s["n"] and c["n"] > 0
+    assert c["orders"] == s["orders"]
+    assert abs(c["rev"] - s["rev"]) < 1e-6
