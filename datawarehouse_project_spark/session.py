@@ -26,6 +26,14 @@ _RUNTIME_CONFS = {
     # (LTZ) under the pinned UTC session timezone gives identical values
     # batch-side and makes the same column watermarkable stream-side.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Write timestamps as TIMESTAMP_MICROS, not Spark's INT96 default:
+    # parquet writers emit NO min/max statistics for INT96 (deprecated as
+    # unreliable), so every INT96 time column is unprunable — no
+    # row-group skipping on time-range scans, ever, regardless of layout
+    # (sources/clustered.py is the evidence). INT64 micros is also what
+    # DuckDB/pyarrow read natively. Affects writes only; reads of either
+    # encoding are unchanged.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Adaptive execution: coalesce post-shuffle partitions, convert to
     # broadcast joins at runtime, split skewed partitions. This is the
     # 100 TB posture — plans degrade gracefully without code changes.
