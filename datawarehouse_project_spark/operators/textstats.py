@@ -272,3 +272,163 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             rolling_fingerprint(F.col("ws")).alias("rolling_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+wc AS (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS w FROM docwords)
+    GROUP BY 1, 2
+),
+wagg AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           MAX(c) AS top_w
+    FROM wc GROUP BY 1
+),
+bc AS (
+    SELECT doc_id, b, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS b
+          FROM docwords)
+    GROUP BY 1, 2
+),
+bagg AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_b
+    FROM bc GROUP BY 1
+)
+SELECT w.doc_id,
+       w.n_words,
+       w.n_distinct,
+       CAST(w.n_distinct AS DOUBLE) / w.n_words AS distinct_ratio,
+       CAST(w.top_w AS DOUBLE) / w.n_words AS top_word_frac,
+       COALESCE(CAST(b.top_b AS DOUBLE) / b.n_bigrams, 0.0) AS top_bigram_frac,
+       (CAST(w.top_w AS DOUBLE) / w.n_words > 0.125
+        OR COALESCE(CAST(b.top_b AS DOUBLE) / b.n_bigrams, 0.0) > 0.04)
+           AS flag_repetitious
+FROM wagg w LEFT JOIN bagg b USING (doc_id)
+""",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scores per document (the Gopher-rules
+    family, word-level): distinct-word ratio, top-word fraction, and
+    top-bigram fraction, plus a boolean quality flag combining them.
+    Boilerplate, keyword-stuffed, and template-generated text shows up as
+    a high top-n-gram fraction long before perplexity filters see it.
+
+    Plan shape: explode -> two-level hash aggregation. The (doc_id, gram)
+    partial aggregation collapses repeats map-side, the per-doc rollup
+    keys on doc_id alone — both uniform-hash shuffles, no skew hazard,
+    and the fractions are exact integer ratios (deterministic under any
+    partitioning; no float summation order in play).
+    """
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", words("text").alias("ws"))
+    n1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    wagg = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_w"),
+        )
+    )
+    bagg = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, n1),
+                    F.slice(F.col("ws"), 2, n1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_b"))
+    )
+    top_word_frac = F.col("top_w").cast("double") / F.col("n_words")
+    top_bigram_frac = F.coalesce(
+        F.col("top_b").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    return (
+        wagg.join(bagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+                "distinct_ratio"
+            ),
+            top_word_frac.alias("top_word_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            ((top_word_frac > 0.125) | (top_bigram_frac > 0.04)).alias(
+                "flag_repetitious"
+            ),
+        )
+    )
+
+
+#: Chunking geometry: 32-token windows advancing 24 tokens (8-token
+#: overlap) — the shape an embedding/training pipeline feeds encoders.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+WITH {DUCK_DOCWORDS}
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(ws, s + 1, s + {CHUNK_SIZE})) AS BIGINT)
+           AS n_tokens,
+       array_to_string(list_slice(ws, s + 1, s + {CHUNK_SIZE}), ' ')
+           AS chunk_text
+FROM (SELECT doc_id, ws,
+             unnest(generate_series(0, len(ws) - 1, {CHUNK_STRIDE})) AS s
+      FROM docwords)
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: fixed-size token windows with
+    overlap (size 32, stride 24 — ``CHUNK_SIZE``/``CHUNK_STRIDE``), the
+    context-window shaping step between a raw corpus and an
+    embedding/pre-training job.
+
+    Pure per-row work — ``sequence`` generates the window starts,
+    ``posexplode`` emits one row per chunk, ``slice`` cuts the window —
+    so the operator fuses into the scan with no shuffle at any scale
+    (the explain shows a single Generate over the scan). Output order is
+    keyed (doc_id, chunk_id), deterministic.
+    """
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", words("text").alias("ws"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("ws") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("ws"), F.col("s") + 1, CHUNK_SIZE)
+    return (
+        base.select("doc_id", "ws", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )

@@ -388,6 +388,10 @@ def q07j_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q07c_cube_store_product",
     order_by=["store_name", "product_name"],
+    # A7-family exemplar: q07_rollup_yearly carries the family's driver
+    # row; this stays under pytest oracle coverage so the bounded driver
+    # window (DRIVER_WINDOW=50) has room for the data-pipeline operators.
+    driver_facing=False,
     oracle=f"""
 WITH {FACT_CTE}
 SELECT store_name, product_name,
@@ -425,6 +429,8 @@ def q07c_cube_store_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q07g_grouping_sets",
     order_by=["store_name", "supplier_name"],
+    # A7-family exemplar — see q07c_cube_store_product's note.
+    driver_facing=False,
     oracle=f"""
 WITH {FACT_CTE}
 SELECT store_name, supplier_name,

@@ -127,3 +127,30 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if "CartesianProduct" in p:
             bad.append(name)
     assert not bad, f"unintended cartesian products in: {bad}"
+
+
+def test_chunking_is_shuffle_free_single_generate(spark, sf_dir):
+    """Document chunking is per-row work: one Generate (the posexplode of
+    window starts) fused over the scan, zero exchanges beyond the
+    explicit spread() rebalance — the shape that scales to any corpus."""
+    from datawarehouse_project_spark.operators.textstats import (
+        text_chunk_documents,
+    )
+
+    p = plan_of(text_chunk_documents(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in p
+    assert p.count("Generate") == 1
+
+
+def test_repetition_scores_partial_aggregates(spark, sf_dir):
+    """Both aggregation levels of the repetition scorer must partial-agg
+    map-side (HashAggregate pairs), and the final doc-level join of word
+    and bigram stats keys on doc_id — no cartesian, no nested loop."""
+    from datawarehouse_project_spark.operators.textstats import (
+        text_repetition_scores,
+    )
+
+    p = plan_of(text_repetition_scores(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final x two levels
