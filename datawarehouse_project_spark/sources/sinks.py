@@ -177,17 +177,48 @@ class VersionedParquetTable:
         versions = self._committed_versions()
         return versions[-1] if versions else 0
 
-    def current_path(self) -> str | None:
-        n = self.current_version()
-        if n == 0:
+    def versions(self) -> list[int]:
+        """All committed versions, oldest first (the readable history —
+        a version stays readable until ``vacuum`` reclaims its data)."""
+        return self._committed_versions()
+
+    def version_path(self, version: int) -> str | None:
+        """Data dir of a specific committed version (None for 0/unknown).
+
+        The manifest is immutable once hard-linked, so this lookup never
+        races a writer; whether the DATA still exists is a separate
+        question — ``vacuum`` keeps manifests (history) but may have
+        reclaimed old data dirs, in which case ``read`` raises like any
+        expired-snapshot read in a table format would."""
+        if version == 0 or version not in self._committed_versions():
             return None
-        manifest = os.path.join(self._commits, str(n))
+        manifest = os.path.join(self._commits, str(version))
         with open(manifest) as fh:
             return os.path.join(self._versions, fh.read().strip())
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        path = self.current_path()
-        return None if path is None else spark.read.parquet(path)
+    def current_path(self) -> str | None:
+        return self.version_path(self.current_version())
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """Snapshot read: the current version by default, or any committed
+        ``version`` (time travel). Every committed snapshot is immutable,
+        so a long-running job reading version N is never affected by
+        concurrent commits of N+1... — snapshot isolation without locks.
+
+        Raises ``ValueError`` for a version that was never committed;
+        raises the underlying read error for a vacuumed one."""
+        if version is None:
+            path = self.current_path()
+            return None if path is None else spark.read.parquet(path)
+        path = self.version_path(version)
+        if path is None:
+            raise ValueError(
+                f"version {version} was never committed to {self.root} "
+                f"(history: {self.versions() or 'empty'})"
+            )
+        return spark.read.parquet(path)
 
     # -- write side --------------------------------------------------------
     def upsert(

@@ -230,3 +230,33 @@ def test_versioned_upsert_crash_windows_and_vacuum(spark, tmp_path):
     # replaying an upsert after vacuum still works
     vt.upsert(spark, spark.createDataFrame([(2, "c")], ["k", "v"]), ["k"])
     assert _vt_rows(spark, vt) == {1: "b", 2: "c"}
+
+
+def test_versioned_time_travel_reads(spark, tmp_path):
+    """Every committed version stays readable by number (time travel);
+    unknown versions fail loudly; vacuum keeps history manifests but
+    reclaims old data."""
+    import pytest as _pytest
+
+    from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+    vt = VersionedParquetTable(str(tmp_path / "tt"))
+    vt.upsert(spark, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+    vt.upsert(spark, spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"]), ["k"])
+    vt.upsert(spark, spark.createDataFrame([(3, "c")], ["k", "v"]), ["k"])
+    assert vt.versions() == [1, 2, 3]
+
+    def rows(df):
+        return {r["k"]: r["v"] for r in df.collect()}
+
+    assert rows(vt.read(spark, version=1)) == {1: "a"}
+    assert rows(vt.read(spark, version=2)) == {1: "A", 2: "b"}
+    assert rows(vt.read(spark, version=3)) == rows(vt.read(spark))
+    with _pytest.raises(ValueError, match="never committed"):
+        vt.read(spark, version=9)
+    # vacuum to the newest 1: history stays listed, old data is gone
+    vt.vacuum(keep=1, orphan_grace_sec=0)
+    assert vt.versions() == [1, 2, 3]
+    assert rows(vt.read(spark, version=3)) == {1: "A", 2: "b", 3: "c"}
+    with _pytest.raises(Exception):
+        vt.read(spark, version=1).collect()
