@@ -852,3 +852,67 @@ scored AS (
 )
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.45
 """
+
+
+# -- pipeline text family (round 7) ----------------------------------------
+
+SPARK_SQL["text_repetition_scores"] = f"""
+WITH {SPARK_DOCWORDS},
+wc AS (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM (SELECT doc_id, explode(ws) AS w FROM docwords)
+    GROUP BY 1, 2
+),
+wagg AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           MAX(c) AS top_w
+    FROM wc GROUP BY 1
+),
+bc AS (
+    SELECT doc_id, b, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 explode(zip_with(
+                     slice(ws, 1, greatest(size(ws) - 1, 0)),
+                     slice(ws, 2, greatest(size(ws) - 1, 0)),
+                     (a, b) -> concat_ws(' ', a, b))) AS b
+          FROM docwords)
+    GROUP BY 1, 2
+),
+bagg AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_b
+    FROM bc GROUP BY 1
+)
+SELECT w.doc_id,
+       w.n_words,
+       w.n_distinct,
+       CAST(w.n_distinct AS DOUBLE) / w.n_words AS distinct_ratio,
+       CAST(w.top_w AS DOUBLE) / w.n_words AS top_word_frac,
+       COALESCE(CAST(b.top_b AS DOUBLE) / b.n_bigrams, 0.0D) AS top_bigram_frac,
+       (CAST(w.top_w AS DOUBLE) / w.n_words > 0.125
+        OR COALESCE(CAST(b.top_b AS DOUBLE) / b.n_bigrams, 0.0D) > 0.04)
+           AS flag_repetitious
+FROM wagg w LEFT JOIN bagg b USING (doc_id)
+"""
+
+
+def _chunk_sql() -> str:
+    from ..operators.textstats import CHUNK_SIZE, CHUNK_STRIDE
+
+    return f"""
+WITH {SPARK_DOCWORDS},
+starts AS (
+    SELECT doc_id, ws,
+           explode(sequence(0, greatest(size(ws) - 1, 0), {CHUNK_STRIDE})) AS s
+    FROM docwords
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(size(slice(ws, s + 1, {CHUNK_SIZE})) AS BIGINT) AS n_tokens,
+       concat_ws(' ', slice(ws, s + 1, {CHUNK_SIZE})) AS chunk_text
+FROM starts
+"""
+
+
+SPARK_SQL["text_chunk_documents"] = _chunk_sql()
