@@ -124,3 +124,77 @@ def rowgroup_prune_stats(
         "rows": rows,
         "overlapping_rows": overlapping_rows,
     }
+
+
+def zorder_column(df: DataFrame, keys: list[str], bits: int = 8):
+    """Z-value (Morton code) column interleaving ``bits``-bit equi-width
+    bucket ids of each key — 2+ dimensions supported, all JVM-side
+    expressions.
+
+    Equi-width bucketing from a one-row global MIN/MAX aggregate (the
+    same driver-side bounds pattern as the JDBC partitioned scan — a
+    2-value collect, not a data collect). Equi-depth bounds via
+    ``approxQuantile`` would tolerate skew better; equi-width keeps the
+    bucket map a pure expression, which is enough for the pruning
+    evidence and mirrors what Delta's Z-ORDER does with its range ids.
+
+    Returns ``(df_with_z, "_z")``."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
+        *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
+    ).first()
+    n_buckets = 1 << bits
+    bucket_cols = []
+    for i, k in enumerate(keys):
+        lo, hi = row[f"lo_{i}"], row[f"hi_{i}"]
+        span = max(float(hi) - float(lo), 1e-300)
+        b = F.floor(
+            (F.col(k).cast("double") - F.lit(float(lo)))
+            / F.lit(span)
+            * n_buckets
+        ).cast("long")
+        bucket_cols.append(F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)))
+    ndim = len(keys)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for d, b in enumerate(bucket_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    bit * ndim + d,
+                )
+            )
+    return df.withColumn("_z", z), "_z"
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, keys: list[str], n_files: int = 8, bits: int = 8
+) -> None:
+    """Persist ``df`` clustered on the z-curve over ``keys``: each file
+    covers a contiguous z-range, i.e. a bounded region in EVERY key
+    dimension, so range predicates on ANY of the keys prune row groups —
+    the multi-column generalization of ``write_range_clustered``, which
+    prunes perfectly on one key and not at all on the others. Same write
+    cost (one range exchange + local sort); ``_z`` is dropped from the
+    stored table (derivable, and the reader prunes on the key columns'
+    own stats, not on z)."""
+    zdf, zcol = zorder_column(df, keys, bits=bits)
+    spark = df.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        (
+            zdf.repartitionByRange(n_files, zcol)
+            .sortWithinPartitions(zcol)
+            .drop(zcol)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)

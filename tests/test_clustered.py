@@ -101,3 +101,73 @@ def test_layouts_are_value_identical(spark, layouts):
     assert c["n"] == s["n"] and c["n"] > 0
     assert c["orders"] == s["orders"]
     assert abs(c["rev"] - s["rev"]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-dimension) clustering: each file covers a contiguous
+# z-range = a bounded region in EVERY key dimension, so range predicates
+# on ANY clustered key prune row groups. The 1-D layout is the control:
+# perfect on its own key, blind on the other.
+
+ZK = ["l_partkey", "l_suppkey"]
+
+
+@pytest.fixture(scope="module")
+def z_layouts(spark, tmp_path_factory):
+    from datawarehouse_project_spark.sources.clustered import (
+        write_zorder_clustered,
+    )
+
+    base = tmp_path_factory.mktemp("zorder")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    zpath = str(base / "li_z")
+    onedim = str(base / "li_1d")
+    write_zorder_clustered(li, zpath, ZK, n_files=N_FILES)
+    write_range_clustered(li, onedim, "l_partkey", n_files=N_FILES)
+    return zpath, onedim
+
+
+def test_zorder_prunes_on_both_dimensions(z_layouts):
+    zpath, onedim = z_layouts
+    # windows sit inside one high-z-bit region of each key's span
+    # (l_partkey 0..199, l_suppkey 0..9 at this sf)
+    pk = rowgroup_prune_stats(zpath, "l_partkey", 40, 60)
+    sk = rowgroup_prune_stats(zpath, "l_suppkey", 2, 3)
+    assert pk["row_groups"] == sk["row_groups"] == N_FILES
+    # both dimensions prune (measured: 4-5 of 8); neither is blind
+    assert pk["overlapping"] <= 6, pk
+    assert sk["overlapping"] <= 6, sk
+
+
+def test_zorder_vs_onedim_tradeoff(z_layouts):
+    """1-D clustering is strictly better on its own key and strictly
+    blind on the other; z-order trades a little of the first for all of
+    the second — the reason multi-predicate facts get z-ordered."""
+    zpath, onedim = z_layouts
+    own_1d = rowgroup_prune_stats(onedim, "l_partkey", 40, 60)
+    other_1d = rowgroup_prune_stats(onedim, "l_suppkey", 2, 3)
+    own_z = rowgroup_prune_stats(zpath, "l_partkey", 40, 60)
+    assert own_1d["overlapping"] <= 2          # 1-D: perfect on its key
+    assert other_1d["overlapping"] == N_FILES  # 1-D: blind on the other
+    assert own_1d["overlapping"] <= own_z["overlapping"]  # the trade
+
+
+def test_zorder_layout_value_identical(spark, z_layouts):
+    zpath, _ = z_layouts
+    src = spark.read.parquet(f"{SF}/lineitem.parquet")
+    zdf = spark.read.parquet(zpath)
+    pred = (
+        (F.col("l_partkey").between(40, 60))
+        & (F.col("l_suppkey").between(2, 3))
+    )
+
+    def agg(df):
+        r = df.filter(pred).agg(
+            F.count("*").alias("n"), F.sum("l_extendedprice").alias("rev")
+        ).collect()[0]
+        return r["n"], round(r["rev"] or 0.0, 6)
+
+    assert agg(zdf) == agg(src)
+    assert agg(zdf)[0] > 0
+    # the z column is derivable layout metadata, not stored schema
+    assert "_z" not in zdf.columns
