@@ -24,6 +24,7 @@ equivalents:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -220,6 +221,31 @@ class VersionedParquetTable:
             )
         return spark.read.parquet(path)
 
+    # -- idempotent-writer ledger -----------------------------------------
+    def _read_txns(self, data_dir: str) -> dict[str, int]:
+        """Writer-ledger of a snapshot: ``{app_id: last_applied_version}``
+        from the ``_txn_<app>`` files stored INSIDE the version's data
+        dir. Underscore-prefixed files are invisible to Spark's parquet
+        file index, and living in the immutable snapshot makes the
+        ledger exactly as atomic as the data it describes."""
+        out: dict[str, int] = {}
+        try:
+            names = os.listdir(data_dir)
+        except FileNotFoundError:
+            return out
+        for f in names:
+            if f.startswith("_txn_"):
+                with open(os.path.join(data_dir, f)) as fh:
+                    out[f[len("_txn_"):]] = int(fh.read().strip())
+        return out
+
+    def last_txn(self, app_id: str) -> int | None:
+        """Highest transaction version committed by ``app_id`` (None if it
+        never wrote) — the idempotence watermark for monotonic writers
+        like Structured Streaming's foreachBatch epochs."""
+        path = self.current_path()
+        return None if path is None else self._read_txns(path).get(app_id)
+
     # -- write side --------------------------------------------------------
     def upsert(
         self,
@@ -227,11 +253,23 @@ class VersionedParquetTable:
         incoming: DataFrame,
         pk: list[str],
         max_retries: int = 10,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Last-write-wins upsert as an atomic versioned commit; safe
         under concurrent writers (each retries on a lost CAS and re-merges
         over the winner's snapshot, so no update is ever lost). Returns
-        the committed version number."""
+        the committed version number.
+
+        ``txn=(app_id, version)`` makes the write IDEMPOTENT for a
+        monotonic writer (the Delta ``txnAppId``/``txnVersion`` pattern):
+        if the current snapshot's ledger already records ``>= version``
+        for ``app_id`` the call is a no-op returning the current table
+        version. The ledger travels inside each immutable snapshot (and
+        is copied forward on every commit), so "data applied" and
+        "version recorded" are one atomic event — the property that makes
+        at-least-once replay (a restarted stream re-running an epoch)
+        exactly-once in effect, even for NON-idempotent merges like
+        additive rollups."""
         cols = incoming.columns
         ordered = incoming.withColumn(
             "_ordinal", F.monotonically_increasing_id()
@@ -239,6 +277,18 @@ class VersionedParquetTable:
         for _ in range(max_retries):
             base_version = self.current_version()
             base_path = self.current_path()
+            ledger = {} if base_path is None else self._read_txns(base_path)
+            if txn is not None:
+                app_id, txn_version = txn
+                if not re.fullmatch(r"[A-Za-z0-9._-]+", app_id):
+                    raise ValueError(
+                        f"txn app_id {app_id!r} must match [A-Za-z0-9._-]+ "
+                        "(it becomes a ledger filename)"
+                    )
+                last = ledger.get(app_id)
+                if last is not None and txn_version <= last:
+                    return base_version  # already applied — idempotent no-op
+                ledger = {**ledger, app_id: txn_version}
             if base_path is not None:
                 incumbent = (
                     spark.read.parquet(base_path)
@@ -256,6 +306,11 @@ class VersionedParquetTable:
             data_dir = uuid.uuid4().hex
             staged = os.path.join(self._versions, data_dir)
             merged.write.mode("overwrite").parquet(staged)
+            for app_id, v in ledger.items():
+                with open(os.path.join(staged, f"_txn_{app_id}"), "w") as fh:
+                    fh.write(str(v))
+                    fh.flush()
+                    os.fsync(fh.fileno())
 
             manifest_tmp = os.path.join(
                 self._commits, f".tmp-{uuid.uuid4().hex}"
