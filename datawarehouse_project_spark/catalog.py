@@ -20,6 +20,7 @@ from .plans.registry import REGISTRY, resolve_oracle
 from .operators import dedup as _dedup  # noqa: F401
 from .operators import events as _events  # noqa: F401
 from .operators import multimodal as _multimodal  # noqa: F401
+from .operators import quality as _quality  # noqa: F401
 from .operators import relational as _relational  # noqa: F401
 from .operators import sampling as _sampling  # noqa: F401
 from .operators import similarity as _similarity  # noqa: F401

@@ -1,0 +1,137 @@
+"""Declarative data-quality audit: constraint checks as a queryable report.
+
+The reference's cleaning (metro.sql enrichment + MeshJoin.java:114-132
+parse guards, SURVEY §2.2 P7-P11) FIXES rows on the way in; a warehouse
+also needs the read-side twin — *audit* the constraints and report
+violation counts without mutating anything, so ingestion regressions
+surface as numbers a scheduler can alert on.
+
+Three check shapes, each in its scale-correct plan:
+
+* row predicates (``dq_audit``) — ONE pass over the table: every rule is
+  a conditional-sum aggregate, all rules share the single scan, and the
+  wide aggregate row is unpivoted to (rule, n_violations) with ``stack``.
+  No shuffle at all beyond the final single-row aggregate.
+* referential integrity (``dq_orphans``) — LEFT ANTI join child→parent
+  on the key: the standard shuffle/broadcast equi-join, never a
+  cartesian; count of orphans.
+* key uniqueness (``dq_duplicates``) — ``count(*) - count(distinct key)``
+  via a two-level aggregate (partial map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..plans.registry import register
+from ..session import prepare
+
+
+def dq_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """One-pass rule audit: ``checks`` maps rule name → VIOLATION
+    predicate. Returns (rule, n_violations), one row per rule, computed
+    in a single scan-plus-aggregate regardless of rule count."""
+    agg = df.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            for name, cond in checks.items()
+        ]
+    )
+    names = list(checks)
+    stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
+    return agg.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"
+    )
+
+
+def dq_orphans(child: DataFrame, parent: DataFrame, keys: list[str]) -> int:
+    """Referential-integrity violation count: child rows whose key has no
+    parent (LEFT ANTI equi-join)."""
+    return child.join(parent.select(*keys).distinct(), keys, "left_anti").count()
+
+
+def dq_duplicates(df: DataFrame, keys: list[str]) -> int:
+    """Primary-key uniqueness violation count: rows beyond the first per
+    key (0 when the key is unique)."""
+    row = df.agg(
+        (F.count("*") - F.countDistinct(*keys)).cast("bigint").alias("d")
+    ).first()
+    return int(row["d"])
+
+
+@register(
+    "dq_audit_orders_lineitem",
+    driver_facing=False,
+    oracle="""
+SELECT 'lineitem_discount_out_of_range' AS rule,
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity',
+       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_suspect_high_quantity',
+       CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_duplicate_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_nonpositive_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_null_orderdate',
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+""",
+)
+def dq_audit_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the orders/lineitem pair: range checks and
+    null guards (one pass per table), PK uniqueness, and lineitem→orders
+    referential integrity. Output is (rule, n_violations) — stable rule
+    names, deterministic counts, alert-ready."""
+    prepare(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    order_rules = dq_audit(
+        orders,
+        {
+            "orders_nonpositive_totalprice": F.col("o_totalprice") <= 0,
+            "orders_null_orderdate": F.col("o_orderdate").isNull(),
+        },
+    )
+    li_rules = dq_audit(
+        li,
+        {
+            "lineitem_discount_out_of_range": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1),
+            "lineitem_nonpositive_quantity": F.col("l_quantity") <= 0,
+            "lineitem_suspect_high_quantity": F.col("l_quantity") > 40,
+        },
+    )
+    scalars = spark.createDataFrame(
+        [
+            (
+                "lineitem_orphan_orderkey",
+                dq_orphans(
+                    li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                    orders,
+                    ["o_orderkey"],
+                ),
+            ),
+            ("orders_duplicate_orderkey", dq_duplicates(orders, ["o_orderkey"])),
+        ],
+        "rule string, n_violations bigint",
+    )
+    return order_rules.unionByName(li_rules).unionByName(scalars)
