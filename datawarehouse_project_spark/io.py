@@ -37,12 +37,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     warehouse resolves a table (open footers, infer schema) once per
     session, not once per query, and ``spark.read.parquet`` costs a
     ~60-70 ms py4j/footer round-trip per call that repeated resolution
-    would pay 40+ times across the query catalog. The memo holds only
-    the logical scan relation; every execution re-lists and re-reads the
-    files, so data freshness is unaffected (only a schema-on-disk change
-    mid-session would need ``_table_cache.clear()``). The cache dict
-    lives on the session object itself, so its lifetime (and identity)
-    is exactly the session's.
+    would pay 40+ times across the query catalog. The memo holds the
+    logical scan relation — schema AND file listing are pinned at
+    resolution time (Spark's ``InMemoryFileIndex``); data PAGES are
+    re-read on every execution. The driver's sf dirs are immutable, so
+    pinning is correct here; a caller pointing at a mutable directory
+    whose file set changes mid-session should clear the memo
+    (``spark._dw_table_cache.clear()``) to re-resolve, exactly as a
+    warehouse would refresh its catalog entry (``REFRESH TABLE``). The
+    cache dict lives on the session object itself, so its lifetime (and
+    identity) is exactly the session's.
 
     ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
     vectorized parquet reader rejects outright — read it as raw nanos

@@ -65,23 +65,57 @@ class IncrementalRollup:
         table version. With ``batch_id`` (monotonic, e.g. a foreachBatch
         epoch id) the call is idempotent under replay — the additive
         merge is guarded by the snapshot's writer ledger, so a re-run of
-        an already-applied batch changes nothing."""
-        if batch_id is not None:
-            last = self.table.last_txn(app_id)
-            if last is not None and batch_id <= last:
-                return self.table.current_version()
-        partial = self._partial(batch)
-        state = self.table.read(spark)
-        if state is not None:
-            affected = state.join(
-                partial.select(*self.keys).distinct(), self.keys, "left_semi"
-            )
-            partial = affected.unionByName(partial).groupBy(*self.keys).agg(
-                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
-                F.sum("n_rows").alias("n_rows"),
-            )
+        an already-applied batch changes nothing.
+
+        The read-fold-write is a table-level compare-and-swap
+        (``expected_base``): if another writer commits between our state
+        read and our commit, the fold was derived from a stale snapshot
+        and silently last-write-winning would drop the other writer's
+        addend — so the table refuses, and we re-read + re-fold. NULL
+        group keys are folded with null-safe equality (SQL ``<=>``),
+        matching the NULL-grouping semantics of GROUP BY itself."""
+        from ..sources.sinks import ConcurrentWriteError
+
+        base_partial = self._partial(batch)
         txn = (app_id, batch_id) if batch_id is not None else None
-        return self.table.upsert(spark, partial, self.keys, txn=txn)
+        for _ in range(10):
+            if batch_id is not None:
+                last = self.table.last_txn(app_id)
+                if last is not None and batch_id <= last:
+                    return self.table.current_version()
+            base_version = self.table.current_version()
+            state = self.table.read(spark)
+            partial = base_partial
+            if state is not None:
+                batch_keys = base_partial.select(*self.keys).distinct()
+                cond = None
+                for k in self.keys:
+                    c = state[k].eqNullSafe(batch_keys[k])
+                    cond = c if cond is None else cond & c
+                affected = state.join(batch_keys, cond, "left_semi")
+                partial = affected.unionByName(base_partial).groupBy(
+                    *self.keys
+                ).agg(
+                    *[
+                        F.sum(f"sum_{c}").alias(f"sum_{c}")
+                        for c in self.sum_cols
+                    ],
+                    F.sum("n_rows").alias("n_rows"),
+                )
+            try:
+                return self.table.upsert(
+                    spark,
+                    partial,
+                    self.keys,
+                    txn=txn,
+                    expected_base=base_version,
+                )
+            except ConcurrentWriteError:
+                continue  # another writer landed: re-read and re-fold
+        raise RuntimeError(
+            "apply_batch lost the commit race 10 times in a row — writer "
+            "contention on this rollup exceeds the retry budget"
+        )
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Current rollup state (None before the first batch)."""

@@ -32,7 +32,19 @@ from ..session import prepare
 def dq_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """One-pass rule audit: ``checks`` maps rule name → VIOLATION
     predicate. Returns (rule, n_violations), one row per rule, computed
-    in a single scan-plus-aggregate regardless of rule count."""
+    in a single scan-plus-aggregate regardless of rule count.
+
+    Rule names become SQL identifiers/literals inside the ``stack``
+    unpivot, so they are restricted to word characters — a quote or
+    backtick in a name would otherwise break the generated expression."""
+    import re
+
+    for name in checks:
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(
+                f"rule name {name!r} must match [A-Za-z0-9_]+ (it is "
+                "embedded in the unpivot expression)"
+            )
     agg = df.agg(
         *[
             F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
@@ -120,18 +132,30 @@ def dq_audit_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lineitem_suspect_high_quantity": F.col("l_quantity") > 40,
         },
     )
-    scalars = spark.createDataFrame(
-        [
-            (
-                "lineitem_orphan_orderkey",
-                dq_orphans(
-                    li.withColumnRenamed("l_orderkey", "o_orderkey"),
-                    orders,
-                    ["o_orderkey"],
-                ),
-            ),
-            ("orders_duplicate_orderkey", dq_duplicates(orders, ["o_orderkey"])),
-        ],
-        "rule string, n_violations bigint",
+    # the join/uniqueness checks stay LAZY single-row frames (the int
+    # helpers dq_orphans/dq_duplicates are for imperative callers):
+    # registered builders must not run jobs at plan-build time — the
+    # plan-shape sweep builds every catalog entry just to inspect it.
+    orphans = (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(orders.select("o_orderkey").distinct(), ["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("lineitem_orphan_orderkey").alias("rule"), "n_violations"
+        )
     )
-    return order_rules.unionByName(li_rules).unionByName(scalars)
+    dups = (
+        orders.agg(
+            (F.count("*") - F.countDistinct("o_orderkey"))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        .select(
+            F.lit("orders_duplicate_orderkey").alias("rule"), "n_violations"
+        )
+    )
+    return (
+        order_rules.unionByName(li_rules)
+        .unionByName(orphans)
+        .unionByName(dups)
+    )

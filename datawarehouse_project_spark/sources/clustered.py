@@ -101,6 +101,8 @@ def rowgroup_prune_stats(
     total = overlapping = rows = overlapping_rows = 0
     for f in files:
         meta = pq.ParquetFile(f).metadata
+        if meta.num_row_groups == 0:
+            continue  # metadata-only file (empty write): nothing to prune
         idx = {
             meta.row_group(0).column(i).path_in_schema: i
             for i in range(meta.row_group(0).num_columns)
@@ -138,24 +140,61 @@ def zorder_column(df: DataFrame, keys: list[str], bits: int = 8):
     bucket map a pure expression, which is enough for the pruning
     evidence and mirrors what Delta's Z-ORDER does with its range ids.
 
+    Keys may be numeric, date, or timestamp — temporal keys are
+    normalized to epoch numbers (``cast timestamp -> long`` seconds /
+    ``date -> epoch days``) BEFORE the bounds aggregate, so the Python
+    side only ever sees numbers. String keys are rejected with a clear
+    error (lexicographic ranks need a dictionary pass, not a linear
+    map). NULL key values sort to bucket 0; an empty input is rejected
+    (there is nothing to cluster and no bounds to compute).
+
     Returns ``(df_with_z, "_z")``."""
     from pyspark.sql import functions as F
 
+    dtypes = dict(df.dtypes)
+    num_exprs = []
+    for k in keys:
+        t = dtypes[k]
+        if t == "date":
+            num_exprs.append(F.datediff(F.col(k), F.lit("1970-01-01")))
+        elif t.startswith("timestamp"):
+            num_exprs.append(F.col(k).cast("long"))
+        elif t in ("string", "binary", "boolean"):
+            raise ValueError(
+                f"z-order key {k!r} has type {t}: only numeric, date, and "
+                "timestamp keys have a linear bucket map"
+            )
+        else:
+            num_exprs.append(F.col(k))
     row = df.agg(
-        *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
-        *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
+        *[
+            F.min(e.cast("double")).alias(f"lo_{i}")
+            for i, e in enumerate(num_exprs)
+        ],
+        *[
+            F.max(e.cast("double")).alias(f"hi_{i}")
+            for i, e in enumerate(num_exprs)
+        ],
     ).first()
     n_buckets = 1 << bits
     bucket_cols = []
-    for i, k in enumerate(keys):
+    for i, (k, e) in enumerate(zip(keys, num_exprs)):
         lo, hi = row[f"lo_{i}"], row[f"hi_{i}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order key {k!r} has no non-NULL values (empty input?) — "
+                "no bounds to bucket against"
+            )
         span = max(float(hi) - float(lo), 1e-300)
         b = F.floor(
-            (F.col(k).cast("double") - F.lit(float(lo)))
-            / F.lit(span)
-            * n_buckets
+            (e.cast("double") - F.lit(float(lo))) / F.lit(span) * n_buckets
         ).cast("long")
-        bucket_cols.append(F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)))
+        bucket_cols.append(
+            F.coalesce(
+                F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)),
+                F.lit(0),
+            )
+        )
     ndim = len(keys)
     z = F.lit(0).cast("long")
     for bit in range(bits):

@@ -112,6 +112,14 @@ def upsert_parquet(
     shutil.rmtree(old, ignore_errors=True)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised by ``VersionedParquetTable.upsert(expected_base=...)`` when
+    another writer committed first: the caller's merge was derived from a
+    snapshot that is no longer current and must be recomputed — a
+    last-write-wins retry inside upsert would silently drop the other
+    writer's effect for read-modify-write callers (additive rollups)."""
+
+
 class VersionedParquetTable:
     """Transactionally atomic multi-writer upsert over plain parquet —
     the manifest-pointer commit protocol the single-dir ``upsert_parquet``
@@ -254,6 +262,7 @@ class VersionedParquetTable:
         pk: list[str],
         max_retries: int = 10,
         txn: tuple[str, int] | None = None,
+        expected_base: int | None = None,
     ) -> int:
         """Last-write-wins upsert as an atomic versioned commit; safe
         under concurrent writers (each retries on a lost CAS and re-merges
@@ -269,13 +278,28 @@ class VersionedParquetTable:
         "version recorded" are one atomic event — the property that makes
         at-least-once replay (a restarted stream re-running an epoch)
         exactly-once in effect, even for NON-idempotent merges like
-        additive rollups."""
+        additive rollups.
+
+        ``expected_base`` turns the call into a table-level compare-and-
+        swap for read-modify-write callers: if the current version is no
+        longer ``expected_base`` (another writer committed first), the
+        call raises :class:`ConcurrentWriteError` instead of silently
+        last-write-wins-ing over the other writer's effect — the caller
+        must re-read, re-derive ``incoming``, and retry. Plain upserts
+        (incoming rows ARE the truth for their PKs) leave it None and get
+        the internal retry."""
         cols = incoming.columns
         ordered = incoming.withColumn(
             "_ordinal", F.monotonically_increasing_id()
         )
         for _ in range(max_retries):
             base_version = self.current_version()
+            if expected_base is not None and base_version != expected_base:
+                raise ConcurrentWriteError(
+                    f"table {self.root} is at version {base_version}, "
+                    f"caller derived its merge from {expected_base} — "
+                    "re-read and recompute"
+                )
             base_path = self.current_path()
             ledger = {} if base_path is None else self._read_txns(base_path)
             if txn is not None:

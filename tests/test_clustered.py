@@ -38,13 +38,18 @@ def layouts(spark, tmp_path_factory):
     # (TIMESTAMP_MICROS — INT96 would have no stats at all and make the
     # control trivially unprunable), order destroyed — the layout-only
     # control.
-    spark.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
     try:
         li.repartition(N_FILES).write.mode("overwrite").parquet(scattered)
     finally:
-        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        # restore, don't unset: unset would revert the shared session to
+        # Spark's INT96 default, clobbering session.py's engine-wide conf
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return clustered, scattered
 
 
@@ -171,3 +176,32 @@ def test_zorder_layout_value_identical(spark, z_layouts):
     assert agg(zdf)[0] > 0
     # the z column is derivable layout metadata, not stored schema
     assert "_z" not in zdf.columns
+
+
+def test_zorder_supports_temporal_keys(spark, tmp_path):
+    """Timestamp keys are the marquee clustering case: z-order on
+    (l_shipdate, l_partkey) must write and prune on the time dimension."""
+    from datawarehouse_project_spark.sources.clustered import (
+        write_zorder_clustered,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "li_zt")
+    write_zorder_clustered(li, path, ["l_shipdate", "l_partkey"], n_files=N_FILES)
+    st = rowgroup_prune_stats(path, "l_shipdate", LO, HI)
+    assert st["row_groups"] == N_FILES
+    assert st["overlapping"] < N_FILES  # time predicate prunes something
+    # values survive the layout round-trip
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_zorder_rejects_string_keys_and_empty_input(spark, tmp_path):
+    import pytest as _pytest
+
+    from datawarehouse_project_spark.sources.clustered import zorder_column
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    with _pytest.raises(ValueError, match="linear bucket map"):
+        zorder_column(li, ["l_returnflag", "l_partkey"])
+    with _pytest.raises(ValueError, match="no non-NULL values"):
+        zorder_column(li.filter(F.lit(False)), ["l_partkey", "l_suppkey"])

@@ -111,3 +111,35 @@ def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
     before = _as_map(roll.read(spark))
     run()  # replay: same epochs, same app -> ledger absorbs everything
     assert _as_map(roll.read(spark)) == before
+
+
+def test_concurrent_rollup_writers_lose_no_addends(spark, tmp_path):
+    """Two rollup writers (different apps) race folds into one table: the
+    table-level CAS makes the loser re-read and re-fold, so BOTH addends
+    must land — last-write-wins without the CAS would silently drop one."""
+    import threading
+
+    orders = table(spark, SF, "orders")
+    b0 = orders.filter(F.col("o_orderkey") % 2 == 0).localCheckpoint(eager=True)
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 1).localCheckpoint(eager=True)
+    root = str(tmp_path / "croll")
+    errs = []
+
+    def writer(batch, app):
+        try:
+            roll = IncrementalRollup(root, KEYS, [MEASURE])
+            roll.apply_batch(spark, batch, batch_id=0, app_id=app)
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(b0, "even")),
+        threading.Thread(target=writer, args=(b1, "odd")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    roll = IncrementalRollup(root, KEYS, [MEASURE])
+    _assert_state_equals(roll.read(spark), _full_recompute(orders))
