@@ -71,3 +71,71 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter((h % _MOD) < rate).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+#: Train/val/test per-mille boundaries: [0, 900) train, [900, 950) val,
+#: [950, 1000) test — the standard 90/5/5 carve.
+SPLIT_BOUNDS = (900, 950)
+_SPLIT_SALT = "split:"
+
+
+@register(
+    "sample_train_val_test",
+    driver_facing=False,
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, lang,
+           {DUCK_H.format(x=f"('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR))")}
+               % {_MOD} AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < {SPLIT_BOUNDS[0]} THEN 'train'
+            WHEN bucket < {SPLIT_BOUNDS[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM h
+GROUP BY 1, 2
+""",
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the salted portable hash
+    of doc_id buckets every document into [0, 1000), carved 90/5/5. The
+    same properties as the stratified sampler — stable across reruns,
+    engines, partitionings, and incremental loads (a new document never
+    flips an old one's split, the non-negotiable requirement for
+    eval-set hygiene) — plus disjointness and exhaustiveness BY
+    CONSTRUCTION (one bucket value, three non-overlapping ranges).
+    Returns the per-(split, lang) census with id bounds; the per-row
+    assignment is the same expression without the rollup, shuffle-free
+    at any scale."""
+    prepare(spark)
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = h % _MOD
+    split = (
+        F.when(bucket < SPLIT_BOUNDS[0], "train")
+        .when(bucket < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
