@@ -51,6 +51,7 @@ NEUTRAL_AS_IS = [
     "bigjoin_order_priority_revenue",
     "dedup_exact_md5",
     "dedup_lastwins_upsert",
+    "dq_audit_orders_lineitem",
     "events_distinct_users",
     "events_enrich_meshjoin",
     "events_value_moments",
