@@ -195,13 +195,150 @@ def test_zorder_supports_temporal_keys(spark, tmp_path):
     assert spark.read.parquet(path).count() == li.count()
 
 
-def test_zorder_rejects_string_keys_and_empty_input(spark, tmp_path):
+def test_zorder_rejects_bad_keys_and_empty_input(spark, tmp_path):
     import pytest as _pytest
 
     from datawarehouse_project_spark.sources.clustered import zorder_column
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
-    with _pytest.raises(ValueError, match="linear bucket map"):
-        zorder_column(li, ["l_returnflag", "l_partkey"])
+    with _pytest.raises(ValueError, match="range bucketing"):
+        zorder_column(li.withColumn("flag", F.lit(True)), ["flag", "l_partkey"])
     with _pytest.raises(ValueError, match="no non-NULL values"):
         zorder_column(li.filter(F.lit(False)), ["l_partkey", "l_suppkey"])
+    with _pytest.raises(ValueError, match="no non-NULL values"):
+        zorder_column(
+            li.filter(F.lit(False)), ["l_partkey", "l_suppkey"],
+            method="depth",
+        )
+    with _pytest.raises(ValueError, match="method"):
+        zorder_column(li, ["l_partkey"], method="median")
+
+
+def test_zorder_rejects_bit_overflow(spark):
+    """bits * ndim > 63 would wrap shiftleft's masked shift count and
+    silently collide bucket bits across dimensions — must refuse."""
+    import pytest as _pytest
+
+    from datawarehouse_project_spark.sources.clustered import zorder_column
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        zorder_column(li, ["l_partkey", "l_suppkey"], bits=32)
+    # 31 bits x 2 dims = 62 bits is fine
+    zdf, _ = zorder_column(li.limit(10), ["l_partkey", "l_suppkey"], bits=31)
+    assert zdf.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth z-order under skew: equi-width bucketing collapses a skewed
+# key's mass into a handful of buckets, the z-curve degenerates to the
+# other dimension, and the skewed key stops pruning. Equi-depth
+# (approxQuantile boundaries) keeps every bucket ~equally populated, so
+# the layout prunes on the skewed key too. Footer-level evidence, same
+# rows, same file count — only the bucket map differs.
+
+
+@pytest.fixture(scope="module")
+def skew_layouts(spark, tmp_path_factory):
+    from datawarehouse_project_spark.sources.clustered import zorder_column
+
+    base = tmp_path_factory.mktemp("zskew")
+    n = 200_000
+    # `a` is zipf-shaped: (id/n)^8 * 1e6 puts ~92% of rows below ~60
+    # while the key range spans 0..1e6; `b` is uniform.
+    df = (
+        spark.range(0, n)
+        .selectExpr(
+            "CAST(floor(pow(id / 200000.0, 8) * 1000000) AS LONG) AS a",
+            "id % 256 AS b",
+            "id AS payload",
+        )
+    )
+    paths = {}
+    for method in ("width", "depth"):
+        zdf, zcol = zorder_column(df, ["a", "b"], bits=8, method=method)
+        p = str(base / f"z_{method}")
+        (
+            zdf.repartitionByRange(N_FILES, zcol)
+            .sortWithinPartitions(zcol)
+            .drop(zcol)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+        paths[method] = p
+    return df, paths
+
+
+def test_equidepth_zorder_prunes_skewed_key(spark, skew_layouts):
+    df, paths = skew_layouts
+    # [p55, p70] by ROW MASS: a narrow value range (both quantiles sit
+    # in the dense head) holding ~15% of rows. Chosen inside a fixed
+    # top-2-bucket-bit region (buckets ~140-179 of 256) so the z-curve
+    # can actually localize it — a window straddling the bucket-space
+    # midpoint leaves the top interleaved bit unconstrained for ANY
+    # clustering method.
+    lo, hi = df.approxQuantile("a", [0.55, 0.70], 0.001)
+    w = rowgroup_prune_stats(paths["width"], "a", lo, hi)
+    d = rowgroup_prune_stats(paths["depth"], "a", lo, hi)
+    assert w["row_groups"] == d["row_groups"] == N_FILES
+    # equi-width: the dense head lands in a handful of low buckets, the
+    # z-curve effectively sorts by `b` alone, every file spans the dense
+    # `a` range — no pruning at all
+    assert w["overlapping"] == N_FILES, w
+    # equi-depth: the ~15%-mass window maps to buckets ~140-179, fixing
+    # a7 (and a6). At 8 z-contiguous files only ONE `a` bit (a7) sits in
+    # the top-3 interleaved z-bits, so the ceiling for ANY bucketing is
+    # 4 matching files + range-sampler straddles — measured 5-6. The
+    # point is the contrast: width prunes NOTHING, depth hits the
+    # interleave ceiling.
+    assert d["overlapping"] <= 6, d
+    assert d["overlapping_rows"] <= 0.78 * d["rows"], d
+    assert d["overlapping_rows"] < w["overlapping_rows"]
+    # and the values are identical either way (layout is pure physics)
+    n_src = df.filter((F.col("a") >= lo) & (F.col("a") <= hi)).count()
+    n_d = (
+        spark.read.parquet(paths["depth"])
+        .filter((F.col("a") >= lo) & (F.col("a") <= hi))
+        .count()
+    )
+    assert n_src == n_d > 0
+
+
+def test_equidepth_zorder_still_prunes_uniform_key(skew_layouts):
+    """The skew fix must not break the uniform dimension: both methods
+    keep `b` pruning."""
+    _, paths = skew_layouts
+    for method in ("width", "depth"):
+        st = rowgroup_prune_stats(paths[method], "b", 10, 50)
+        assert st["overlapping"] < N_FILES, (method, st)
+
+
+# ---------------------------------------------------------------------------
+# String z-order keys via the dictionary-rank pass: (string, date)
+# 2-key clustering with both-dimension footer prune evidence.
+
+
+def test_zorder_string_and_date_keys(spark, tmp_path):
+    from datawarehouse_project_spark.sources.clustered import (
+        write_zorder_clustered,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "li_zsd")
+    write_zorder_clustered(
+        li, path, ["l_returnflag", "l_shipdate"], n_files=N_FILES
+    )
+    # string dimension: equality on one of the 3 flag values ('A'/'N'/'R')
+    sf_ = rowgroup_prune_stats(path, "l_returnflag", "A", "A")
+    # date dimension: the same 3-month window the 1-D tests use
+    dt = rowgroup_prune_stats(path, "l_shipdate", LO, HI)
+    assert sf_["row_groups"] == dt["row_groups"] == N_FILES
+    assert sf_["overlapping"] < N_FILES, sf_
+    assert dt["overlapping"] < N_FILES, dt
+    # round-trip value identity + schema untouched
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    assert "_z" not in back.columns
+    a_src = li.filter(F.col("l_returnflag") == "A").count()
+    a_back = back.filter(F.col("l_returnflag") == "A").count()
+    assert a_src == a_back > 0
