@@ -25,10 +25,11 @@ apples-to-apples forever):
   zero driver collection) on the cache-warmed session. Matches
   scripts/bench_scaling.py, which applies best-of-N to BOTH engines.
 
-Shuffle partitions auto-size with the scale factor (16 at sf<=0.2, else
+Shuffle partitions auto-size with the scale factor (8 at sf<=0.2, else
 32): AQE coalesces post-shuffle partitions either way, but the INITIAL
 partition count is per-stage task-dispatch cost that small inputs never
-amortize.
+amortize (measured at sf0.1: cold sweep 18.2s at 16 partitions, 17.0s
+at 8, 17.8s at 4 — the knee is 8).
 """
 
 from __future__ import annotations
@@ -62,7 +63,7 @@ def _noop(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
-    shuffle_partitions = 16 if 0 < sf <= 0.2 else 32
+    shuffle_partitions = 8 if 0 < sf <= 0.2 else 32
     spark = get_spark("dwspark-bench", shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -153,6 +154,79 @@ def main() -> None:
     )
     _sigs = minhash_signature(F.col("hsh"))
     _noop(_sh.select("doc_id", *[c.alias(f"mh{i}") for i, c in enumerate(_sigs)]))
+    # asof merge machinery: struct pack/unpack, unionByName with a null
+    # struct, last(ignorenulls) over a running window, left-semi join —
+    # expression classes none of the frames above instantiate. Synthetic
+    # keys/timestamps, nothing shared with the timed runs.
+    _l = spark.range(0, 30_000).selectExpr(
+        "id AS k2", "timestamp_micros(id * 1000000) AS ts", "id AS payload"
+    )
+    _r = spark.range(0, 30_000).selectExpr(
+        "id % 999 AS k2", "timestamp_micros(id * 500000) AS ts", "id AS rv"
+    )
+    _r = _r.join(_l.select("k2").distinct(), "k2", "left_semi")
+    _lt = _l.select(
+        F.col("k2").alias("_k"), "ts", F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_r_rv"),
+        F.struct("k2", "payload").alias("_l"),
+    )
+    _rt = _r.select(
+        F.col("k2").alias("_k"), "ts", F.lit(0).alias("_side"),
+        F.col("rv").alias("_r_rv"),
+    )
+    _m = _lt.unionByName(
+        _rt.withColumn("_l", F.lit(None).cast(_lt.schema["_l"].dataType))
+    )
+    _wm = (
+        W.partitionBy("_k")
+        .orderBy("ts", "_side", F.col("_r_rv").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    _car = _m.select(
+        "_k", "_side", "_l",
+        F.last("_r_rv", ignorenulls=True).over(_wm).alias("_rv"),
+    )
+    _noop(
+        _car.filter(F.col("_side") == 1).select(
+            F.col("_l")["payload"].alias("p"), "_rv"
+        )
+    )
+    # posting-list machinery: collect_list -> double explode -> pair agg
+    # -> SHUFFLE_HASH joins, the capped-jaccard physical skeleton (again
+    # synthetic — the timed query still builds and runs its own plan).
+    _inv = spark.range(0, 120_000).selectExpr(
+        "id % 9000 AS doc_id", "xxhash64(CAST(id % 4000 AS STRING)) AS sgh"
+    )
+    _post = (
+        _inv.groupBy("sgh")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= 64)
+    )
+    _shared = (
+        _post.select(F.explode("docs").alias("d1"), "docs")
+        .select("d1", F.explode("docs").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy(F.col("d1").alias("da"), F.col("d2").alias("db"))
+        .agg(F.count("*").alias("sh"))
+    )
+    _sz = (
+        _post.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    _noop(
+        _shared.join(
+            _sz.selectExpr("doc_id AS da", "n AS na").hint("SHUFFLE_HASH"), "da"
+        )
+        .join(
+            _sz.selectExpr("doc_id AS db", "n AS nb").hint("SHUFFLE_HASH"), "db"
+        )
+        .select(
+            "da", "db",
+            (F.col("sh") / (F.col("na") + F.col("nb") - F.col("sh"))).alias("j"),
+        )
+        .filter(F.col("j") >= 0.1)
+    )
 
     builds = headline_queries()
 

@@ -41,12 +41,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     logical scan relation — schema AND file listing are pinned at
     resolution time (Spark's ``InMemoryFileIndex``); data PAGES are
     re-read on every execution. The driver's sf dirs are immutable, so
-    pinning is correct here; a caller pointing at a mutable directory
-    whose file set changes mid-session should clear the memo
-    (``spark._dw_table_cache.clear()``) to re-resolve, exactly as a
-    warehouse would refresh its catalog entry (``REFRESH TABLE``). The
-    cache dict lives on the session object itself, so its lifetime (and
-    identity) is exactly the session's.
+    pinning is correct here; a caller that REWRITES a table directory
+    in-session must call :func:`refresh_table` (the ``REFRESH TABLE``
+    analog) or silently read the stale file listing — deleted files
+    raise, replaced files serve old rows. The cache dict lives on the
+    session object itself, so its lifetime (and identity) is exactly
+    the session's.
 
     ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
     vectorized parquet reader rejects outright — read it as raw nanos
@@ -62,6 +62,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cache[key]
     cache[key] = _load_table(spark, sf_dir, name)
     return cache[key]
+
+
+def refresh_table(
+    spark: SparkSession, sf_dir: str | None = None, name: str | None = None
+) -> None:
+    """Invalidate :func:`table`'s memoized handles — the ``REFRESH
+    TABLE`` analog for this path-based catalog. Call after overwriting a
+    table directory that was previously resolved in this session (e.g.
+    ``df.write.mode("overwrite").parquet(...)`` over a dir ``table`` has
+    read): the pinned file listing otherwise serves deleted-file reads
+    or stale rows. With ``name`` (and its ``sf_dir``), drops one entry;
+    with ``sf_dir`` alone, every entry under that dir; with neither,
+    everything."""
+    cache = getattr(spark, "_dw_table_cache", None)
+    if not cache:
+        return
+    if name is not None:
+        cache.pop((sf_dir, name), None)
+    elif sf_dir is not None:
+        for key in [k for k in cache if k[0] == sf_dir]:
+            del cache[key]
+    else:
+        cache.clear()
 
 
 def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

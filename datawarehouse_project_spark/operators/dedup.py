@@ -39,11 +39,15 @@ from ..functions.text import (
     SIMHASH64_BITS,
     duck_minhash_exprs,
     hash_array,
+    hash_array_sql,
     minhash_signature,
+    minhash_signature_sql,
     simhash,
     simhash64,
     word_shingles,
+    word_shingles_sql,
     words,
+    words_sql,
 )
 from ..io import require_small, table
 from ..session import prepare
@@ -76,11 +80,14 @@ def doc_shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    ws = words("text")
+    # SQL-text construction (same expression trees as words() /
+    # word_shingles()): one parser call instead of a py4j round-trip per
+    # Column node — this frame is rebuilt by every dedup query, so its
+    # build latency is on the cold path of each of them.
     return (
-        docs.withColumn("ws", ws)
-        .filter(F.size("ws") >= 3)
-        .withColumn("sgs", word_shingles(F.col("ws")))
+        docs.selectExpr("*", f"{words_sql('text')} AS ws")
+        .filter("size(ws) >= 3")
+        .selectExpr("*", f"{word_shingles_sql('ws')} AS sgs")
     )
 
 
@@ -91,12 +98,15 @@ def signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the k permutations are integer maps — k-fold less md5 work, the
     dominant cost of signature computation at corpus scale.
     """
-    sh = doc_shingle_frame(spark, sf_dir).withColumn(
-        "hsh", hash_array(F.col("sgs"))
+    sh = doc_shingle_frame(spark, sf_dir).selectExpr(
+        "doc_id", f"{hash_array_sql('sgs')} AS hsh"
     )
-    sigs = minhash_signature(F.col("hsh"))
-    return sh.select(
-        "doc_id", *[c.alias(n) for c, n in zip(sigs, _MH_COLS)]
+    return sh.selectExpr(
+        "doc_id",
+        *[
+            f"{e} AS {n}"
+            for e, n in zip(minhash_signature_sql("hsh"), _MH_COLS)
+        ],
     )
 
 

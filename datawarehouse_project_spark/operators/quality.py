@@ -45,9 +45,14 @@ def dq_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
                 f"rule name {name!r} must match [A-Za-z0-9_]+ (it is "
                 "embedded in the unpivot expression)"
             )
+    # coalesce: SUM over an EMPTY table is NULL, and an alert consumer
+    # comparing n_violations > threshold silently sees NULL — an empty
+    # table must report 0 violations per rule (oracle uses COALESCE too)
     agg = df.agg(
         *[
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(name)
             for name, cond in checks.items()
         ]
     )
@@ -56,6 +61,68 @@ def dq_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"
     )
+
+
+def dq_split(
+    df: DataFrame, checks: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows by the audit rules: returns ``(clean, dirty)`` where
+    ``dirty`` carries a ``violations`` array column naming every rule
+    the row breaks. One tagging expression, shared scan, no shuffle —
+    both halves are filters over the same tagged frame.
+
+    NULL-valued predicates count as CLEAN (same convention as
+    ``dq_audit``'s conditional sum: an unknown is not a violation) —
+    write an explicit ``isNull`` rule to catch missing values."""
+    F_ = F
+    viol = F_.array_compact(
+        F_.array(
+            *[F_.when(cond, F_.lit(name)) for name, cond in checks.items()]
+        )
+    )
+    tagged = df.withColumn("violations", viol)
+    clean = tagged.filter(F_.size("violations") == 0).drop("violations")
+    dirty = tagged.filter(F_.size("violations") > 0)
+    return clean, dirty
+
+
+def dq_quarantine_batch(
+    spark: SparkSession,
+    incoming: DataFrame,
+    checks: dict[str, Column],
+    pk: list[str],
+    fact,
+    quarantine,
+    txn: tuple[str, int] | None = None,
+) -> dict[str, int]:
+    """Route one ingestion batch through the audit: clean rows upsert
+    into the ``fact`` table, violating rows — tagged with the rules they
+    broke — into the ``quarantine`` table, both as atomic versioned
+    commits on :class:`~..sources.sinks.VersionedParquetTable`.
+
+    With ``txn=(app_id, batch_version)`` the WHOLE routing is
+    replay-safe: each table's snapshot ledger records the batch under a
+    per-table app id (``<app_id>.fact`` / ``<app_id>.quarantine``), so a
+    crashed-and-restarted pipeline that re-runs the batch no-ops
+    whichever half already committed — at-least-once replay, exactly-once
+    effect, even when the crash landed BETWEEN the two commits.
+
+    The reference's posture for bad rows is skip-with-a-console-warning
+    (README.md:124-136, MeshJoin.java parse guards); a warehouse keeps
+    the evidence instead — quarantined rows stay queryable (which rule,
+    which batch) and replayable after the rule is fixed.
+
+    Returns ``{"fact_version", "quarantine_version"}``."""
+    clean, dirty = dq_split(incoming, checks)
+    q_txn = (f"{txn[0]}.quarantine", txn[1]) if txn else None
+    f_txn = (f"{txn[0]}.fact", txn[1]) if txn else None
+    # quarantine FIRST: if we crash between the commits, the batch's bad
+    # rows are already preserved and the fact table simply hasn't
+    # advanced — replay completes it; the reverse order could publish
+    # clean rows while losing the evidence for the dirty ones.
+    qv = quarantine.upsert(spark, dirty, pk, txn=q_txn)
+    fv = fact.upsert(spark, clean, pk, txn=f_txn)
+    return {"fact_version": fv, "quarantine_version": qv}
 
 
 def dq_orphans(child: DataFrame, parent: DataFrame, keys: list[str]) -> int:
@@ -78,12 +145,13 @@ def dq_duplicates(df: DataFrame, keys: list[str]) -> int:
     driver_facing=False,
     oracle="""
 SELECT 'lineitem_discount_out_of_range' AS rule,
-       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+       CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS n_violations
 FROM lineitem
 UNION ALL
 SELECT 'lineitem_nonpositive_quantity',
-       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem_orphan_orderkey',
@@ -92,7 +160,7 @@ SELECT 'lineitem_orphan_orderkey',
                                WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
 UNION ALL
 SELECT 'lineitem_suspect_high_quantity',
-       CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'orders_duplicate_orderkey',
@@ -100,11 +168,11 @@ SELECT 'orders_duplicate_orderkey',
 FROM orders
 UNION ALL
 SELECT 'orders_nonpositive_totalprice',
-       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'orders_null_orderdate',
-       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM orders
 """,
 )

@@ -384,8 +384,13 @@ class VersionedParquetTable:
         ``orphan_grace_sec`` — the grace period keeps vacuum from
         destroying a CONCURRENT writer's in-flight staging (an orphan
         younger than the grace window may still be racing toward its
-        CAS). Commit manifests are retained (bytes, and the version
-        counter's history). Returns the number of dirs removed."""
+        CAS). Also reaps ``.tmp-*`` manifest files in ``_commits`` older
+        than the same grace window: a writer that crashed between
+        ``link`` and ``unlink`` leaves one behind forever otherwise
+        (harmless to reads — version lookups filter on ``isdigit`` — but
+        unbounded garbage in a long-lived table). Commit manifests are
+        retained (bytes, and the version counter's history). Returns the
+        number of dirs/files removed."""
         import time
         versions = self._committed_versions()
         live = set()
@@ -407,4 +412,14 @@ class VersionedParquetTable:
             if is_old_version or is_stale_orphan:
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
+        for f in os.listdir(self._commits):
+            full = os.path.join(self._commits, f)
+            if f.startswith(".tmp-") and (
+                now - os.path.getmtime(full) > orphan_grace_sec
+            ):
+                try:
+                    os.unlink(full)
+                    removed += 1
+                except FileNotFoundError:
+                    pass  # concurrent vacuum got it first
         return removed

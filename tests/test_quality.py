@@ -1,0 +1,107 @@
+"""Data-quality operators: audit report semantics, the clean/dirty
+split, and the audit→quarantine routing on the versioned table
+(reference tie: README.md:124-136 — the reference SKIPS bad rows with a
+console warning; the warehouse keeps them queryable and replayable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.operators.quality import (
+    dq_audit,
+    dq_quarantine_batch,
+    dq_split,
+)
+from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+def _checks():
+    # built lazily: Column construction needs an active SparkContext
+    return {
+        "nonpositive_qty": F.col("qty") <= 0,
+        "null_name": F.col("name").isNull(),
+        "price_out_of_range": (F.col("price") < 0) | (F.col("price") > 100),
+    }
+
+
+def _batch(spark):
+    rows = [
+        (1, "a", 5, 10.0),     # clean
+        (2, None, 5, 10.0),    # null_name
+        (3, "c", 0, 10.0),     # nonpositive_qty
+        (4, "d", 5, -1.0),     # price_out_of_range
+        (5, None, -2, 200.0),  # all three rules
+        (6, "f", 9, 99.0),     # clean
+    ]
+    return spark.createDataFrame(rows, "id int, name string, qty int, price double")
+
+
+def test_dq_audit_empty_table_reports_zero(spark):
+    """SUM over an empty table is NULL; the audit must still say 0 per
+    rule — an alerting consumer comparing > threshold never sees NULL."""
+    empty = _batch(spark).filter(F.lit(False))
+    checks = _checks()
+    rows = {r["rule"]: r["n_violations"] for r in dq_audit(empty, checks).collect()}
+    assert rows == {name: 0 for name in checks}
+    assert all(v == 0 and v is not None for v in rows.values())
+
+
+def test_dq_split_tags_every_broken_rule(spark):
+    checks = _checks()
+    clean, dirty = dq_split(_batch(spark), checks)
+    assert sorted(r["id"] for r in clean.select("id").collect()) == [1, 6]
+    tags = {
+        r["id"]: sorted(r["violations"])
+        for r in dirty.select("id", "violations").collect()
+    }
+    assert tags == {
+        2: ["null_name"],
+        3: ["nonpositive_qty"],
+        4: ["price_out_of_range"],
+        5: sorted(checks),
+    }
+    # split is exhaustive and disjoint
+    assert clean.count() + dirty.count() == 6
+
+
+def test_dq_quarantine_batch_end_to_end_replay_safe(spark, tmp_path):
+    """Dirty batch → audit → versioned quarantine table + clean fact;
+    re-running the same batch (at-least-once replay) changes neither
+    table's contents and no-ops both ledgers."""
+    fact = VersionedParquetTable(str(tmp_path / "fact"))
+    quar = VersionedParquetTable(str(tmp_path / "quarantine"))
+    batch = _batch(spark)
+    checks = _checks()
+
+    out = dq_quarantine_batch(
+        spark, batch, checks, ["id"], fact, quar, txn=("ingest", 1)
+    )
+    assert out["fact_version"] == 1 and out["quarantine_version"] == 1
+    fact_ids = sorted(r["id"] for r in fact.read(spark).select("id").collect())
+    assert fact_ids == [1, 6]
+    q = {
+        r["id"]: sorted(r["violations"])
+        for r in quar.read(spark).select("id", "violations").collect()
+    }
+    assert set(q) == {2, 3, 4, 5} and q[5] == sorted(checks)
+
+    # replay the SAME batch/txn: exactly-once in effect — version
+    # numbers do not advance, contents identical
+    out2 = dq_quarantine_batch(
+        spark, batch, checks, ["id"], fact, quar, txn=("ingest", 1)
+    )
+    assert out2 == {"fact_version": 1, "quarantine_version": 1}
+    assert sorted(r["id"] for r in fact.read(spark).select("id").collect()) == fact_ids
+
+    # the NEXT batch (higher txn version) applies; a fixed-up row moves
+    # from quarantine-only to the fact table
+    fixed = spark.createDataFrame(
+        [(3, "c", 7, 10.0), (7, "g", 1, 1.0)],
+        "id int, name string, qty int, price double",
+    )
+    out3 = dq_quarantine_batch(
+        spark, fixed, checks, ["id"], fact, quar, txn=("ingest", 2)
+    )
+    assert out3["fact_version"] == 2
+    assert sorted(
+        r["id"] for r in fact.read(spark).select("id").collect()
+    ) == [1, 3, 6, 7]
