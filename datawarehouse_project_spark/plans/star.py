@@ -47,12 +47,27 @@ def fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     to lineitem's (validated in tests).
     """
     prepare(spark)
-    li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    part = table(spark, sf_dir, "part")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
+    return fact_from(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )
 
+
+def fact_from(
+    li: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """The enrichment join itself, independent of how the five source
+    frames were resolved — the path-based :func:`fact` and the
+    catalog-resolved twin (``sources/catalog_ddl.py``) share this body,
+    so catalog resolution changes WHERE tables come from, never what the
+    fact means."""
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(part, li.l_partkey == part.p_partkey)

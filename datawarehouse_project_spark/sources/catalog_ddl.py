@@ -1,0 +1,93 @@
+"""Durable catalog DDL: the star schema as real ``CREATE TABLE`` entries.
+
+Reference tie: metro.sql:15-59 creates the warehouse's durable tables
+(``CUSTOMERS``/``PRODUCTS``/``FACT_TRANSACTIONS`` DDL) — queries then
+resolve tables by NAME through the database catalog, not by file path.
+This module is that surface for the Spark engine: ``CREATE TABLE ...
+USING parquet LOCATION`` registers each star table in the session
+catalog (metastore-backed where one is configured), and a query routed
+through ``spark.table("db.name")`` resolves schema and files from the
+catalog exactly as a warehouse client would.
+
+The tables are EXTERNAL (``LOCATION`` points at the existing parquet):
+the catalog owns metadata, the data stays in place, and ``DROP TABLE``
+never deletes data — the right posture for a read-only lakehouse layout.
+Scans through the catalog keep every pushdown property of the path-based
+reads (same FileScan, same PushedFilters/ReadSchema — asserted in
+tests/test_catalog_ddl.py).
+
+``events`` is registered too but carries its physical quirk: the column
+is INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+unless ``spark.sql.legacy.parquet.nanosAsLong`` is set (and then it
+reads as raw nanos) — the path-based ``io.table`` applies the conf and
+truncates to a microsecond timestamp; catalog consumers of ``events``
+should do the same or read the other nine tables only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import TABLES
+from ..plans.star import fact_from
+from ..session import prepare
+
+DEFAULT_DATABASE = "metro_dw"
+
+
+def create_star_schema(
+    spark: SparkSession, sf_dir: str, database: str = DEFAULT_DATABASE
+) -> None:
+    """Register the ten star tables as external parquet tables under
+    ``database`` (idempotent: IF NOT EXISTS on both levels)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for t in TABLES:
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {database}.{t} "
+            f"USING parquet LOCATION '{sf_dir}/{t}.parquet'"
+        )
+
+
+def drop_star_schema(
+    spark: SparkSession, database: str = DEFAULT_DATABASE
+) -> None:
+    """Drop the catalog entries (external tables: metadata only — the
+    parquet files are untouched)."""
+    spark.sql(f"DROP DATABASE IF EXISTS {database} CASCADE")
+
+
+def catalog_fact(
+    spark: SparkSession, database: str = DEFAULT_DATABASE
+) -> DataFrame:
+    """The enriched fact with every source resolved through the catalog
+    (``spark.table``), not a file path — same join body as
+    ``plans.star.fact``, so the two are value-identical by construction
+    and differ only in table resolution."""
+    prepare(spark)
+    return fact_from(
+        spark.table(f"{database}.lineitem"),
+        spark.table(f"{database}.orders"),
+        spark.table(f"{database}.part"),
+        spark.table(f"{database}.supplier"),
+        spark.table(f"{database}.nation"),
+    )
+
+
+def q01_top_revenue_products_catalog(
+    spark: SparkSession, year: int = 1997, database: str = DEFAULT_DATABASE
+) -> DataFrame:
+    """Q1 (olap_queries.sql:3-9) routed through catalog resolution — the
+    parity witness that a catalog-resolved star behaves exactly like the
+    path-based one (tests assert result equality and that the plan still
+    carries PushedFilters on the catalog scan)."""
+    f = catalog_fact(spark, database).filter(
+        F.col("order_date").between(f"{year}-01-01", f"{year}-12-31")
+    )
+    return (
+        f.groupBy("product_id", "product_name")
+        .agg(F.sum("sale").cast("double").alias("total_sales"))
+        .orderBy(F.desc("total_sales"), "product_name", "product_id")
+        .limit(5)
+        .select("product_name", "total_sales")
+    )
