@@ -432,3 +432,83 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+BENCHMARK_SOURCE = "src0"  # the source that plays the held-out benchmark
+DECON_N = 8  # n-gram width: the standard decontamination unit
+
+
+@register(
+    "text_decontaminate_vs_benchmark",
+    driver_facing=False,  # driver window is full; pytest oracle covers it
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, source,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+),
+g AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(
+               generate_series(1, len(ws) - {DECON_N - 1}),
+               i -> {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DECON_N))}
+           )) AS gs
+    FROM d
+    WHERE len(ws) >= {DECON_N}
+),
+corpus AS (
+    SELECT doc_id, unnest(gs) AS g8 FROM g
+    WHERE source <> '{BENCHMARK_SOURCE}'
+),
+bench AS (
+    SELECT DISTINCT unnest(gs) AS g8 FROM g
+    WHERE source = '{BENCHMARK_SOURCE}'
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
+FROM corpus c JOIN bench b USING (g8)
+GROUP BY 1
+""",
+)
+def text_decontaminate_vs_benchmark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    8-gram with a held-out benchmark set — the standard guard against
+    evaluation leakage in a pre-training corpus (the ``source``
+    column's '{BENCHMARK_SOURCE}' partition plays the benchmark here).
+    Output: (doc_id, n_shared_8grams) for contaminated docs only.
+
+    Scale shape: inverted-index equi-join, never pairwise — the corpus
+    explodes to (doc_id, gram) rows, the benchmark side reduces to its
+    DISTINCT gram set (benchmark suites are small: the join's build
+    side stays broadcastable at any corpus size), and one hash
+    semi-style join + per-doc count finishes it. Grams join as raw
+    strings for oracle exactness; at 100 TB you would pre-hash them to
+    64-bit ints to cut shuffle width — same plan shape.
+    """
+    from ..functions.text import word_shingles_sql, words_sql
+
+    prepare(spark)
+    base = (
+        spread(spark, table(spark, sf_dir, "documents"))
+        .selectExpr("doc_id", "source", f"{words_sql('text')} AS ws")
+        .filter(f"size(ws) >= {DECON_N}")
+        .selectExpr(
+            "doc_id", "source",
+            f"{word_shingles_sql('ws', n=DECON_N)} AS gs",
+        )
+    )
+    corpus = base.filter(F.col("source") != BENCHMARK_SOURCE).select(
+        "doc_id", F.explode("gs").alias("g8")
+    )
+    bench = (
+        base.filter(F.col("source") == BENCHMARK_SOURCE)
+        .select(F.explode("gs").alias("g8"))
+        .distinct()
+    )
+    return (
+        corpus.join(bench, "g8")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared_8grams"))
+    )
