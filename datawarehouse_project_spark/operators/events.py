@@ -231,3 +231,94 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     clicks, purchases = split_clicks_purchases(table(spark, sf_dir, "events"))
     return click_attribution(clicks, purchases)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_gapfill_hourly",
+    driver_facing=False,  # driver window is full; pytest oracle covers it
+    oracle="""
+WITH spans AS (
+    SELECT event_type,
+           date_trunc('hour', MIN(ts)) AS h0,
+           date_trunc('hour', MAX(ts)) AS h1
+    FROM events GROUP BY 1
+),
+grid AS (
+    SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+    FROM spans
+),
+agg AS (
+    -- exact decimal SUM then one double division: Spark's decimal AVG
+    -- rounds at scale+4, double-averaging is order-dependent; SUM/COUNT
+    -- over exact decimals is bit-identical on both engines
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events GROUP BY 1, 2
+)
+SELECT g.event_type,
+       epoch_us(g.h) AS window_start_us,
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       COALESCE(
+           a.avg_value,
+           LAST_VALUE(a.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )
+       ) AS avg_value_ffill
+FROM grid g LEFT JOIN agg a USING (event_type, h)
+""",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: a dense hourly grid per event
+    type over that type's own [min, max] span, missing hours zero-filled
+    for counts and FORWARD-FILLED for the hourly average — the standard
+    shaping step between raw events and a dashboard/model-feature series
+    (pandas ``resample().ffill()``, re-expressed distributed).
+
+    Plan shape: the grid is generated per key with ``sequence`` +
+    ``explode`` from a per-type min/max aggregate — grid size is
+    |types| x |hours| (metadata-sized, data-independent), and there is
+    NO cross join anywhere: grid⟕agg is an equi-join on (type, hour),
+    and the forward fill is one partitioned running window. At 100 TB
+    the grid is still tiny; the only data-sized stages are the hourly
+    pre-aggregation (partial map-side) and its single shuffle."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_value"),
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("window_start_us"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(
+                "avg_value", F.last("avg_value", ignorenulls=True).over(w)
+            ).alias("avg_value_ffill"),
+        )
+    )
