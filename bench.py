@@ -7,10 +7,11 @@ Methodology (fixed as of round 3 — dual-reported so rounds compare
 apples-to-apples forever):
 
 * ``value_cold``  — one single-shot run per query on the bare warmed
-  session (parquet footers read, JVM up, leaf tables resolved once in
-  the session catalog — ``io.table``'s handle memo, no data cached —
-  NO shared caches, full query plan built inside the timer). This is
-  round 1's methodology.
+  session (parquet footers read, JVM up, leaf tables and the fact VIEW
+  resolved once in the session catalog — ``io.table`` / ``star.fact``
+  handle memos, no data cached — NO shared caches, the query's own plan
+  built inside the timer). See PERFORMANCE.md's cold-metric ledger for
+  what moved in/out of this timer per round.
 * ``cache_build_sec`` — the one-time cost of materializing the shared
   frames every headline query rebuilds otherwise: the 4-join enriched
   fact, the minhash signature frame, the shingle frame, and the events
