@@ -40,28 +40,37 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     would pay 40+ times across the query catalog. The memo holds the
     logical scan relation — schema AND file listing are pinned at
     resolution time (Spark's ``InMemoryFileIndex``); data PAGES are
-    re-read on every execution. The driver's sf dirs are immutable, so
-    pinning is correct here; a caller that REWRITES a table directory
-    in-session must call :func:`refresh_table` (the ``REFRESH TABLE``
-    analog) or silently read the stale file listing — deleted files
-    raise, replaced files serve old rows. The cache dict lives on the
-    session object itself, so its lifetime (and identity) is exactly
-    the session's.
+    re-read on every execution. Staleness guard: the memo entry carries
+    the path's mtime (one ``os.stat`` per call — nanoseconds against the
+    ~65 ms it avoids), so a LOCAL table directory that is overwritten
+    in-session re-resolves automatically; :func:`refresh_table` (the
+    ``REFRESH TABLE`` analog) remains the explicit form and the only one
+    for non-local paths, where the stat is skipped and the listing stays
+    pinned. The cache dict lives on the session object itself, so its
+    lifetime (and identity) is exactly the session's.
 
     ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
     vectorized parquet reader rejects outright — read it as raw nanos
     (legacy conf) and truncate to a microsecond timestamp, matching how
     DuckDB coerces nanos to its µs TIMESTAMP.
     """
+    import os
+
     cache = getattr(spark, "_dw_table_cache", None)
     if cache is None:
         cache = {}
         spark._dw_table_cache = cache
     key = (sf_dir, name)
-    if key in cache:
-        return cache[key]
-    cache[key] = _load_table(spark, sf_dir, name)
-    return cache[key]
+    try:
+        mtime = os.stat(f"{sf_dir}/{name}.parquet").st_mtime_ns
+    except OSError:  # non-local or not-yet-written path: no cheap stat
+        mtime = None
+    entry = cache.get(key)
+    if entry is not None and entry[0] == mtime:
+        return entry[1]
+    df = _load_table(spark, sf_dir, name)
+    cache[key] = (mtime, df)
+    return df
 
 
 def refresh_table(

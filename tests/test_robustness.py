@@ -10,9 +10,10 @@ from datawarehouse_project_spark.io import refresh_table, table
 
 
 def test_refresh_table_invalidates_pinned_listing(spark, tmp_path):
-    """table() pins schema + file listing per session; overwriting the
-    directory and re-reading through table() without refresh serves the
-    stale listing. refresh_table is the REFRESH TABLE analog."""
+    """table() pins schema + file listing per session, guarded by the
+    path's mtime: a LOCAL overwrite re-resolves automatically, and
+    refresh_table is the explicit REFRESH TABLE analog (the only form
+    for non-statable paths)."""
     d = str(tmp_path)
     spark.range(0, 5).selectExpr("id AS v").write.parquet(f"{d}/t.parquet")
     assert table(spark, d, "t").count() == 5
@@ -22,15 +23,18 @@ def test_refresh_table_invalidates_pinned_listing(spark, tmp_path):
         .write.mode("overwrite")
         .parquet(f"{d}/t.parquet")
     )
-    # stale handle: old listing → deleted-file read errors or old rows;
-    # either way it is NOT the new table. We only assert the refresh
-    # path, not the stale failure mode (it is timing-dependent).
-    refresh_table(spark, d, "t")
+    # mtime changed → the memo self-heals without an explicit refresh
     vals = sorted(r["v"] for r in table(spark, d, "t").collect())
     assert vals == [10, 11]
-    # scoped variants don't throw on cold cache
+    # the explicit refresh path and its scoped variants stay available
+    refresh_table(spark, d, "t")
+    assert sorted(r["v"] for r in table(spark, d, "t").collect()) == [10, 11]
     refresh_table(spark, d)
     refresh_table(spark)
+    # and the memo still memoizes: same handle back on repeated calls
+    h1 = table(spark, d, "t")
+    h2 = table(spark, d, "t")
+    assert h1 is h2
 
 
 def test_release_checkpoint_reflection_path_exists(spark):
