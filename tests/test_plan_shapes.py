@@ -154,3 +154,33 @@ def test_repetition_scores_partial_aggregates(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_decontaminate_is_equi_join_not_pairwise(spark, sf_dir):
+    """Decontamination must plan as an inverted-index EQUI-join on the
+    gram (hash or broadcast), never a nested loop over document pairs —
+    the property that keeps it linear in corpus size."""
+    from datawarehouse_project_spark.operators.textstats import (
+        text_decontaminate_vs_benchmark,
+    )
+
+    p = plan_of(text_decontaminate_vs_benchmark(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # the gram equi-join is present
+
+
+def test_gapfill_grid_is_not_a_cross_join(spark, sf_dir):
+    """The dense hourly grid comes from a per-key sequence/explode (one
+    Generate over the per-type span aggregate) joined back equi on
+    (type, hour) — no cartesian grid build, one partitioned window for
+    the forward fill."""
+    from datawarehouse_project_spark.operators.events import (
+        events_gapfill_hourly,
+    )
+
+    p = plan_of(events_gapfill_hourly(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Generate") == 1
+    assert "Window" in p
