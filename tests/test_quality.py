@@ -105,3 +105,64 @@ def test_dq_quarantine_batch_end_to_end_replay_safe(spark, tmp_path):
     assert sorted(
         r["id"] for r in fact.read(spark).select("id").collect()
     ) == [1, 3, 6, 7]
+
+
+def test_streaming_ingest_with_quarantine_routing(spark, tmp_path):
+    """End-to-end streaming ingest: file stream → per-batch audit →
+    clean rows to the fact table, rule-tagged rows to quarantine — and a
+    FULL stream replay (fresh query, no checkpoint) is exactly-once in
+    effect because the batch txn ids no-op both ledgers."""
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (1, "a", 5, 10.0), (2, None, 5, 10.0), (3, "c", 0, 10.0),
+        (4, "d", 5, -1.0), (5, "e", 9, 99.0), (6, "f", 1, 1.0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    df.withColumn("part", (F.col("id") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    fact = VersionedParquetTable(str(tmp_path / "fact"))
+    quar = VersionedParquetTable(str(tmp_path / "quarantine"))
+    checks = _checks()
+
+    def run_once():
+        (
+            spark.readStream.schema(
+                T.StructType(list(schema.fields) + [T.StructField("part", T.IntegerType())])
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .drop("part")
+            .writeStream.foreachBatch(
+                lambda bdf, bid: dq_quarantine_batch(
+                    spark, bdf, checks, ["id"], fact, quar,
+                    txn=("stream-ingest", bid),
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    clean_ids = sorted(r["id"] for r in fact.read(spark).select("id").collect())
+    dirty_ids = sorted(r["id"] for r in quar.read(spark).select("id").collect())
+    assert clean_ids == [1, 5, 6]
+    assert dirty_ids == [2, 3, 4]
+    fv, qv = fact.current_version(), quar.current_version()
+
+    run_once()  # no checkpoint: every batch replays; ledgers no-op all
+    assert sorted(r["id"] for r in fact.read(spark).select("id").collect()) == clean_ids
+    assert sorted(r["id"] for r in quar.read(spark).select("id").collect()) == dirty_ids
+    assert fact.current_version() == fv and quar.current_version() == qv
