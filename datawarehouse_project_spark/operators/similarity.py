@@ -793,3 +793,77 @@ def similarity_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos)
         .filter(F.col("cosine") >= 0.45)
     )
+
+
+# --------------------------------------------------------------------------
+#: Cosine threshold shared by the pair emitter above and the component
+#: labeling below (the reference's near-dup flows stop at pairs; clustering
+#: to a canonical representative is the standard next step of an
+#: embedding-dedup pipeline — reference tie: the dedup intent of
+#: olap_queries.sql's DISTINCT flows, extended per SURVEY §2 north-star).
+ND_COSINE_MIN = 0.45
+
+
+@register(
+    "similarity_embed_components",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=lambda: f"""
+WITH RECURSIVE bands AS ({_duck_nd_bands()}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+verified AS (
+    SELECT c.vec_a, c.vec_b
+    FROM cand c
+    JOIN embeddings ea ON c.vec_a = ea.vec_id
+    JOIN embeddings eb ON c.vec_b = eb.vec_id
+    WHERE {_DUCK_DOT.format(a="ea.embedding", b="eb.embedding", dim=DIM)}
+          / ({_DUCK_NORM.format(e="ea.embedding")} * {_DUCK_NORM.format(e="eb.embedding")})
+          >= {ND_COSINE_MIN}
+),
+edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM verified
+    UNION ALL
+    SELECT vec_b AS src, vec_a AS dst FROM verified
+),
+reach(vec_id, seen) AS (
+    SELECT vec_id, vec_id AS seen FROM embeddings
+    UNION
+    SELECT r.vec_id, e.dst AS seen
+    FROM reach r JOIN edges e ON e.src = r.seen
+)
+SELECT vec_id, MIN(seen) AS component_id,
+       vec_id = MIN(seen) AS is_canonical
+FROM reach
+GROUP BY vec_id
+""",
+)
+def similarity_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS: label every vector with
+    the smallest vec_id reachable through verified cosine>=0.45 pairs and
+    flag the canonical representative a dedup pipeline keeps (drop
+    ``NOT is_canonical`` rows, or keep the highest-quality member by
+    joining quality scores on component_id).
+
+    Composition, all production-shaped: banded-LSH candidate generation +
+    exact-cosine verification (``similarity_near_dup_pairs``) feeds
+    alternating large-star/small-star components
+    (``connected_components_star`` — O(log^2 n) rounds proven, ~log n
+    observed, constant per-round plan via localCheckpoint), so the whole
+    flow is equi-joins and groupBys end to end — no nested loop at any
+    scale. Oracle computes the same fixpoint as a DuckDB recursive CTE."""
+    from .dedup import connected_components_star
+
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    edges = similarity_near_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components_star(emb.select(F.col("vec_id").alias("doc_id")), edges)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )

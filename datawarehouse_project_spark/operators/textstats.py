@@ -10,7 +10,7 @@ map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import DUCK_DOCWORDS, rolling_fingerprint, words
@@ -511,4 +511,213 @@ def text_decontaminate_vs_benchmark(
         corpus.join(bench, "g8")
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_shared_8grams"))
+    )
+
+
+# --------------------------------------------------------------------------
+#: Corpus-wide heavy hitters: the most frequent word bigrams. Feeds stop-
+#: phrase lists (the df_cap guard in dedup_ngram_jaccard_capped) and
+#: boilerplate detection. Tie-break on the bigram text makes the top-k
+#: CUT deterministic, not just the ordering.
+TOP_BIGRAMS_K = 20
+
+
+@register(
+    "text_top_bigrams",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    order_by=["-n", "bigram"],
+    oracle=f"""
+WITH {{docwords}},
+bi AS (
+    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+    FROM docwords
+    WHERE len(ws) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM bi
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {TOP_BIGRAMS_K}
+""".format(docwords=DUCK_DOCWORDS),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most frequent word bigrams across the corpus (count DESC,
+    bigram ASC tie-break so the cut is unique). Scale shape: the explode
+    parallelizes with the scan, the count is a partial-agg groupBy on the
+    bigram key, and the final top-K plans as TakeOrderedAndProject (no
+    global sort of the full frequency table) — the same two-stage shape
+    at any corpus size. At 100 TB you'd add one pre-aggregation on
+    (partition-local bigram) before the shuffle, which the partial agg
+    already is."""
+    from ..functions.text import words_sql
+
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    bi = (
+        docs.selectExpr(f"{words_sql('text')} AS ws")
+        .filter("size(ws) >= 2")
+        .selectExpr(
+            "explode(transform(sequence(1, size(ws) - 1), "
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS bigram"
+        )
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(TOP_BIGRAMS_K)
+    )
+
+
+# --------------------------------------------------------------------------
+#: PII scrubbing patterns — plain character classes + bounded repetition
+#: only, so the semantics are identical under Java regex (Spark) and RE2
+#: (DuckDB); no lookaround, no backreferences (RE2 has neither).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "[PHONE]"),
+}
+
+
+def _spark_pat(p: str) -> str:
+    """Embed a regex in a Spark SQL string literal (backslashes escape)."""
+    return p.replace("\\", "\\\\")
+
+
+def pii_redact_sql(col: str = "text") -> str:
+    """Spark SQL expression: redact email -> ip -> phone (in that order —
+    each later pattern cannot match inside an earlier placeholder)."""
+    e = col
+    for pat, rep in PII_PATTERNS.values():
+        e = f"regexp_replace({e}, '{_spark_pat(pat)}', '{rep}')"
+    return e
+
+
+def _duck_redact(col: str = "text") -> str:
+    e = col
+    for pat, rep in PII_PATTERNS.values():
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return e
+
+
+@register(
+    "text_pii_redaction",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"][0]}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["ip"][0]}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["phone"][0]}')) AS BIGINT) AS n_phones,
+       {_duck_redact()} AS redacted
+FROM documents
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: per-doc counts of email / IPv4 / phone
+    matches (counted on the ORIGINAL text, each pattern independently)
+    plus the redacted text with typed placeholders. Pure per-row regex
+    work — parallelizes with the scan, no shuffle, no UDF; the patterns
+    are the RE2-compatible subset so Spark and the oracle agree
+    match-for-match. The synthetic corpus is PII-free (counts 0, text
+    unchanged — still an exact differential); the semantics are proven on
+    seeded fixtures in tests/test_docs_pipeline.py."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    sel = ["doc_id"]
+    for name, (pat, _rep) in PII_PATTERNS.items():
+        sel.append(
+            f"CAST(size(regexp_extract_all(text, '{_spark_pat(pat)}', 0)) AS BIGINT)"
+            f" AS n_{name}s"
+        )
+    sel.append(f"{pii_redact_sql()} AS redacted")
+    return docs.selectExpr(*sel)
+
+
+# --------------------------------------------------------------------------
+#: Tokens per packed training sequence (concat-and-chop packing).
+PACK_BUDGET = 64
+
+
+@register(
+    "text_pack_sequences",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH {{docwords}},
+tok AS (
+    SELECT lang, doc_id, len(ws) AS n_tokens
+    FROM docwords WHERE len(ws) >= 1
+),
+cum AS (
+    SELECT lang, doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+    FROM tok
+),
+spans AS (
+    SELECT lang, doc_id, cum_end - n_tokens AS cum_start, cum_end FROM cum
+),
+packed AS (
+    SELECT lang, doc_id, cum_start, cum_end,
+           unnest(generate_series(CAST(floor(cum_start / {PACK_BUDGET}) AS BIGINT),
+                                  CAST(floor((cum_end - 1) / {PACK_BUDGET}) AS BIGINT)))
+               AS pack_id
+    FROM spans
+)
+SELECT lang, doc_id, pack_id,
+       CAST(GREATEST(cum_start, pack_id * {PACK_BUDGET})
+            - pack_id * {PACK_BUDGET} AS BIGINT) AS start_tok,
+       CAST(LEAST(cum_end, (pack_id + 1) * {PACK_BUDGET})
+            - GREATEST(cum_start, pack_id * {PACK_BUDGET}) AS BIGINT) AS n_tok
+FROM packed
+""".format(docwords=DUCK_DOCWORDS),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing — the standard LLM-pretraining
+    step: per language, documents are concatenated in doc_id order and
+    chopped into fixed PACK_BUDGET-token training sequences; a document
+    straddling a boundary contributes spans to BOTH packs. Output: one
+    row per (doc, pack) span with the span's offset and length inside the
+    pack, so every pack except a language's last sums to exactly
+    PACK_BUDGET tokens and every token of every doc lands in exactly one
+    span (both invariants pytest-pinned).
+
+    Scale shape: one running-sum window per language partition (the only
+    shuffle) + a metadata-sized sequence/explode for boundary spans —
+    native expressions end to end, no UDF, no driver loop. Packing within
+    a partition key (lang here; shard id at 100 TB) is what keeps the
+    window parallel — a single global order would serialize, and training
+    pipelines don't need one."""
+    from ..functions.text import words_sql
+
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = docs.selectExpr(
+        "lang", "doc_id", f"size({words_sql('text')}) AS n_tokens"
+    ).filter("n_tokens >= 1")
+    cum = tok.withColumn(
+        "cum_end", F.sum("n_tokens").over(w).cast("bigint")
+    ).withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    spans = cum.selectExpr(
+        "lang",
+        "doc_id",
+        "cum_start",
+        "cum_end",
+        f"explode(sequence(CAST(floor(cum_start / {PACK_BUDGET}) AS BIGINT), "
+        f"CAST(floor((cum_end - 1) / {PACK_BUDGET}) AS BIGINT))) AS pack_id",
+    )
+    return spans.selectExpr(
+        "lang",
+        "doc_id",
+        "pack_id",
+        f"CAST(greatest(cum_start, pack_id * {PACK_BUDGET}) "
+        f"- pack_id * {PACK_BUDGET} AS BIGINT) AS start_tok",
+        f"CAST(least(cum_end, (pack_id + 1) * {PACK_BUDGET}) "
+        f"- greatest(cum_start, pack_id * {PACK_BUDGET}) AS BIGINT) AS n_tok",
     )

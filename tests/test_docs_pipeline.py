@@ -1,0 +1,144 @@
+"""Semantics tests for the round-8 document-pipeline operators: PII
+redaction on seeded fixtures (the synthetic corpus is PII-free, so the
+oracle differential alone can't prove the regexes fire), concat-and-chop
+sequence packing invariants, heavy-hitter determinism, and embedding
+near-dup component structure. Oracle parity for all four runs separately
+in test_oracle_parity.py at both scale factors."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.operators.similarity import (
+    similarity_embed_components,
+    similarity_near_dup_pairs,
+)
+from datawarehouse_project_spark.operators.textstats import (
+    PACK_BUDGET,
+    TOP_BIGRAMS_K,
+    pii_redact_sql,
+    text_pack_sequences,
+    text_top_bigrams,
+)
+
+
+# --------------------------------------------------------------------- PII
+def test_pii_redaction_fires_on_seeded_fixtures(spark):
+    rows = [
+        (1, "contact bob.smith+spam@example-mail.co.uk or alice@x.io now"),
+        (2, "call +1 at 555-867-5309 x2 or 212.555.0199 today"),
+        (3, "server 10.0.255.3 and 192.168.1.1 are up"),
+        (4, "no pii here, just text with an @ sign and 1234 numbers"),
+        (5, "mixed: a@b.com then 10.1.2.3 then 555 123 4567 done"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in df.selectExpr(
+            "doc_id", f"{pii_redact_sql('text')} AS redacted"
+        ).collect()
+    }
+    assert out[1]["redacted"] == "contact [EMAIL] or [EMAIL] now"
+    assert out[2]["redacted"] == "call +1 at [PHONE] x2 or [PHONE] today"
+    assert out[3]["redacted"] == "server [IP] and [IP] are up"
+    assert out[4]["redacted"] == rows[3][1]  # untouched
+    assert out[5]["redacted"] == "mixed: [EMAIL] then [IP] then [PHONE] done"
+
+
+def test_pii_counts_match_redactions(spark, sf_dir):
+    """Counts are computed on the original text, redaction on the same
+    patterns — on any corpus the number of placeholders inserted equals
+    the per-pattern count (email first, so no pattern eats another's
+    match)."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    out = all_queries()["text_pii_redaction"](spark, sf_dir)
+    bad = out.filter(
+        (F.expr("size(regexp_extract_all(redacted, '\\\\[EMAIL\\\\]', 0))") != F.col("n_emails"))
+        | (F.expr("size(regexp_extract_all(redacted, '\\\\[IP\\\\]', 0))") != F.col("n_ips"))
+        | (F.expr("size(regexp_extract_all(redacted, '\\\\[PHONE\\\\]', 0))") != F.col("n_phones"))
+    )
+    assert bad.count() == 0
+
+
+# ----------------------------------------------------------------- packing
+def test_pack_sequences_invariants(spark, sf_dir):
+    spans = text_pack_sequences(spark, sf_dir).collect()
+    assert spans, "packing produced no spans"
+
+    # Every span sits inside the pack budget.
+    for r in spans:
+        assert 0 <= r["start_tok"] < PACK_BUDGET
+        assert 1 <= r["n_tok"] <= PACK_BUDGET
+        assert r["start_tok"] + r["n_tok"] <= PACK_BUDGET
+
+    # Per (lang, pack): spans tile the pack exactly — no gaps, no overlap —
+    # and every pack except the language's last is full.
+    by_pack = defaultdict(list)
+    for r in spans:
+        by_pack[(r["lang"], r["pack_id"])].append(r)
+    last_pack = {}
+    for (lang, pid), _ in by_pack.items():
+        last_pack[lang] = max(last_pack.get(lang, -1), pid)
+    for (lang, pid), members in by_pack.items():
+        members.sort(key=lambda r: r["start_tok"])
+        pos = 0
+        for m in members:
+            assert m["start_tok"] == pos, (lang, pid, "gap/overlap")
+            pos += m["n_tok"]
+        if pid < last_pack[lang]:
+            assert pos == PACK_BUDGET, (lang, pid, "non-final pack not full")
+
+    # Per doc: contributed tokens sum to the doc's token count (nothing
+    # dropped, nothing duplicated), and spans are pack-contiguous.
+    doc_tok = {
+        r["doc_id"]: r["n"]
+        for r in spark.sql(
+            f"SELECT doc_id, size(split(lower(trim(text)), '\\\\s+')) AS n "
+            f"FROM parquet.`{sf_dir}/documents.parquet`"
+        ).collect()
+    }
+    by_doc = defaultdict(list)
+    for r in spans:
+        by_doc[r["doc_id"]].append(r)
+    for doc_id, members in by_doc.items():
+        assert sum(m["n_tok"] for m in members) == doc_tok[doc_id]
+        packs = sorted(m["pack_id"] for m in members)
+        assert packs == list(range(packs[0], packs[-1] + 1))
+
+
+# ------------------------------------------------------------ heavy hitters
+def test_top_bigrams_deterministic_cut(spark, sf_dir):
+    rows = text_top_bigrams(spark, sf_dir).collect()
+    assert len(rows) == TOP_BIGRAMS_K
+    ordered = sorted(rows, key=lambda r: (-r["n"], r["bigram"]))
+    assert [r["bigram"] for r in rows] == [r["bigram"] for r in ordered]
+    # The cut is deterministic: the K-th entry strictly beats (count, text)
+    # order against everything excluded — re-running must give the same set.
+    again = {r["bigram"] for r in text_top_bigrams(spark, sf_dir).collect()}
+    assert again == {r["bigram"] for r in rows}
+
+
+# ------------------------------------------------------------- components
+def test_embed_components_structure(spark, sf_dir):
+    labels = similarity_embed_components(spark, sf_dir).collect()
+    comp = {r["vec_id"]: r["component_id"] for r in labels}
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(comp) == n_emb  # every vector labeled exactly once
+
+    # Component id is the minimum member, and the canonical flag marks it.
+    members = defaultdict(list)
+    for r in labels:
+        members[r["component_id"]].append(r["vec_id"])
+        assert r["component_id"] <= r["vec_id"]
+        assert r["is_canonical"] == (r["vec_id"] == r["component_id"])
+    for cid, vs in members.items():
+        assert min(vs) == cid
+
+    # Labels respect every verified near-dup edge (same component), and
+    # component count == n_vectors - rank(edge graph).
+    edges = similarity_near_dup_pairs(spark, sf_dir).collect()
+    for e in edges:
+        assert comp[e["vec_a"]] == comp[e["vec_b"]]
