@@ -1021,3 +1021,79 @@ def dedup_ngram_jaccard_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle REGARDLESS of corpus size — the property that makes this the
     100 TB-safe registered form."""
     return ngram_jaccard_pairs(spark, sf_dir, threshold=0.6, df_cap=DF_CAP)
+
+
+# --------------------------------------------------------------------------
+def _duck_quality_scored() -> str:
+    """The quality-scoring CTE chain (per_doc, scored) from textstats —
+    shared so the keep-best oracle scores documents with the EXACT same
+    arithmetic as ``text_quality_scores``."""
+    from .textstats import _DUCK_QUALITY
+
+    return _DUCK_QUALITY
+
+
+@register(
+    "dedup_keep_best_quality",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=lambda: f"""
+WITH RECURSIVE {_DUCK_SIG},
+bands AS ({_duck_bands()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(doc_id, seen) AS (
+    SELECT doc_id, doc_id AS seen FROM sig
+    UNION
+    SELECT r.doc_id, e.dst AS seen
+    FROM reach r JOIN edges e ON e.src = r.seen
+),
+comp AS (
+    SELECT doc_id, MIN(seen) AS component_id FROM reach GROUP BY doc_id
+),
+{_duck_quality_scored()}
+SELECT c.doc_id, c.component_id, s.quality,
+       (ROW_NUMBER() OVER (PARTITION BY c.component_id
+                           ORDER BY COALESCE(s.quality, -1.0) DESC,
+                                    c.doc_id) = 1) AS kept
+FROM comp c LEFT JOIN scored s ON c.doc_id = s.doc_id
+""",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection by QUALITY, not by id: within every near-dup
+    cluster (MinHash-LSH candidate graph -> connected components), keep
+    the highest-quality member (``text_quality_scores``; doc_id breaks
+    ties) — what a production dedup actually ships, since the smallest id
+    is rarely the best copy. Output: every doc labeled with its
+    component, its quality score, and the ``kept`` flag.
+
+    Scale shape: the component labeling is the star-rounds operator
+    (equi-joins + groupBys, constant per-round plan), quality scoring is
+    per-row scan work, and the argmax is one row_number window
+    partitioned by component_id — components are small (near-dup
+    clusters), so the window never sees a skewed partition bigger than
+    the largest cluster. No new shuffle class beyond what the pieces
+    already pay."""
+    from pyspark.sql import Window
+
+    from .textstats import text_quality_scores
+
+    comp = dedup_minhash_components(spark, sf_dir)
+    q = text_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    j = comp.join(q, "doc_id", "left")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc(F.coalesce(F.col("quality"), F.lit(-1.0))), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "component_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )

@@ -139,3 +139,59 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("max_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: Number of output shards for the deterministic corpus shuffle.
+N_SHARDS = 16
+_SHARD_SALT = "shard:"
+
+
+@register(
+    "corpus_shard_assignments",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id,
+           {DUCK_H.format(x=f"('{_SHARD_SALT}' || CAST(doc_id AS VARCHAR))")} AS hv
+    FROM documents
+)
+SELECT doc_id,
+       CAST(hv % {N_SHARDS} AS INT) AS shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % {N_SHARDS}
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos_in_shard
+FROM h
+""",
+)
+def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + sharding — the write layout
+    step before training: every document gets a shard (salted portable
+    hash mod N_SHARDS, so shards are balanced in expectation and stable
+    under incremental loads) and a position inside the shard (ordered by
+    the same hash — a pseudorandom permutation, so readers streaming a
+    shard sequentially see data in shuffled order without any runtime
+    randomness). Writing the actual files is
+    ``df.repartition(N_SHARDS, "shard_id")`` + ``sortWithinPartitions``
+    over exactly this assignment — one shuffle, the one a shard writer
+    always pays. Engine/rerun/partitioning-independent: the assignment is
+    a pure function of doc_id, pinned by the DuckDB oracle."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_SHARD_SALT), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    with_h = docs.select("doc_id", h.alias("hv"))
+    w = Window.partitionBy(F.col("hv") % N_SHARDS).orderBy("hv", "doc_id")
+    return with_h.select(
+        "doc_id",
+        (F.col("hv") % N_SHARDS).cast("int").alias("shard_id"),
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )

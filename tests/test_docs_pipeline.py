@@ -142,3 +142,46 @@ def test_embed_components_structure(spark, sf_dir):
     edges = similarity_near_dup_pairs(spark, sf_dir).collect()
     for e in edges:
         assert comp[e["vec_a"]] == comp[e["vec_b"]]
+
+
+# ------------------------------------------------------- keep-best-quality
+def test_keep_best_quality_one_winner_per_component(spark, sf_dir):
+    from datawarehouse_project_spark.operators.dedup import (
+        dedup_keep_best_quality,
+    )
+
+    rows = dedup_keep_best_quality(spark, sf_dir).collect()
+    best = defaultdict(list)
+    for r in rows:
+        best[r["component_id"]].append(r)
+    for cid, members in best.items():
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1, (cid, "must keep exactly one")
+        top = max(
+            members,
+            key=lambda m: (m["quality"] if m["quality"] is not None else -1.0,
+                           -m["doc_id"]),
+        )
+        assert kept[0]["doc_id"] == top["doc_id"]
+
+
+# ------------------------------------------------------------- sharding
+def test_shard_assignments_balanced_and_dense(spark, sf_dir):
+    from datawarehouse_project_spark.operators.sampling import (
+        N_SHARDS,
+        corpus_shard_assignments,
+    )
+
+    rows = corpus_shard_assignments(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    shards = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["shard_id"] < N_SHARDS
+        shards[r["shard_id"]].append(r["pos_in_shard"])
+    # positions are dense 1..len per shard (a valid write order)
+    for sid, poss in shards.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # hash sharding balances in expectation: no shard more than 2x the mean
+    mean = n_docs / N_SHARDS
+    assert max(len(p) for p in shards.values()) <= 2 * mean
