@@ -184,3 +184,41 @@ def test_gapfill_grid_is_not_a_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("Generate") == 1
     assert "Window" in p
+
+
+def test_top_bigrams_plans_topk_and_partial_agg(spark, sf_dir):
+    """Heavy hitters must take the two-stage shape: map-side partial
+    count + one exchange, and the final cut as TakeOrderedAndProject —
+    never a global sort of the full frequency table."""
+    p = plan_of(all_queries()["text_top_bigrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_redaction_is_scan_project_only(spark, sf_dir):
+    """PII scrub is per-row regex work — any shuffle besides the
+    deliberate spread() round-robin rebalance is a regression."""
+    p = plan_of(all_queries()["text_pii_redaction"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in p
+    assert p.count("Exchange") <= 1
+    assert "Join" not in p
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    """Concat-and-chop packing pays exactly one hash exchange (the
+    per-lang running-sum window); the boundary-span explode must stay a
+    Generate, not a join."""
+    p = plan_of(all_queries()["text_pack_sequences"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Generate explode" in p
+    assert "Join" not in p
+
+
+def test_shard_assignments_single_exchange_no_join(spark, sf_dir):
+    """Shard assignment is one hash-partition exchange (the one the shard
+    writer pays anyway) + a per-shard sort — no join, no extra shuffle."""
+    p = plan_of(all_queries()["corpus_shard_assignments"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
