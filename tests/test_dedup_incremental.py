@@ -1,0 +1,91 @@
+"""Incremental LSH dedup: the algebra (incremental == batch restricted to
+new-touching pairs), the no-rework guarantee, and the versioned signature
+store round-trip. Oracle parity runs in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.operators.dedup import dedup_minhash_lsh_pairs
+from datawarehouse_project_spark.operators.dedup_incremental import (
+    incremental_lsh_pairs,
+    signatures_of,
+)
+from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+
+def _pairs_set(df):
+    return {
+        (r["doc_a"], r["doc_b"], r["n_matching_minhash"]) for r in df.collect()
+    }
+
+
+def test_incremental_equals_batch_union(spark, sf_dir):
+    """pairs(old ∪ new) == pairs(old) ∪ incremental(sigs(old), new),
+    disjointly — the contract that lets a pipeline dedup batch-by-batch
+    forever without re-pairing history."""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+
+    batch_all = _pairs_set(dedup_minhash_lsh_pairs(spark, sf_dir))
+
+    old_sigs = signatures_of(old)
+    old_pairs = {
+        (r["doc_a"], r["doc_b"], r["n_matching_minhash"])
+        for r in incremental_lsh_pairs(
+            signatures_of(old.limit(0)), old
+        ).collect()
+    }  # batch over old == incremental against an empty store
+    inc_pairs = _pairs_set(incremental_lsh_pairs(old_sigs, new))
+
+    assert old_pairs | inc_pairs == batch_all
+    assert not (old_pairs & inc_pairs)  # disjoint: no pair computed twice
+    # every incremental pair touches a new doc; no old x old rework
+    for a, b, _n in inc_pairs:
+        assert a % 3 == 0 or b % 3 == 0
+
+
+def test_incremental_via_versioned_signature_store(spark, sf_dir, tmp_path):
+    """Two ingest batches against a VersionedParquetTable signature store:
+    each batch appends its signatures as an atomic idempotent commit, and
+    the second batch's pairs are computed against the store as read back
+    from disk. Replaying a batch commit is a no-op (exactly-once)."""
+    docs = table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    store = VersionedParquetTable(str(tmp_path / "sig_store"))
+
+    s1 = signatures_of(b1)
+    store.upsert(spark, s1, pk=["doc_id"], txn=("sig-writer", 1))
+    pairs_b2 = _pairs_set(
+        incremental_lsh_pairs(store.read(spark), b2)
+    )
+
+    # replaying batch 1's commit must not change the store
+    v_before = store.current_version()
+    store.upsert(spark, s1, pk=["doc_id"], txn=("sig-writer", 1))
+    assert store.current_version() == v_before
+
+    store.upsert(
+        spark, signatures_of(b2), pk=["doc_id"], txn=("sig-writer", 2)
+    )
+
+    # the store now holds signatures for both batches, bit-identical to
+    # recomputation (portable hashing across batches/sessions)
+    stored = {
+        tuple(r) for r in store.read(spark).collect()
+    }
+    fresh = {
+        tuple(r)
+        for r in signatures_of(
+            docs.filter(F.col("doc_id") % 3 != 0)
+        ).collect()
+    }
+    assert stored == fresh
+
+    # and the pairs computed against the disk-backed store match the
+    # in-memory computation
+    assert pairs_b2 == _pairs_set(incremental_lsh_pairs(signatures_of(b1), b2))
