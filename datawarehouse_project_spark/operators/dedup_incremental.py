@@ -177,3 +177,50 @@ def dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing_sigs = signatures_of(docs.filter(F.col("doc_id") % 2 == 0))
     new_docs = docs.filter(F.col("doc_id") % 2 == 1)
     return incremental_lsh_pairs(existing_sigs, new_docs)
+
+
+# --------------------------------------------------------------------------
+class StreamingLshDedup:
+    """Near-dup candidate detection over an UNBOUNDED document stream:
+    each micro-batch lands its minhash signatures in a versioned store
+    and emits the candidate pairs it introduces (vs the store + within
+    itself) into a versioned pairs table — ``foreachBatch`` glue around
+    :func:`incremental_lsh_pairs`, same discipline as
+    ``IncrementalRollup``.
+
+    Exactly-once under replay: both commits carry the (app_id, batch_id)
+    txn ledger. Commit ORDER is pairs first, then signatures — if the
+    writer dies between them, the replayed batch recomputes the
+    identical pairs (the store still lacks this batch's signatures, so
+    the computation's inputs are unchanged), the pairs table's ledger
+    absorbs the duplicate commit, and the signature commit then
+    completes the batch. The pair stream is therefore append-exact:
+    every near-dup pair of the whole stream appears exactly once, at
+    the batch where its LATER member arrived."""
+
+    def __init__(self, root: str) -> None:
+        from ..sources.sinks import VersionedParquetTable
+
+        self.signatures = VersionedParquetTable(f"{root}/signatures")
+        self.pairs = VersionedParquetTable(f"{root}/pairs")
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "lsh-dedup",
+    ) -> None:
+        txn = (app_id, batch_id) if batch_id is not None else None
+        if txn is not None:
+            last = self.signatures.last_txn(app_id)
+            if last is not None and batch_id <= last:
+                return  # batch fully applied (signatures commit LAST)
+        existing = self.signatures.read(spark)
+        if existing is None:
+            existing = signatures_of(batch.limit(0))
+        new_pairs = incremental_lsh_pairs(existing, batch)
+        self.pairs.upsert(spark, new_pairs, pk=["doc_a", "doc_b"], txn=txn)
+        self.signatures.upsert(
+            spark, signatures_of(batch), pk=["doc_id"], txn=txn
+        )

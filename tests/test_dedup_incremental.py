@@ -89,3 +89,55 @@ def test_incremental_via_versioned_signature_store(spark, sf_dir, tmp_path):
     # and the pairs computed against the disk-backed store match the
     # in-memory computation
     assert pairs_b2 == _pairs_set(incremental_lsh_pairs(signatures_of(b1), b2))
+
+
+def test_streaming_lsh_dedup_converges_and_replays_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """availableNow micro-batches through StreamingLshDedup: the pairs
+    table converges to the batch operator's answer over the whole corpus,
+    and re-running the stream (same app, same epoch ids) changes
+    nothing."""
+    import pyspark.sql.types as T
+
+    from datawarehouse_project_spark.operators.dedup_incremental import (
+        StreamingLshDedup,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.withColumn("part", (F.col("doc_id") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    dedup = StreamingLshDedup(str(tmp_path / "dedup"))
+
+    def run():
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: dedup.apply_batch(spark, bdf, batch_id=bid)
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    streamed = _pairs_set(dedup.pairs.read(spark))
+    assert streamed == _pairs_set(dedup_minhash_lsh_pairs(spark, sf_dir))
+
+    v_sig = dedup.signatures.current_version()
+    v_pairs = dedup.pairs.current_version()
+    run()  # full replay with fresh epoch ids 0..n — ledger absorbs all
+    assert dedup.signatures.current_version() == v_sig
+    assert dedup.pairs.current_version() == v_pairs
+    assert _pairs_set(dedup.pairs.read(spark)) == streamed
