@@ -452,3 +452,70 @@ def bigjoin_order_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "fullouter_yearly_customer_recon",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle="""
+WITH y97 AS (
+    SELECT o_custkey, COUNT(*) AS n_1997
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY o_custkey
+),
+y98 AS (
+    SELECT o_custkey, COUNT(*) AS n_1998
+    FROM orders
+    WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01'
+    GROUP BY o_custkey
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       COALESCE(a.n_1997, 0) AS n_1997,
+       COALESCE(b.n_1998, 0) AS n_1998,
+       CASE WHEN a.o_custkey IS NULL THEN 'only_1998'
+            WHEN b.o_custkey IS NULL THEN 'only_1997'
+            ELSE 'both' END AS status
+FROM y97 a FULL OUTER JOIN y98 b ON a.o_custkey = b.o_custkey
+""",
+)
+def fullouter_yearly_customer_recon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Year-over-year customer reconciliation — the canonical FULL OUTER
+    JOIN use case the surface was missing: order counts per customer for
+    1997 and 1998 side by side, with customers active in only one year
+    surfacing as 'only_*' rows instead of silently dropping (what an
+    inner or one-sided outer join would do).
+
+    Scale shape: both inputs pre-aggregate to one row per customer BEFORE
+    the join (partial agg collapses map-side), so the full-outer shuffle
+    moves two already-reduced frames keyed on the same column — a
+    sort-merge join on aligned partitioning, no skew beyond the customer
+    key's own, and no null-key hotspot (aggregate keys are non-null)."""
+    prepare(spark)
+    orders = table(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= f"{y}-01-01")
+                & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = year_counts(1997, "n_1997").alias("a")
+    b = year_counts(1998, "n_1998").alias("b")
+    joined = a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full")
+    return joined.select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("a.n_1997"), F.lit(0)).alias("n_1997"),
+        F.coalesce(F.col("b.n_1998"), F.lit(0)).alias("n_1998"),
+        F.when(F.col("a.o_custkey").isNull(), "only_1998")
+        .when(F.col("b.o_custkey").isNull(), "only_1997")
+        .otherwise("both")
+        .alias("status"),
+    )

@@ -222,3 +222,22 @@ def test_shard_assignments_single_exchange_no_join(spark, sf_dir):
     p = plan_of(all_queries()["corpus_shard_assignments"](spark, sf_dir))
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_incremental_lsh_pairs_bucket_joins_only(spark, sf_dir):
+    """Both incremental joins (batch x store, batch x batch) must be
+    (band, band_key) equi-joins — a nested loop against the store would
+    re-pair history and defeat the operator's O(batch) contract."""
+    p = plan_of(all_queries()["dedup_incremental_lsh_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_fullouter_recon_preaggregates_before_join(spark, sf_dir):
+    """Both sides collapse to one row per customer BEFORE the full-outer
+    join (partial agg present); the join itself must be an equi
+    sort-merge/hash join, never a nested loop."""
+    p = plan_of(all_queries()["fullouter_yearly_customer_recon"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FullOuter" in p
+    assert p.count("HashAggregate") >= 4  # partial+final per side
