@@ -187,3 +187,102 @@ def test_star_components_10k_chain_stress(spark):
         F.max("component_id").alias("hi"),
     ).first()
     assert (agg["n"], agg["k"], agg["lo"], agg["hi"]) == (n, 1, 0, 0)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(1, 200), min_size=5, max_size=40),
+    st.sampled_from([8, 64, 256]),
+)
+def test_pack_sequences_algebra_on_generated_corpora(spark, lengths, budget):
+    """Concat-and-chop packing on arbitrary token-length sequences: spans
+    tile every pack exactly, conserve every doc's tokens, and the number
+    of packs is ceil(total/budget) — checked against a trivial Python
+    reference on generated inputs (one language partition, any budget)."""
+    from pyspark.sql import Window
+
+    rows = [(i, n) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.withColumn("cum_end", F.sum("n_tokens").over(w).cast("bigint"))
+    cum = cum.withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    spans = cum.selectExpr(
+        "doc_id",
+        "cum_start",
+        "cum_end",
+        f"explode(sequence(CAST(floor(cum_start / {budget}) AS BIGINT), "
+        f"CAST(floor((cum_end - 1) / {budget}) AS BIGINT))) AS pack_id",
+    ).selectExpr(
+        "doc_id",
+        "pack_id",
+        f"CAST(least(cum_end, (pack_id + 1) * {budget}) "
+        f"- greatest(cum_start, pack_id * {budget}) AS BIGINT) AS n_tok",
+    ).collect()
+
+    total = sum(lengths)
+    packs = {}
+    per_doc = {}
+    for r in spans:
+        packs[r["pack_id"]] = packs.get(r["pack_id"], 0) + r["n_tok"]
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tok"]
+    assert per_doc == {i: n for i, n in rows}
+    n_packs = -(-total // budget)  # ceil
+    assert sorted(packs) == list(range(n_packs))
+    for pid, tok in packs.items():
+        assert tok == (budget if pid < n_packs - 1 else total - budget * pid)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 49)),
+        min_size=8,
+        max_size=30,
+    ),
+    st.integers(2, 5),
+)
+def test_incremental_lsh_algebra_on_generated_corpora(spark, specs, mod):
+    """pairs(all) == pairs(old) ∪ incremental(sigs(old), new) on generated
+    corpora with engineered near-duplicates (docs sharing a template
+    collide in every band). Split rule varies with the seed."""
+    from datawarehouse_project_spark.operators.dedup_incremental import (
+        incremental_lsh_pairs,
+        signatures_of,
+    )
+
+    words_pool = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red green blue cyan magenta yellow black white",
+        "north south east west up down left right middle",
+        "ant bee cat dog elk fox gnu hen ibis jay",
+        "oak elm fir ash yew pine cedar birch maple",
+        "rain snow hail sleet fog mist wind storm calm",
+        "iron gold lead zinc tin copper nickel silver",
+        "sol luna terra mars ceres vesta juno pallas",
+        "do re mi fa sol la ti octave chord scale",
+    ]
+    rows = [
+        (i, words_pool[tpl] + (f" tail{salt}" if salt % 7 == 0 else ""))
+        for i, (tpl, salt) in enumerate(specs)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    old = docs.filter(F.col("doc_id") % mod != 0)
+    new = docs.filter(F.col("doc_id") % mod == 0)
+
+    def pairs(existing, batch):
+        return {
+            (r["doc_a"], r["doc_b"], r["n_matching_minhash"])
+            for r in incremental_lsh_pairs(existing, batch).collect()
+        }
+
+    empty = signatures_of(docs.limit(0))
+    all_pairs = pairs(empty, docs)
+    old_pairs = pairs(empty, old)
+    inc_pairs = pairs(signatures_of(old), new)
+    assert old_pairs | inc_pairs == all_pairs
+    assert not (old_pairs & inc_pairs)
