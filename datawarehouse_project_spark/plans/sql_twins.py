@@ -52,6 +52,7 @@ NEUTRAL_AS_IS = [
     "dedup_exact_md5",
     "dedup_lastwins_upsert",
     "dq_audit_orders_lineitem",
+    "fullouter_yearly_customer_recon",
     "events_distinct_users",
     "events_enrich_meshjoin",
     "events_value_moments",
@@ -917,3 +918,84 @@ FROM starts
 
 
 SPARK_SQL["text_chunk_documents"] = _chunk_sql()
+
+
+# ---- round-8 pipeline operators -------------------------------------------
+
+
+def _round8_twins() -> dict[str, str]:
+    from ..functions.text import words_sql
+    from ..operators.sampling import N_SHARDS, _SHARD_SALT
+    from ..operators.textstats import (
+        PACK_BUDGET,
+        TOP_BIGRAMS_K,
+        PII_PATTERNS,
+        _spark_pat,
+        pii_redact_sql,
+    )
+
+    shard_h = (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('{_SHARD_SALT}', "
+        f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    pii_counts = ", ".join(
+        f"CAST(size(regexp_extract_all(text, '{_spark_pat(pat)}', 0)) AS BIGINT)"
+        f" AS n_{name}s"
+        for name, (pat, _rep) in PII_PATTERNS.items()
+    )
+    return {
+        "corpus_shard_assignments": f"""
+WITH h AS (SELECT doc_id, {shard_h} AS hv FROM documents)
+SELECT doc_id,
+       CAST(hv % {N_SHARDS} AS INT) AS shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % {N_SHARDS}
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos_in_shard
+FROM h
+""",
+        "text_pii_redaction": f"""
+SELECT doc_id, {pii_counts}, {pii_redact_sql("text")} AS redacted
+FROM documents
+""",
+        "text_top_bigrams": f"""
+WITH docwords AS (SELECT {words_sql("text")} AS ws FROM documents),
+bi AS (
+    SELECT explode(transform(sequence(1, size(ws) - 1),
+                             i -> concat(element_at(ws, i), ' ',
+                                         element_at(ws, i + 1)))) AS bigram
+    FROM docwords WHERE size(ws) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM bi GROUP BY bigram ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}
+""",
+        "text_pack_sequences": f"""
+WITH tok AS (
+    SELECT lang, doc_id, size({words_sql("text")}) AS n_tokens FROM documents
+),
+cum AS (
+    SELECT lang, doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_end
+    FROM tok WHERE n_tokens >= 1
+),
+spans AS (
+    SELECT lang, doc_id, cum_end - n_tokens AS cum_start, cum_end FROM cum
+),
+packed AS (
+    SELECT lang, doc_id, cum_start, cum_end,
+           explode(sequence(CAST(floor(cum_start / {PACK_BUDGET}) AS BIGINT),
+                            CAST(floor((cum_end - 1) / {PACK_BUDGET}) AS BIGINT)))
+               AS pack_id
+    FROM spans
+)
+SELECT lang, doc_id, pack_id,
+       CAST(greatest(cum_start, pack_id * {PACK_BUDGET})
+            - pack_id * {PACK_BUDGET} AS BIGINT) AS start_tok,
+       CAST(least(cum_end, (pack_id + 1) * {PACK_BUDGET})
+            - greatest(cum_start, pack_id * {PACK_BUDGET}) AS BIGINT) AS n_tok
+FROM packed
+""",
+    }
+
+
+SPARK_SQL.update(_round8_twins())
