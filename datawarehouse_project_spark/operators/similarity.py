@@ -744,16 +744,24 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.45
 """,
 )
 def similarity_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, banded-LSH-composed — the
-    REGISTERED production path (the brute-force form above is its recall
-    baseline). Candidates come from an EQUI-join on (band, band_key)
-    exactly like the minhash LSH pair flow: 8 bands x 2 sign bits give
-    ~0.99 per-pair recall at the 0.45 threshold, each band co-partitions
-    candidates at any scale, and exact cosine verifies and thresholds.
-    Banding (OR across bands) rather than one concatenated bucket is what
-    makes LSH recall tunable — the single 8-bit bucket form has ~3%
-    recall at this threshold. The plan contains no nested-loop over the
-    full table — asserted in plan-shape tests."""
+    """Embedding-cosine near-duplicate pairs, banded-LSH-composed (the
+    brute-force form above is its recall baseline). Candidates come from
+    an EQUI-join on (band, band_key) exactly like the minhash LSH pair
+    flow: 8 bands x 2 sign bits give ~0.99 per-pair recall at the 0.45
+    threshold, and exact cosine verifies and thresholds. Banding (OR
+    across bands) rather than one concatenated bucket is what makes LSH
+    recall tunable — the single 8-bit bucket form has ~3% recall at this
+    threshold. The plan contains no nested-loop over the full table —
+    asserted in plan-shape tests.
+
+    SCALE CAVEAT (round-8 measurement, PERFORMANCE.md): 2-bit bands mean
+    4 buckets per band, so the candidate set grows ~n^2/4 (measured 4.0M
+    candidates at n=2k, 401M at n=20k). That coarseness is what ~0.99
+    recall at a LOW threshold like 0.45 requires — inherent to LSH, not
+    a plan defect — so this form is right up to ~10^4-10^5 vectors.
+    Production DEDUP thresholds (0.9+) use ``near_dup_pairs_scaled``
+    below (8-bit bands, 27x fewer candidates measured, bits grow with
+    corpus size); 0.45-level retrieval is the IVF top-k operators' job."""
     prepare(spark)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
     bands = emb.select(
@@ -866,4 +874,103 @@ def similarity_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"),
         "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scale-path near-dup: wide bands for HIGH similarity thresholds.
+#
+# Round-8 measurement (PERFORMANCE.md): the registered 0.45-threshold
+# banding above uses 2-bit bands — only 4 buckets per band — because at
+# p_bit(0.45) ~ 0.65 that coarseness is what ~0.99 recall REQUIRES. The
+# price is candidate density: ~n^2/4 pairs per band (measured 4.0M
+# candidates at n=2k, 401M at n=20k — quadratic). That is inherent to
+# LSH at low similarity thresholds (the p1/p2 gap is too small), not an
+# implementation defect: 0.45-cosine detection is similarity SEARCH
+# (use the IVF top-k operators), not deduplication.
+#
+# Production near-dup dedup works at HIGH thresholds (0.9+), where the
+# same banding with 8-bit bands (256 buckets each) is subquadratic:
+# background pairs collide in a band with probability ~p_rand^8 (~2^-8
+# for uncorrelated vectors), so candidates ~ L * n^2 / 512 while
+# p_bit(0.9) ~ 0.857 keeps per-pair recall at 1-(1-0.857^8)^16 ~ 0.996.
+# The synthetic corpus has no pairs above cosine 0.6 (so a registered
+# table query would be trivially empty); the operator takes any
+# embedding frame and is proven on planted near-duplicates plus a
+# direct DuckDB differential in tests/test_similarity.py.
+HI_THRESHOLD = 0.9
+HI_BANDS = 16
+HI_BAND_BITS = 8
+HI_PLANES = _hyperplanes(HI_BANDS * HI_BAND_BITS)
+
+
+def _band_key_expr_wide(emb, band: int) -> F.Column:
+    """HI_BAND_BITS sign bits of wide band ``band`` packed into one INT."""
+    total = F.lit(0)
+    for b in range(HI_BAND_BITS):
+        weights = HI_PLANES[band * HI_BAND_BITS + b]
+        warr = F.array(*[F.lit(w) for w in weights])
+        dot = F.aggregate(
+            F.zip_with(emb, warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return total
+
+
+def duck_band_key_wide(e: str, band: int) -> str:
+    """DuckDB twin of ``_band_key_expr_wide`` (differential tests)."""
+    parts = []
+    for b in range(HI_BAND_BITS):
+        dot = _duck_dot_lit(e, HI_PLANES[band * HI_BAND_BITS + b])
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def near_dup_pairs_scaled(
+    emb: DataFrame, threshold: float = HI_THRESHOLD
+) -> DataFrame:
+    """High-threshold near-duplicate pairs over ANY (vec_id, embedding)
+    frame — the 100 TB path: 16 bands x 8 sign bits (256 buckets per
+    band, buckets shrink as 2^bits, a build-time knob) feed the same
+    bucket equi-join + exact-cosine verify as the registered operator,
+    with subquadratic candidates at production thresholds. Returns
+    (vec_a, vec_b, cosine) with cosine >= threshold."""
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        _band_key_expr_wide(F.col("embedding"), j).alias("bkey"),
+                    )
+                    for j in range(HI_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    cos = (
+        _dot(F.col("a_emb"), F.col("b_emb"))
+        / (_norm(F.col("a_emb")) * _norm(F.col("b_emb")))
+    ).alias("cosine")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos)
+        .filter(F.col("cosine") >= threshold)
     )

@@ -151,3 +151,138 @@ def test_ivf_fallback_warns_on_missing_sample(monkeypatch):
     # restore: retrain from the real sample for any later test in-process
     monkeypatch.undo()
     sim._IVF_CACHE = None
+
+
+# --------------------------------------------------------------- scale path
+def _planted_corpus(n_bases=40, n_background=200, dim=64):
+    """Deterministic corpus with planted near-duplicates: each base vector
+    gets a copy with ~1% relative noise (cosine ~0.999); background
+    vectors are independent. md5-derived floats — no RNG state."""
+    import hashlib
+
+    def vec(tag):
+        return [
+            (int(hashlib.md5(f"{tag}_{i}".encode()).hexdigest()[:8], 16)
+             % 2001 - 1000) / 1000.0
+            for i in range(dim)
+        ]
+
+    rows = []
+    vid = 0
+    planted = []
+    for b in range(n_bases):
+        base = vec(f"base{b}")
+        noise = vec(f"noise{b}")
+        dup = [x + 0.02 * e for x, e in zip(base, noise)]
+        rows.append((vid, base))
+        rows.append((vid + 1, dup))
+        planted.append((vid, vid + 1))
+        vid += 2
+    for g in range(n_background):
+        rows.append((vid, vec(f"bg{g}")))
+        vid += 1
+    return rows, planted
+
+
+def test_scaled_near_dup_finds_planted_pairs_subquadratically(spark):
+    """The wide-band (16x8-bit) path: 100% recall on planted ~0.999-cosine
+    duplicates, zero false positives at the 0.9 threshold, and a candidate
+    set far below all-pairs — the property the 2-bit registered variant
+    cannot have (its recall needs coarse buckets at its 0.45 threshold)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_project_spark.operators.similarity import (
+        HI_BANDS,
+        _band_key_expr_wide,
+        near_dup_pairs_scaled,
+    )
+
+    rows, planted = _planted_corpus()
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in near_dup_pairs_scaled(emb).collect()
+    }
+    assert got == set(planted)  # full recall, no background false positive
+
+    # candidate volume: sum over buckets of C(size,2) must be far below
+    # all-pairs (n=280 -> 39k pairs; wide buckets keep it ~10x smaller)
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        _band_key_expr_wide(F.col("embedding"), j).alias("bkey"),
+                    )
+                    for j in range(HI_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("bk.band", "bk.bkey")
+    sizes = bands.groupBy("band", "bkey").count()
+    cand = sizes.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c")
+    ).collect()[0]["c"]
+    n = len(rows)
+    assert cand < 0.15 * (n * (n - 1) / 2), cand
+
+
+def test_scaled_near_dup_matches_duckdb_differential(spark):
+    """Cross-engine differential on the planted corpus: DuckDB computes
+    the same wide bands, bucket join, and cosine verify from the same
+    literals — pair sets must be identical (the fixture-level analog of
+    the registered operators' oracle gate)."""
+    import duckdb
+    import pandas as pd
+
+    from datawarehouse_project_spark.operators.similarity import (
+        DIM,
+        HI_BANDS,
+        HI_THRESHOLD,
+        _DUCK_DOT,
+        _DUCK_NORM,
+        duck_band_key_wide,
+        near_dup_pairs_scaled,
+    )
+
+    rows, _planted = _planted_corpus(n_bases=20, n_background=80)
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in near_dup_pairs_scaled(emb).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    con = duckdb.connect()
+    con.register("emb_pd", pdf)
+    con.execute(
+        "CREATE TABLE fixture AS SELECT vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS embedding FROM emb_pd"
+    )
+    bands_sql = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS band, {duck_band_key_wide('embedding', j)} AS bkey "
+        "FROM fixture"
+        for j in range(HI_BANDS)
+    )
+    dot = _DUCK_DOT.format(a="ea.embedding", b="eb.embedding", dim=DIM)
+    na = _DUCK_NORM.format(e="ea.embedding")
+    nb = _DUCK_NORM.format(e="eb.embedding")
+    oracle = f"""
+WITH bands AS ({bands_sql}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b
+FROM cand c
+JOIN fixture ea ON c.vec_a = ea.vec_id
+JOIN fixture eb ON c.vec_b = eb.vec_id
+WHERE {dot} / ({na} * {nb}) >= {HI_THRESHOLD}
+"""
+    duck = {
+        (int(a), int(b)) for a, b in con.execute(oracle).fetchall()
+    }
+    assert got == duck
