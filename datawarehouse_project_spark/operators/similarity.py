@@ -974,3 +974,29 @@ def near_dup_pairs_scaled(
         .select("vec_a", "vec_b", cos)
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embed_components_scaled(
+    emb: DataFrame, threshold: float = HI_THRESHOLD
+) -> DataFrame:
+    """Scale-path embedding dedup end to end: wide-band candidate pairs
+    (``near_dup_pairs_scaled``) -> exact-cosine verify -> large-star/
+    small-star components. Same output contract as the registered
+    ``similarity_embed_components`` (vec_id, component_id, is_canonical)
+    but subquadratic candidate generation at production thresholds, so
+    the whole chain holds at corpus scale. Proven on planted duplicate
+    CLUSTERS (k noisy copies per base must land in one component) in
+    tests/test_similarity.py."""
+    from .dedup import connected_components_star
+
+    edges = near_dup_pairs_scaled(emb, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components_star(
+        emb.select(F.col("vec_id").alias("doc_id")), edges
+    )
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )

@@ -286,3 +286,53 @@ WHERE {dot} / ({na} * {nb}) >= {HI_THRESHOLD}
         (int(a), int(b)) for a, b in con.execute(oracle).fetchall()
     }
     assert got == duck
+
+
+def test_scaled_components_cluster_planted_duplicates(spark):
+    """End-to-end scale path: plant 15 bases x 4 noisy copies each (all
+    pairwise cosine ~0.999) among background vectors; every copy-group
+    must collapse to one component whose id is its minimum member, and
+    every background vector stays a singleton."""
+    import hashlib
+
+    from datawarehouse_project_spark.operators.similarity import (
+        embed_components_scaled,
+    )
+
+    def vec(tag, dim=64):
+        return [
+            (int(hashlib.md5(f"{tag}_{i}".encode()).hexdigest()[:8], 16)
+             % 2001 - 1000) / 1000.0
+            for i in range(dim)
+        ]
+
+    rows, groups = [], []
+    vid = 0
+    for b in range(15):
+        base = vec(f"cbase{b}")
+        group = []
+        for c in range(4):
+            noise = vec(f"cnoise{b}_{c}")
+            rows.append((vid, [x + 0.02 * e for x, e in zip(base, noise)]))
+            group.append(vid)
+            vid += 1
+        groups.append(group)
+    background = []
+    for g in range(120):
+        rows.append((vid, vec(f"cbg{g}")))
+        background.append(vid)
+        vid += 1
+
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    labels = {
+        r["vec_id"]: (r["component_id"], r["is_canonical"])
+        for r in embed_components_scaled(emb).collect()
+    }
+    assert len(labels) == len(rows)
+    for group in groups:
+        cids = {labels[v][0] for v in group}
+        assert cids == {min(group)}  # one component, labeled by the min
+        assert labels[min(group)][1] is True
+        assert all(labels[v][1] is False for v in group if v != min(group))
+    for v in background:
+        assert labels[v] == (v, True)  # singletons stay canonical
