@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import register
+from .registry import REGISTRY, register
 from .star import FACT_CTE, fact
 from ..io import table
 from ..session import prepare
@@ -201,4 +201,67 @@ def pivot_store_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(c)
             for p, c in _PIV_COLS.items()
         ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot: the inverse of the pivot above — wide (store x priority columns)
+# back to long (store, priority, value) rows. Spark's native ``unpivot``
+# (the SQL STACK/UNPIVOT analog) emits one row per id x value column,
+# INCLUDING the zero cells the pivot materialized, so the pair
+# pivot -> unpivot is lossless; the oracle states that directly by
+# unioning the pivot oracle's columns.
+_UNPIV_SELECTS = None  # built below from _PIV_COLS
+
+
+def _unpivot_oracle() -> str:
+    piv = REGISTRY["pivot_store_priority"].oracle
+    arms = " UNION ALL ".join(
+        f"SELECT store_name, '{c}' AS priority, {c} AS total_sales FROM piv"
+        for c in _PIV_COLS.values()
+    )
+    return f"WITH piv AS ({piv}) {arms}"
+
+
+@register(
+    "unpivot_store_priority",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=_unpivot_oracle,
+)
+def unpivot_store_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot of the store x priority revenue matrix —
+    the relational inverse the pivot was missing. Per-row reshaping
+    (each input row expands to 5 output rows), no shuffle beyond what
+    the pivot itself already did."""
+    return pivot_store_priority(spark, sf_dir).unpivot(
+        ["store_name"],
+        list(_PIV_COLS.values()),
+        "priority",
+        "total_sales",
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_value_median_cont",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle="""
+SELECT event_type,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS median_value
+FROM events
+GROUP BY 1
+""",
+)
+def events_value_median_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) median per event type — the
+    PERCENTILE_CONT companion to the discrete median above. Spark's
+    exact ``percentile`` and DuckDB's ``percentile_cont`` interpolate
+    identically on doubles (verified bit-for-bit by the oracle gate).
+    Same scale posture as the discrete form: exact percentiles need the
+    per-key sorted mass; the sketch twin
+    (``events_value_median_approx``) is the 100 TB path."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value")
     )
