@@ -1105,3 +1105,112 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_source_similarity",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+exploded AS (SELECT source, unnest(sgs) AS sg FROM docshingles),
+ssig AS (
+    SELECT source,
+           {", ".join(f"{e} AS mh{i}" for i, e in enumerate(duck_minhash_exprs()))}
+    FROM exploded GROUP BY source
+),
+est AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST({" + ".join(f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_K))} AS BIGINT)
+               AS n_matching_minhash
+    FROM ssig a JOIN ssig b ON a.source < b.source
+),
+dist AS (SELECT DISTINCT source, sg FROM exploded),
+sizes AS (SELECT source, COUNT(*) AS n FROM dist GROUP BY source),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+    FROM dist a JOIN dist b ON a.sg = b.sg AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.n_matching_minhash,
+       CAST(e.n_matching_minhash AS DOUBLE) / {_K} AS est_jaccard,
+       CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.n_shared, 0)) AS exact_jaccard
+FROM est e
+LEFT JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
+JOIN sizes sa ON e.src_a = sa.source
+JOIN sizes sb ON e.src_b = sb.source
+""",
+)
+def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source-overlap analytics via MERGEABLE minhash: each
+    source's signature is the elementwise MIN over its docs' per-shingle
+    hashes — the sketch-algebra law sig(A ∪ B) = min(sig(A), sig(B)) that
+    makes minhash a distributive aggregate (partial-agg collapses shards
+    map-side; signatures of yesterday's corpus merge with today's batch
+    without touching raw data). Output per source pair: the sketch
+    estimate (matching components / k) NEXT TO the exact shingle-set
+    Jaccard, so the estimate's error is visible in the result itself.
+
+    Scale shape: the sketch side reduces the corpus to one k-int row per
+    source (partial-agg, one exchange) and compares pairs of AGGREGATES —
+    a broadcast theta-join over #sources rows, metadata-sized at any
+    corpus size. The exact side is the expensive path the sketch replaces
+    (distinct-shingle equi-join) — kept here as the in-result ground
+    truth, droppable at 100 TB."""
+    sh = doc_shingle_frame(spark, sf_dir).selectExpr(
+        "source", f"explode({hash_array_sql('sgs')}) AS h"
+    )
+    ssig = sh.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * (F.col("h") % P) + F.lit(b)) % P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+    a, b = ssig.alias("a"), ssig.alias("b")
+    match = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(_K)
+    ).cast("bigint")
+    est = a.join(
+        F.broadcast(b), F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        match.alias("n_matching_minhash"),
+    )
+    dist = (
+        doc_shingle_frame(spark, sf_dir)
+        .select("source", F.explode("sgs").alias("sg"))
+        .distinct()
+    )
+    sizes = dist.groupBy("source").agg(F.count("*").alias("n"))
+    da, db = dist.alias("da"), dist.alias("db")
+    inter = (
+        da.join(
+            db,
+            (F.col("da.sg") == F.col("db.sg"))
+            & (F.col("da.source") < F.col("db.source")),
+        )
+        .groupBy(
+            F.col("da.source").alias("src_a"), F.col("db.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(sizes.selectExpr("source AS src_a", "n AS na"), "src_a")
+        .join(sizes.selectExpr("source AS src_b", "n AS nb"), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_matching_minhash",
+            (F.col("n_matching_minhash").cast("double") / _K).alias(
+                "est_jaccard"
+            ),
+            (
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_shared"), F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+    )
