@@ -53,6 +53,7 @@ NEUTRAL_AS_IS = [
     "dedup_lastwins_upsert",
     "dq_audit_orders_lineitem",
     "fullouter_yearly_customer_recon",
+    "unpivot_store_priority",
     "events_distinct_users",
     "events_enrich_meshjoin",
     "events_value_moments",
@@ -999,3 +1000,51 @@ FROM packed
 
 
 SPARK_SQL.update(_round8_twins())
+
+
+# The incremental staging contract is non-recursive SQL (batch pairs
+# filtered to new-touching); its Spark twin reuses the batch twin's CTEs.
+SPARK_SQL["dedup_incremental_lsh_pairs"] = (
+    SPARK_SQL["dedup_minhash_lsh_pairs"]
+    + "WHERE c.doc_a % 2 = 1 OR c.doc_b % 2 = 1\n"
+)
+
+# Corpus-source minhash overlap: per-source signature = MIN over exploded
+# shingle hashes (sig(A ∪ B) = elementwise min), est next to exact Jaccard.
+SPARK_SQL["corpus_source_similarity"] = f"""
+WITH {SPARK_DOCWORDS},
+exploded AS (SELECT source, explode(sgs) AS sg FROM docshingles),
+ssig AS (
+    SELECT source,
+           {", ".join(f"MIN(({a} * ({SPARK_H.format(x='sg')} % {P}) + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
+    FROM exploded GROUP BY source
+),
+est AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST({" + ".join(f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_K))} AS BIGINT)
+               AS n_matching_minhash
+    FROM ssig a JOIN ssig b ON a.source < b.source
+),
+dist AS (SELECT DISTINCT source, sg FROM exploded),
+sizes AS (SELECT source, COUNT(*) AS n FROM dist GROUP BY source),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+    FROM dist a JOIN dist b ON a.sg = b.sg AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.n_matching_minhash,
+       CAST(e.n_matching_minhash AS DOUBLE) / {_K} AS est_jaccard,
+       CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.n_shared, 0)) AS exact_jaccard
+FROM est e
+LEFT JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
+JOIN sizes sa ON e.src_a = sa.source
+JOIN sizes sb ON e.src_b = sb.source
+"""
+
+# Interpolated median: Spark's exact percentile() is the dialect form of
+# PERCENTILE_CONT (verified bit-identical by the oracle gate).
+SPARK_SQL["events_value_median_cont"] = """
+SELECT event_type, percentile(value, 0.5) AS median_value
+FROM events GROUP BY event_type
+"""
