@@ -185,3 +185,38 @@ def test_shard_assignments_balanced_and_dense(spark, sf_dir):
     # hash sharding balances in expectation: no shard more than 2x the mean
     mean = n_docs / N_SHARDS
     assert max(len(p) for p in shards.values()) <= 2 * mean
+
+
+def test_pii_redaction_robust_to_unicode_and_pathological_inputs(spark):
+    """Redaction must not corrupt non-ASCII text, must handle very long
+    strings, and must treat regex-metacharacter-laden text literally."""
+    long_text = ("padding " * 5000) + "a@b.co" + (" trail" * 5000)
+    rows = [
+        (1, "ünïcödé mail żółć@exämple.com stays (non-ASCII local/domain "
+            "chars are outside the pattern's classes by design)"),
+        (2, long_text),
+        (3, "regex traps: (a+)+@ [x]{9} \\d+@\\w.com .*@.* not emails"),
+        (4, "boundary: 1.2.3.4.5 and 999.999.999.999 and v1.2.3.44"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["redacted"]
+        for r in df.selectExpr(
+            "doc_id", f"{pii_redact_sql('text')} AS redacted"
+        ).collect()
+    }
+    # 1: the ASCII-class pattern must not touch the non-ASCII address...
+    assert "żółć@exämple.com" in out[1]
+    # ...and must leave surrounding unicode intact
+    assert out[1].startswith("ünïcödé")
+    # 2: long input round-trips with exactly one redaction
+    assert out[2] == long_text.replace("a@b.co", "[EMAIL]")
+    # 3: metacharacters in TEXT never become patterns; \\w.com is not an email
+    assert "[EMAIL]" not in out[3]
+    # 4: dotted version-ish strings DO match the (documented, simple)
+    #    IPv4 pattern — 999.999.999.999 matches by design ({1,3} digits,
+    #    no range check), 1.2.3.4.5 redacts its first 4 octets
+    assert out[4].count("[IP]") == 2
+    # 5: empty input stays empty
+    assert out[5] == ""
