@@ -322,3 +322,117 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value_ffill"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_funnel_conversion",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): users are
+    counted at a step only if the step's FIRST qualifying event happens
+    strictly after their previous step's — the sequential-semantics
+    funnel, not three independent counts.
+
+    Scale shape: three user-keyed aggregations + two user-keyed equi
+    joins, all sharing one hash partitioning (co-partitioned shuffles,
+    partial aggs collapse map-side); per-user state is two timestamps,
+    never the event list. No window over the full event stream."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "events_weekly_retention",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+    FROM events
+)
+SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+           AS week_offset,
+       COUNT(*) AS n_active_users
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, then
+    counted once per (cohort, week offset) they were active in — the
+    standard retention matrix. Both engines truncate weeks to Monday, so
+    the cohort keys agree exactly.
+
+    Scale shape: one user-keyed min-aggregate (first touch), one
+    distinct on (user, week) — partial-agg collapses the per-user event
+    volume map-side — and a user-keyed equi join, all on the same hash
+    partitioning; output is cohorts x weeks, metadata-sized."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )
