@@ -1048,3 +1048,44 @@ SPARK_SQL["events_value_median_cont"] = """
 SELECT event_type, percentile(value, 0.5) AS median_value
 FROM events GROUP BY event_type
 """
+
+
+# Funnel: the oracle's scalar subqueries run in Spark too; only the
+# dialect-neutral text is reused verbatim (appended to NEUTRAL_AS_IS
+# below would also work — kept here so the retention twin sits beside it).
+SPARK_SQL["events_funnel_conversion"] = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+"""
+
+SPARK_SQL["events_weekly_retention"] = """
+WITH first_seen AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+    FROM events
+)
+SELECT CAST(f.cohort_week AS STRING) AS cohort_week,
+       CAST(datediff(a.act_week, f.cohort_week) DIV 7 AS BIGINT)
+           AS week_offset,
+       COUNT(*) AS n_active_users
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""

@@ -241,3 +241,20 @@ def test_fullouter_recon_preaggregates_before_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "FullOuter" in p
     assert p.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_funnel_is_copartitioned_aggs_no_event_window(spark, sf_dir):
+    """The funnel must stay user-keyed aggregations + equi joins — no
+    window over the raw event stream, no cartesian over events (the
+    final 1-row combine is an intended broadcast of aggregates)."""
+    p = plan_of(all_queries()["events_funnel_conversion"](spark, sf_dir))
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 6  # partial+final x three steps
+
+
+def test_retention_partial_aggregates(spark, sf_dir):
+    """Retention's distinct and first-touch aggregates must collapse
+    map-side before their exchanges."""
+    p = plan_of(all_queries()["events_weekly_retention"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4
