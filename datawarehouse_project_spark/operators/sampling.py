@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import DUCK_H
+from pyspark.sql.window import Window
+
+from ..functions.text import DUCK_H, portable_hash
 from ..io import table
 from ..plans.registry import register
 from ..session import prepare
@@ -194,4 +196,97 @@ def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("hv") % N_SHARDS).cast("int").alias("shard_id"),
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+# --------------------------------------------------------------------------
+#: Temperature for data-derived source mixing. T=2 is chosen deliberately:
+#: the keep-rate becomes sqrt(n_min/n_s), and IEEE-754 sqrt/divide are
+#: correctly rounded, so Spark and the DuckDB oracle derive BIT-IDENTICAL
+#: per-mille rates from the same counts — no float-disagreement at the
+#: floor() boundary. (A general-T variant would use pow(), which carries
+#: no such guarantee across libm implementations.)
+_TEMP_SALT = "temp:"
+
+
+@register(
+    "sample_lang_temperature",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+),
+rates AS (
+    SELECT lang, n_total,
+           CAST(FLOOR(1000.0 * SQRT((SELECT MIN(n_total) FROM counts) * 1.0
+                                    / n_total)) AS BIGINT) AS keep_permille
+    FROM counts
+),
+kept AS (
+    SELECT d.lang, d.doc_id
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {DUCK_H.format(x=f"('{_TEMP_SALT}' || CAST(d.doc_id AS VARCHAR))")}
+          % 1000 < r.keep_permille
+),
+census AS (
+    SELECT lang, COUNT(*) AS n_kept,
+           MIN(doc_id) AS min_kept_id, MAX(doc_id) AS max_kept_id
+    FROM kept GROUP BY lang
+)
+SELECT r.lang, r.n_total, r.keep_permille,
+       COALESCE(c.n_kept, 0) AS n_kept, c.min_kept_id, c.max_kept_id
+FROM rates r LEFT JOIN census c USING (lang)
+""",
+)
+def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (the multinomial re-weighting every
+    multilingual / multi-source LLM pipeline applies): with temperature
+    T=2, the kept count per language is made proportional to
+    sqrt(n_lang) — tail languages are up-weighted RELATIVE to the head by
+    sampling the rarest language at rate 1.0 and every other at
+    sqrt(n_min/n_lang). Rates are DERIVED FROM THE DATA (one column-pruned
+    counting pass over `lang` only), then applied as the same
+    shuffle-free salted-hash row filter as `sample_stratified_hash`, so
+    the sample keeps all its stability properties. Returns the per-lang
+    census (total, per-mille rate, kept count, kept-id bounds) — all
+    integers, exactly comparable across engines.
+
+    Scale: pass 1 aggregates one dictionary-encoded column (map-side
+    partial agg); the 5-row rate map broadcasts back onto the scan, so
+    the row filter adds zero shuffle at any corpus size."""
+    prepare(spark)
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    # the rate map is metadata-sized (one row per language): an
+    # all-partition window over it is free and keeps the plan declarative
+    rates = counts.withColumn(
+        "n_min", F.min("n_total").over(Window.partitionBy())
+    ).select(
+        "lang",
+        "n_total",
+        F.floor(
+            1000.0
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_total").cast("double"))
+        )
+        .cast("bigint")
+        .alias("keep_permille"),
+    )
+    h = portable_hash(F.concat(F.lit(_TEMP_SALT), F.col("doc_id").cast("string")))
+    kept = (
+        docs.select("lang", "doc_id")
+        .join(F.broadcast(rates.select("lang", "keep_permille")), "lang")
+        .filter((h % 1000) < F.col("keep_permille"))
+    )
+    census = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_kept_id"),
+        F.max("doc_id").alias("max_kept_id"),
+    )
+    return rates.join(census, "lang", "left").select(
+        "lang",
+        "n_total",
+        "keep_permille",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        "min_kept_id",
+        "max_kept_id",
     )

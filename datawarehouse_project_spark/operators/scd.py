@@ -1,0 +1,215 @@
+"""Slowly-changing-dimension (Type 2) maintenance — warehouse-native
+history tracking, built from a change log with windows only.
+
+The reference project maintains star-schema dimensions as
+current-state-only tables (metro.sql:15-59 DDL; the MESHJOIN enrichment
+joins facts to whatever the dimension row says *now* — README.md's
+enrichment spec). A production warehouse usually needs the stronger
+form: SCD Type 2, where every attribute change opens a new dimension
+row with a validity interval, and facts join to the row that was valid
+AT THE FACT'S OWN TIMESTAMP. Both halves are implemented here
+Spark-first:
+
+* ``scd2_user_state_history`` — intervalize a change log
+  (gaps-and-islands): consecutive runs of the same attribute value
+  collapse into one row with ``[valid_from, valid_to)`` bounds and an
+  ``is_current`` flag. One shuffle on the dimension key; every window
+  is partitioned by that key, so partition size is bounded by a single
+  entity's history, never the corpus.
+* ``scd2_dim_asof_orders`` — the temporal (as-of) dimension join,
+  implemented as the scalable union-merge: interval starts and fact
+  probes are unioned into one keyed stream and a single
+  ``last_value(ignorenulls)`` window assigns each fact the dimension
+  version in effect at its timestamp. No range join, no per-fact
+  interval scan — one shuffle on the key, exactly what a 100 TB fact
+  table can afford. (The DuckDB oracle states the semantics as the
+  naive interval join; the Spark plan is the production algorithm.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..plans.registry import register
+from ..session import prepare
+
+#: Shared gaps-and-islands CTE text for the oracles: one row per
+#: (user_id, run-of-equal-event_type), ordered by (ts, event_id).
+_DUCK_HIST = """
+runs AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, event_type, ts,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS version
+    FROM runs
+),
+hist AS (
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           MIN(ts) AS valid_from,
+           LEAD(MIN(ts)) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           COUNT(*) AS run_events
+    FROM numbered
+    GROUP BY user_id, version, event_type
+)
+"""
+
+
+def _history_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 history DataFrame shared by both registered queries."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg").over(wsum).cast("bigint").alias("version"),
+    )
+    wlead = Window.partitionBy("user_id").orderBy("version")
+    return (
+        numbered.groupBy("user_id", "version", "event_type")
+        .agg(F.min("ts").alias("valid_from"), F.count("*").alias("run_events"))
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(wlead).alias("valid_to"),
+            "run_events",
+        )
+    )
+
+
+@register(
+    "scd2_user_state_history",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH {_DUCK_HIST}
+SELECT user_id, version, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current, run_events
+FROM hist
+""",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the SCD2 dimension history from the ``events`` change log:
+    per user (ordered by ``ts, event_id`` — a deterministic total order
+    since event_id is unique), consecutive runs of the same
+    ``event_type`` become one versioned row with ``[valid_from,
+    valid_to)`` validity and ``is_current`` on the open interval.
+
+    Plan: one shuffle on ``user_id``; the change-flag window, the
+    run-numbering prefix sum, the per-run aggregate, and the
+    ``valid_to`` lead all reuse that partitioning (AQE keeps them in
+    one exchange scope). Partition size is one user's history — at
+    100 TB the skew bound is the most active entity, and the per-run
+    GROUP BY is a partial agg before the lead."""
+    prepare(spark)
+    return _history_frame(spark, sf_dir).select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "run_events",
+    )
+
+
+@register(
+    "scd2_dim_asof_orders",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH {_DUCK_HIST},
+o AS (
+    SELECT o_orderkey, o_custkey AS user_id, o_orderdate
+    FROM orders
+    WHERE o_custkey <= (SELECT MAX(user_id) FROM events)
+)
+SELECT o.o_orderkey, o.user_id, o.o_orderdate,
+       h.event_type AS state_at_order,
+       h.version AS state_version
+FROM o LEFT JOIN hist h
+  ON h.user_id = o.user_id
+ AND o.o_orderdate >= h.valid_from
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+""",
+)
+def scd2_dim_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join: each order (for users that have a
+    dimension history) picks up the SCD2 ``event_type`` version that was
+    valid at ``o_orderdate`` — NULL when the order predates the user's
+    first recorded state (LEFT semantics).
+
+    The oracle states the semantics as the naive interval join; the
+    Spark plan is the scalable union-merge as-of algorithm: interval
+    starts (state rows) and orders (probe rows) union into one stream
+    keyed by user, sorted by (ts, kind) with state-before-probe on
+    ties (valid_from is INCLUSIVE), and one
+    ``last_value(ignorenulls)`` window carries the in-effect version
+    forward onto every probe. One shuffle on the key; no range join,
+    no interval multiplication — the same single-window cost as
+    ``asof_join_last_order`` (operators/relational.py)."""
+    prepare(spark)
+    hist = _history_frame(spark, sf_dir)
+    events = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    max_user = events.select(F.max("user_id").alias("mx"))
+    probes = (
+        orders.join(F.broadcast(max_user), F.col("o_custkey") <= F.col("mx"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("string").alias("s_type"),
+            F.lit(None).cast("bigint").alias("s_version"),
+            "o_orderkey",
+            "o_orderdate",
+        )
+    )
+    states = hist.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col("event_type").alias("s_type"),
+        F.col("version").alias("s_version"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    merged = states.unionByName(probes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("kind"), F.col("o_orderkey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "user_id",
+        "kind",
+        "o_orderkey",
+        "o_orderdate",
+        F.last("s_type", ignorenulls=True).over(w).alias("state_at_order"),
+        F.last("s_version", ignorenulls=True).over(w).alias("state_version"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "o_orderkey", "user_id", "o_orderdate", "state_at_order", "state_version"
+    )

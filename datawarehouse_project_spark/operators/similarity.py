@@ -1000,3 +1000,117 @@ def embed_components_scaled(
         "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization: the memory/bandwidth scale lever for ANN.
+# Per-vector symmetric quantization (scale = max|x_i|, q_i = round(127*x/scale))
+# shrinks fp32 embeddings 4x; at 100 TB the candidate scan is bandwidth-bound,
+# so the quantized representation is what the production IVF cells would
+# store, with exact re-scoring of the shortlist only. Registered here as the
+# quantized BRUTE-FORCE twin of similarity_ann_cosine_topk so its ranking
+# error is measurable (tests pin recall@k against the exact baseline);
+# compose with similarity_ivf_multiprobe_topk for the scale path.
+
+_DUCK_Q8 = """
+qbase AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+    FROM embeddings
+),
+q8 AS (
+    SELECT vec_id, scale,
+           list_transform(embedding,
+               x -> CASE WHEN scale = 0
+                         THEN CAST(0 AS BIGINT)
+                         ELSE CAST(round((x::DOUBLE * 127.0) / scale)
+                                   AS BIGINT) END) AS qvec
+    FROM qbase
+)
+"""
+
+
+@register(
+    "similarity_quantized_topk",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH {_DUCK_Q8},
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, {DIM}),
+                              i -> q.qvec[i] * c.qvec[i])),
+               (x, y) -> x + y) AS qdot,
+           q.scale AS q_scale, c.scale AS c_scale
+    FROM q8 q JOIN q8 c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, qdot,
+           ((qdot * q_scale) * c_scale) / 16129.0 AS approx_dot,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY ((qdot * q_scale) * c_scale) DESC,
+                                              neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, qdot, approx_dot, rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by int8-quantized dot product. The integer accumulation
+    (|q_i| <= 127, so any realistic dim keeps partial sums far inside
+    int64) is EXACT, and the de-quantized score is one multiply chain of
+    bit-identical doubles — so unlike float-sum ANN scores, the whole
+    result is engine-portable and oracle-checkable. Zero-vector guard:
+    scale 0 quantizes to the zero vector instead of dividing by zero."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    base = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0).cast("bigint")).otherwise(
+            F.round((x.cast("double") * 127.0) / F.col("scale")).cast("bigint")
+        ),
+    )
+    q8 = base.select("vec_id", "scale", qvec.alias("qvec"))
+    q = q8.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qvec").alias("q_qvec"),
+    )
+    c = q8.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("scale").alias("c_scale"),
+        F.col("qvec").alias("c_qvec"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with("q_qvec", "c_qvec", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    # one multiply chain, same association as the oracle: (qdot*q_scale)*c_scale
+    scored = pairs.withColumn("qdot", qdot).select(
+        "query_id",
+        "neighbor_id",
+        "qdot",
+        ((F.col("qdot").cast("double") * F.col("q_scale")) * F.col("c_scale"))
+        .alias("scaled"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("scaled"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qdot",
+            (F.col("scaled") / 16129.0).alias("approx_dot"),
+            "rank",
+        )
+    )
