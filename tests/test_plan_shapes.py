@@ -258,3 +258,37 @@ def test_retention_partial_aggregates(spark, sf_dir):
     p = plan_of(all_queries()["events_weekly_retention"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 4
+
+
+def test_scd2_history_single_exchange_no_joins(spark, sf_dir):
+    """The whole SCD2 build (change flag, run numbering, per-run agg,
+    valid_to lead) must reuse ONE shuffle on user_id — the agg and both
+    downstream windows are satisfied by the same clustering."""
+    p = plan_of(all_queries()["scd2_user_state_history"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in p
+
+
+def test_scd2_asof_is_union_merge_not_range_join(spark, sf_dir):
+    """The temporal dimension join must plan as union + keyed window —
+    never a per-fact interval join (no sort-merge/hash join between
+    facts and history; the only nested loop is the 1-row bounds
+    broadcast). At sf1 the naive interval join measures 51 s in DuckDB
+    vs 0.8 s for this plan."""
+    p = plan_of(all_queries()["scd2_dim_asof_orders"](spark, sf_dir))
+    assert "Union" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row max(user_id) bound
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2
+
+
+def test_temperature_mixing_broadcasts_rate_map(spark, sf_dir):
+    """Derived rates must come back onto the document scan as a
+    broadcast — the corpus-side filter adds no shuffle."""
+    p = plan_of(all_queries()["sample_lang_temperature"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
