@@ -65,9 +65,12 @@ hist AS (
 """
 
 
-def _history_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCD2 history DataFrame shared by both registered queries."""
-    events = table(spark, sf_dir, "events")
+def _runs_frame(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands core over any events frame: one row per
+    (user_id, run-of-equal-event_type) with run number (dense from 1 in
+    ``version``), run start (``valid_from``) and run length
+    (``run_events``). One shuffle on user_id; everything downstream
+    reuses that clustering."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     flagged = events.select(
@@ -86,19 +89,28 @@ def _history_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("chg").over(wsum).cast("bigint").alias("version"),
     )
-    wlead = Window.partitionBy("user_id").orderBy("version")
-    return (
-        numbered.groupBy("user_id", "version", "event_type")
-        .agg(F.min("ts").alias("valid_from"), F.count("*").alias("run_events"))
-        .select(
-            "user_id",
-            "version",
-            "event_type",
-            "valid_from",
-            F.lead("valid_from").over(wlead).alias("valid_to"),
-            "run_events",
-        )
+    return numbered.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("run_events")
     )
+
+
+def _close_intervals(runs: DataFrame) -> DataFrame:
+    """Attach ``valid_to`` = next run's ``valid_from`` (NULL on the open
+    interval) — reuses the user_id clustering, no extra shuffle."""
+    wlead = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wlead).alias("valid_to"),
+        "run_events",
+    )
+
+
+def _history_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-recompute SCD2 history shared by both registered queries."""
+    return _close_intervals(_runs_frame(table(spark, sf_dir, "events")))
 
 
 @register(
@@ -213,3 +225,145 @@ def scd2_dim_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("kind") == 1).select(
         "o_orderkey", "user_id", "o_orderdate", "state_at_order", "state_version"
     )
+
+
+class IncrementalScd2:
+    """MERGE-style incremental SCD2 maintenance: fold an appended batch
+    of change-log events into a persisted dimension history WITHOUT
+    recomputing old rows.
+
+    Contract: batches are appended in event-time order per key (the
+    change-data-capture shape — same assumption as every streaming
+    ingest here); within a batch any order is fine. Per batch the work
+    is gaps-and-islands over THE BATCH ONLY, one broadcast-sized join
+    against the affected users' open rows, and an upsert of
+    O(batch runs + affected users) rows — never O(history).
+
+    Semantics per user (pytest-pinned == full recompute):
+
+    * batch's first run continues the stored open run with the same
+      attribute value -> the open row is EXTENDED in place
+      (``run_events`` grows; ``valid_from`` keeps its original start —
+      SCD2 rows must never fork when nothing changed);
+    * otherwise the open row CLOSES at the batch's first event time and
+      new version rows append, numbering continuing from the stored max;
+    * unseen users start at version 1.
+
+    State lives in a :class:`VersionedParquetTable` keyed on
+    ``(user_id, version)``; the extend/close merge is not naturally
+    idempotent, so replay protection rides the snapshot's writer ledger
+    (``txn``) and lost commit races re-read + re-fold exactly like
+    :class:`operators.incremental.IncrementalRollup`.
+    """
+
+    KEYS = ["user_id", "version"]
+
+    def __init__(self, root: str):
+        from ..sources.sinks import VersionedParquetTable
+
+        self.table = VersionedParquetTable(root)
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "scd2",
+    ) -> int:
+        from ..sources.sinks import ConcurrentWriteError
+
+        runs = _runs_frame(batch).withColumnRenamed("version", "brun")
+        txn = (app_id, batch_id) if batch_id is not None else None
+        for _ in range(10):
+            if batch_id is not None:
+                last = self.table.last_txn(app_id)
+                if last is not None and batch_id <= last:
+                    return self.table.current_version()
+            base_version = self.table.current_version()
+            state = self.table.read(spark)
+            if state is None:
+                delta = _close_intervals(
+                    runs.withColumnRenamed("brun", "version")
+                )
+            else:
+                batch_users = runs.select("user_id").distinct()
+                cur = (
+                    state.filter(F.col("valid_to").isNull())
+                    .join(F.broadcast(batch_users), "user_id", "left_semi")
+                    .select(
+                        "user_id",
+                        F.col("version").alias("cur_version"),
+                        F.col("event_type").alias("cur_type"),
+                        F.col("valid_from").alias("cur_from"),
+                        F.col("run_events").alias("cur_events"),
+                    )
+                )
+                first = (
+                    runs.filter(F.col("brun") == 1)
+                    .select("user_id", "event_type", "valid_from")
+                    .join(cur, "user_id", "left")
+                    .select(
+                        "user_id",
+                        F.coalesce(F.col("cur_version"), F.lit(0).cast("bigint"))
+                        .alias("base_version"),
+                        (
+                            F.col("cur_type").isNotNull()
+                            & (F.col("cur_type") == F.col("event_type"))
+                        ).alias("merged"),
+                        "cur_version",
+                        "cur_type",
+                        "cur_from",
+                        "cur_events",
+                        F.col("valid_from").alias("batch_start"),
+                    )
+                )
+                joined = runs.join(first, "user_id")
+                new_rows = joined.select(
+                    "user_id",
+                    (
+                        F.col("base_version")
+                        + F.col("brun")
+                        - F.when(F.col("merged"), 1).otherwise(0)
+                    ).alias("version"),
+                    "event_type",
+                    F.when(
+                        F.col("merged") & (F.col("brun") == 1), F.col("cur_from")
+                    )
+                    .otherwise(F.col("valid_from"))
+                    .alias("valid_from"),
+                    (
+                        F.col("run_events")
+                        + F.when(
+                            F.col("merged") & (F.col("brun") == 1),
+                            F.col("cur_events"),
+                        ).otherwise(F.lit(0).cast("bigint"))
+                    ).alias("run_events"),
+                )
+                closed_old = (
+                    first.filter(
+                        F.col("cur_version").isNotNull() & ~F.col("merged")
+                    )
+                    .select(
+                        "user_id",
+                        F.col("cur_version").alias("version"),
+                        F.col("cur_type").alias("event_type"),
+                        F.col("cur_from").alias("valid_from"),
+                        F.col("batch_start").alias("valid_to"),
+                        F.col("cur_events").alias("run_events"),
+                    )
+                )
+                delta = _close_intervals(new_rows).unionByName(closed_old)
+            try:
+                return self.table.upsert(
+                    spark, delta, self.KEYS, txn=txn, expected_base=base_version
+                )
+            except ConcurrentWriteError:
+                continue  # another writer landed: re-read and re-fold
+        raise RuntimeError(
+            "IncrementalScd2.apply_batch lost the commit race 10 times — "
+            "writer contention exceeds the retry budget"
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Current SCD2 history (None before the first batch)."""
+        return self.table.read(spark)

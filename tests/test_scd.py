@@ -160,3 +160,100 @@ def test_quantized_vectors_stay_in_int8_range(spark, sf_dir):
         ).alias("m")
     )
     assert qmax.agg(F.max("m")).first()[0] <= 127
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 maintenance
+
+
+def _scd2_canon(df):
+    return sorted(
+        (
+            r.user_id,
+            r.version,
+            r.event_type,
+            r.valid_from,
+            r.valid_to,
+            r.run_events,
+        )
+        for r in df.collect()
+    )
+
+
+def _time_sliced_batches(spark, sf_dir, n=3):
+    """Event-time-ordered batches (the CDC contract): global thirds by
+    timestamp, so run-boundaries straddle the cuts and exercise the
+    extend-open-row merge path."""
+    from datawarehouse_project_spark.io import table
+
+    events = table(spark, sf_dir, "events")
+    # ntile over a global ts order gives an exact n-way time split
+    from pyspark.sql.window import Window
+    from pyspark.sql import functions as F
+
+    tiled = events.withColumn(
+        "tile", F.ntile(n).over(Window.orderBy("ts", "event_id"))
+    )
+    return [
+        tiled.filter(F.col("tile") == i + 1).drop("tile").localCheckpoint(
+            eager=True
+        )
+        for i in range(n)
+    ]
+
+
+def test_incremental_scd2_equals_full_recompute_each_batch(spark, sf_dir, tmp_path):
+    from datawarehouse_project_spark.operators.scd import (
+        IncrementalScd2,
+        _close_intervals,
+        _runs_frame,
+    )
+
+    batches = _time_sliced_batches(spark, sf_dir)
+    inc = IncrementalScd2(str(tmp_path / "scd2"))
+    assert inc.read(spark) is None
+    seen = None
+    for i, b in enumerate(batches):
+        inc.apply_batch(spark, b, batch_id=i)
+        seen = b if seen is None else seen.unionByName(b)
+        full = _close_intervals(_runs_frame(seen))
+        assert _scd2_canon(inc.read(spark)) == _scd2_canon(full)
+
+
+def test_incremental_scd2_replay_is_noop(spark, sf_dir, tmp_path):
+    from datawarehouse_project_spark.operators.scd import IncrementalScd2
+
+    batches = _time_sliced_batches(spark, sf_dir, n=2)
+    inc = IncrementalScd2(str(tmp_path / "scd2r"))
+    inc.apply_batch(spark, batches[0], batch_id=0)
+    v1 = inc.apply_batch(spark, batches[1], batch_id=1)
+    before = _scd2_canon(inc.read(spark))
+    v2 = inc.apply_batch(spark, batches[1], batch_id=1)  # replay
+    assert v2 == v1
+    assert _scd2_canon(inc.read(spark)) == before
+
+
+def test_incremental_scd2_new_user_in_later_batch(spark, sf_dir, tmp_path):
+    """A user first seen in batch 2 must start at version 1, and users
+    absent from a batch must keep their rows untouched."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_project_spark.io import table
+    from datawarehouse_project_spark.operators.scd import (
+        IncrementalScd2,
+        _close_intervals,
+        _runs_frame,
+    )
+
+    events = table(spark, sf_dir, "events")
+    b0 = events.filter(F.col("user_id") % 2 == 0).localCheckpoint(eager=True)
+    b1 = events.filter(F.col("user_id") % 2 == 1).localCheckpoint(eager=True)
+    inc = IncrementalScd2(str(tmp_path / "scd2n"))
+    inc.apply_batch(spark, b0, batch_id=0)
+    even_before = _scd2_canon(inc.read(spark))
+    inc.apply_batch(spark, b1, batch_id=1)
+    state = inc.read(spark)
+    even_after = _scd2_canon(state.filter(F.col("user_id") % 2 == 0))
+    assert even_after == even_before
+    odd = _scd2_canon(state.filter(F.col("user_id") % 2 == 1))
+    assert odd == _scd2_canon(_close_intervals(_runs_frame(b1)))
