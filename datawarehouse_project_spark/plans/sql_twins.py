@@ -1089,3 +1089,74 @@ SELECT CAST(f.cohort_week AS STRING) AS cohort_week,
 FROM activity a JOIN first_seen f ON a.user_id = f.user_id
 GROUP BY 1, 2
 """
+
+# SCD2 (operators/scd.py): the gaps-and-islands oracles are dialect-neutral
+# (Spark supports the named WINDOW clause and windows-over-aggregates), so
+# they run verbatim — appended to NEUTRAL_AS_IS below rather than twinned.
+NEUTRAL_AS_IS += [
+    "scd2_user_state_history",
+    "scd2_dim_asof_orders",
+]
+
+SPARK_SQL["sample_lang_temperature"] = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+),
+rates AS (
+    SELECT lang, n_total,
+           CAST(FLOOR(1000.0 * SQRT((SELECT MIN(n_total) FROM counts) * 1.0
+                                    / n_total)) AS BIGINT) AS keep_permille
+    FROM counts
+),
+kept AS (
+    SELECT d.lang, d.doc_id
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {SPARK_H.format(x="concat('temp:', CAST(d.doc_id AS STRING))")}
+          % 1000 < r.keep_permille
+),
+census AS (
+    SELECT lang, COUNT(*) AS n_kept,
+           MIN(doc_id) AS min_kept_id, MAX(doc_id) AS max_kept_id
+    FROM kept GROUP BY lang
+)
+SELECT r.lang, r.n_total, r.keep_permille,
+       COALESCE(c.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       c.min_kept_id, c.max_kept_id
+FROM rates r LEFT JOIN census c USING (lang)
+"""
+
+SPARK_SQL["similarity_quantized_topk"] = f"""
+WITH qbase AS (
+    SELECT vec_id, embedding,
+           array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS scale
+    FROM embeddings
+),
+q8 AS (
+    SELECT vec_id, scale,
+           transform(embedding,
+               x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(round((CAST(x AS DOUBLE) * 127.0) / scale)
+                                   AS BIGINT) END) AS qvec
+    FROM qbase
+),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           aggregate(zip_with(q.qvec, c.qvec, (a, b) -> a * b),
+                     CAST(0 AS BIGINT), (acc, x) -> acc + x) AS qdot,
+           q.scale AS q_scale, c.scale AS c_scale
+    FROM q8 q JOIN q8 c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, qdot,
+           ((qdot * q_scale) * c_scale) / 16129.0 AS approx_dot,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY ((qdot * q_scale) * c_scale) DESC,
+                                              neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, qdot, approx_dot, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
