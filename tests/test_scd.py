@@ -257,3 +257,71 @@ def test_incremental_scd2_new_user_in_later_batch(spark, sf_dir, tmp_path):
     assert even_after == even_before
     odd = _scd2_canon(state.filter(F.col("user_id") % 2 == 1))
     assert odd == _scd2_canon(_close_intervals(_runs_frame(b1)))
+
+
+def test_streaming_scd2_foreachbatch_exactly_once(spark, sf_dir, tmp_path):
+    """SCD2 maintenance as a structured stream: time-ordered event files
+    micro-batched through foreachBatch into IncrementalScd2 must converge
+    to the full recompute, and a full stream replay (fresh epoch ids)
+    must be absorbed by the txn ledger."""
+    import os
+    import time
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from datawarehouse_project_spark.operators.scd import (
+        IncrementalScd2,
+        _close_intervals,
+        _runs_frame,
+    )
+    from datawarehouse_project_spark.io import table
+
+    batches = _time_sliced_batches(spark, sf_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # the CDC contract is event-time-ordered arrival: write slices
+    # sequentially with strictly increasing mtimes so the file source
+    # (ascending modification time) delivers them in order
+    for i, b in enumerate(batches):
+        part = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(part)
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(files) == 1
+        dst = f"{src}/batch{i}.parquet"
+        os.rename(f"{part}/{files[0]}", dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    inc = IncrementalScd2(str(tmp_path / "scd2s"))
+
+    def run():
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: inc.apply_batch(spark, bdf, batch_id=bid)
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    full = _close_intervals(_runs_frame(table(spark, sf_dir, "events")))
+    assert _scd2_canon(inc.read(spark)) == _scd2_canon(full)
+    v = inc.table.current_version()
+    run()  # replay: fresh epochs 0..n, ledger absorbs every one
+    assert inc.table.current_version() == v
+    assert _scd2_canon(inc.read(spark)) == _scd2_canon(full)
