@@ -436,3 +436,112 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+# --------------------------------------------------------------------------
+#: Trailing time-range window: 24 hours in epoch microseconds.
+ROLL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "events_rolling_24h",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_24h,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS sum_centivalue_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
+""",
+)
+def events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 24-hour activity: a RANGE-framed window over
+    event-time (epoch microseconds), the time-based sibling of the
+    ROWS-framed windows elsewhere in the catalog. RANGE semantics make
+    timestamp ties peers in both engines, and the summed measure is an
+    exact integer (floor(value*100) — FLOOR, not CAST, because Spark
+    truncates double→bigint while DuckDB rounds), so the whole result is
+    engine-portable. One shuffle on user_id; frame evaluation is a
+    per-partition sliding scan, never a self-join — at 100 TB the cost
+    is bounded by one entity's history like every keyed window here."""
+    prepare(spark)
+    events = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-ROLL_WINDOW_US, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.count("*").over(w).alias("n_24h"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .over(w)
+        .alias("sum_centivalue_24h"),
+    )
+
+
+# --------------------------------------------------------------------------
+#: EWMA smoothing factor — 1/8 is exactly representable in binary, so the
+#: per-step arithmetic (0.125*x + 0.875*acc) is the same IEEE operation
+#: sequence on every engine and the result is bit-exact, not approximate.
+EWMA_ALPHA = 0.125
+
+
+@register(
+    "events_ewma_by_user",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+       list_reduce(vals,
+                   (acc, x) -> {EWMA_ALPHA}e0 * x
+                               + {1.0 - EWMA_ALPHA}e0 * acc) AS ewma
+FROM ordered
+""",
+)
+def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` —
+    s_i = α·x_i + (1−α)·s_{i−1}, seeded with the first observation.
+
+    This is the catalog's grouped-map ``applyInPandas`` exemplar: the
+    recursion makes each output depend on the PREVIOUS output, which no
+    SQL window frame expresses (frames aggregate inputs, not outputs),
+    so this is exactly the case the sanctioned-Pandas-UDF rule carves
+    out. The fold runs vectorized per group over Arrow batches; the
+    plan is one shuffle on user_id and partition cost is one entity's
+    history. The DuckDB oracle states the identical left fold with
+    ``list_reduce``, and with α = 1/8 both engines execute the same
+    IEEE sequence — the comparison is bit-exact."""
+    prepare(spark)
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    alpha = EWMA_ALPHA
+    beta = 1.0 - EWMA_ALPHA
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for x in pdf["value"].to_numpy():
+            acc = float(x) if acc is None else alpha * float(x) + beta * acc
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma": [acc],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        fold, "user_id bigint, n_events bigint, ewma double"
+    )

@@ -1160,3 +1160,14 @@ ranked AS (
 SELECT query_id, neighbor_id, qdot, approx_dot, rank
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+# events_ewma_by_user is deliberately absent: the EWMA recursion is the
+# catalog's applyInPandas exemplar precisely because no SQL window states it.
+SPARK_SQL["events_rolling_24h"] = """
+SELECT event_id, user_id, unix_micros(ts) AS ts_us,
+       COUNT(*) OVER w AS n_24h,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS sum_centivalue_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""

@@ -292,3 +292,20 @@ def test_temperature_mixing_broadcasts_rate_map(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_rolling_24h_single_window_exchange(spark, sf_dir):
+    """The RANGE-framed trailing window must be one keyed exchange plus a
+    per-partition sliding frame — no self-join materializing the frame."""
+    p = plan_of(all_queries()["events_rolling_24h"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in p
+
+
+def test_ewma_plans_grouped_map_pandas(spark, sf_dir):
+    """The EWMA fold must plan as one Arrow grouped-map node after one
+    keyed exchange — the sanctioned applyInPandas shape."""
+    p = plan_of(all_queries()["events_ewma_by_user"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
