@@ -309,3 +309,49 @@ def test_ewma_plans_grouped_map_pandas(spark, sf_dir):
     p = plan_of(all_queries()["events_ewma_by_user"](spark, sf_dir))
     assert "FlatMapGroupsInPandas" in p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_runtime_bloom_filter_injects_in_shuffle_join_regime(spark, sf_dir):
+    """100 TB posture evidence for runtime semi-join reduction: at toy
+    scale a selectively-filtered dim broadcasts (no bloom needed — the
+    hash table IS the filter); in the at-scale regime (fact side above
+    the application-side scan threshold, dim side shuffled) Spark
+    injects a bloom filter that prunes fact rows BEFORE the shuffle.
+    Asserting both regimes pins that the engine's defaults
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on in
+    session.prepare's base session) deliver the reduction exactly when
+    a 1000-executor cluster would need it."""
+    from pyspark.sql import functions as F
+
+    def build():
+        # rebuilt per regime: a DataFrame pins its QueryExecution at first
+        # plan access, so conf changes need a fresh frame
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+            F.col("p_type").startswith("STANDARD")
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_type")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    # toy regime: broadcast, no bloom
+    p = plan_of(build())
+    assert "BroadcastHashJoin" in p and "might_contain" not in p
+    # at-scale regime: force the size relationships a 100 TB fact has
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        p = plan_of(build())
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert "might_contain" in p, "bloom filter not injected"
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
