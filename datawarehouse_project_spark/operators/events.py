@@ -497,10 +497,13 @@ EWMA_ALPHA = 0.125
     driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 WITH ordered AS (
-    SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+    SELECT user_id,
+           list(value ORDER BY ts, event_id)
+               FILTER (WHERE value IS NOT NULL) AS vals,
+           CAST(COUNT(value) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
 )
-SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+SELECT user_id, n_events,
        list_reduce(vals,
                    (acc, x) -> {EWMA_ALPHA}e0 * x
                                + {1.0 - EWMA_ALPHA}e0 * acc) AS ewma
@@ -530,14 +533,17 @@ def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     beta = 1.0 - EWMA_ALPHA
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # NULL observations are SKIPPED (not folded as NaN) — the same
+        # semantics as the oracle's FILTER(value IS NOT NULL); a user with
+        # no non-null observations reports n_events=0, ewma NULL
+        vals = pdf.sort_values(["ts", "event_id"])["value"].dropna().to_numpy()
         acc = None
-        for x in pdf["value"].to_numpy():
+        for x in vals:
             acc = float(x) if acc is None else alpha * float(x) + beta * acc
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
+                "n_events": [len(vals)],
                 "ewma": [acc],
             }
         )

@@ -174,56 +174,45 @@ def scd2_dim_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     first recorded state (LEFT semantics).
 
     The oracle states the semantics as the naive interval join; the
-    Spark plan is the scalable union-merge as-of algorithm: interval
-    starts (state rows) and orders (probe rows) union into one stream
-    keyed by user, sorted by (ts, kind) with state-before-probe on
-    ties (valid_from is INCLUSIVE), and one
-    ``last_value(ignorenulls)`` window carries the in-effect version
-    forward onto every probe. One shuffle on the key; no range join,
-    no interval multiplication — the same single-window cost as
-    ``asof_join_last_order`` (operators/relational.py)."""
+    Spark plan delegates to the engine's one union-merge as-of
+    implementation (``operators/relational.py::asof_join``): interval
+    starts and order probes merge into one keyed stream and a single
+    ``last(ignorenulls)`` window carries the in-effect version onto
+    every probe — one shuffle on the key, no range join, no interval
+    multiplication. ``right_tiebreak="version"`` makes duplicate
+    ``(user_id, valid_from)`` state rows (which a duplicate-``ts``
+    change log legitimately produces as empty intervals) resolve to
+    the HIGHEST version — exactly the row the oracle's
+    ``[valid_from, valid_to)`` containment selects, since the empty
+    interval matches nothing."""
+    from .relational import asof_join
+
     prepare(spark)
     hist = _history_frame(spark, sf_dir)
     events = table(spark, sf_dir, "events")
     orders = table(spark, sf_dir, "orders")
     max_user = events.select(F.max("user_id").alias("mx"))
-    probes = (
-        orders.join(F.broadcast(max_user), F.col("o_custkey") <= F.col("mx"))
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("ts"),
-            F.lit(1).alias("kind"),
-            F.lit(None).cast("string").alias("s_type"),
-            F.lit(None).cast("bigint").alias("s_version"),
-            "o_orderkey",
-            "o_orderdate",
-        )
+    probes = orders.join(
+        F.broadcast(max_user), F.col("o_custkey") <= F.col("mx")
+    ).select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
     )
-    states = hist.select(
-        "user_id",
-        F.col("valid_from").alias("ts"),
-        F.lit(0).alias("kind"),
-        F.col("event_type").alias("s_type"),
-        F.col("version").alias("s_version"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    joined = asof_join(
+        probes,
+        hist,
+        key="user_id",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        right_cols=["event_type", "version"],
+        right_tiebreak="version",
+        prune_right=False,  # probes are dense in users — pruning buys nothing
     )
-    merged = states.unionByName(probes)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("kind"), F.col("o_orderkey").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.select(
-        "user_id",
-        "kind",
+    return joined.select(
         "o_orderkey",
+        "user_id",
         "o_orderdate",
-        F.last("s_type", ignorenulls=True).over(w).alias("state_at_order"),
-        F.last("s_version", ignorenulls=True).over(w).alias("state_version"),
-    )
-    return carried.filter(F.col("kind") == 1).select(
-        "o_orderkey", "user_id", "o_orderdate", "state_at_order", "state_version"
+        F.col("event_type").alias("state_at_order"),
+        F.col("version").alias("state_version"),
     )
 
 
@@ -272,7 +261,15 @@ class IncrementalScd2:
     ) -> int:
         from ..sources.sinks import ConcurrentWriteError
 
-        runs = _runs_frame(batch).withColumnRenamed("version", "brun")
+        # materialize the batch's gaps-and-islands ONCE: the runs frame
+        # feeds three join branches per attempt (Spark does no common-
+        # subplan elimination across them) plus every CAS retry, so an
+        # eager localCheckpoint bounds the window work to one evaluation
+        runs = (
+            _runs_frame(batch)
+            .withColumnRenamed("version", "brun")
+            .localCheckpoint(eager=True)
+        )
         txn = (app_id, batch_id) if batch_id is not None else None
         for _ in range(10):
             if batch_id is not None:

@@ -1098,6 +1098,8 @@ NEUTRAL_AS_IS += [
     "scd2_dim_asof_orders",
 ]
 
+from ..operators.sampling import _TEMP_SALT  # noqa: E402
+
 SPARK_SQL["sample_lang_temperature"] = f"""
 WITH counts AS (
     SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
@@ -1111,7 +1113,7 @@ rates AS (
 kept AS (
     SELECT d.lang, d.doc_id
     FROM documents d JOIN rates r USING (lang)
-    WHERE {SPARK_H.format(x="concat('temp:', CAST(d.doc_id AS STRING))")}
+    WHERE {SPARK_H.format(x=f"concat('{_TEMP_SALT}', CAST(d.doc_id AS STRING))")}
           % 1000 < r.keep_permille
 ),
 census AS (
@@ -1163,11 +1165,13 @@ FROM ranked WHERE rank <= {TOP_K}
 
 # events_ewma_by_user is deliberately absent: the EWMA recursion is the
 # catalog's applyInPandas exemplar precisely because no SQL window states it.
-SPARK_SQL["events_rolling_24h"] = """
+from ..operators.events import ROLL_WINDOW_US  # noqa: E402
+
+SPARK_SQL["events_rolling_24h"] = f"""
 SELECT event_id, user_id, unix_micros(ts) AS ts_us,
        COUNT(*) OVER w AS n_24h,
        SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS sum_centivalue_24h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
-             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+             RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
 """

@@ -325,3 +325,83 @@ def test_streaming_scd2_foreachbatch_exactly_once(spark, sf_dir, tmp_path):
     run()  # replay: fresh epochs 0..n, ledger absorbs every one
     assert inc.table.current_version() == v
     assert _scd2_canon(inc.read(spark)) == _scd2_canon(full)
+
+
+def test_scd2_asof_duplicate_ts_resolves_to_highest_version(spark):
+    """Two state changes at the SAME timestamp produce an empty interval
+    (v, [t,t)) and an open one (v+1, [t,...)). The as-of must always pick
+    v+1 — the tiebreak the engine's asof_join provides — never the stale
+    empty interval, regardless of shuffle order."""
+    import datetime as dt
+
+    from datawarehouse_project_spark.operators.relational import asof_join
+    from datawarehouse_project_spark.operators.scd import (
+        _close_intervals,
+        _runs_frame,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "a", 0.0, ""),
+        (2, t0, 10, "b", 0.0, ""),  # same ts, later event_id -> v2 opens at t0
+        (3, dt.datetime(2024, 1, 2), 10, "c", 0.0, ""),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    hist = _close_intervals(_runs_frame(events))
+    probes = spark.createDataFrame(
+        [(100, 10, t0), (101, 10, dt.datetime(2024, 1, 1, 12))],
+        "o_orderkey long, user_id long, o_orderdate timestamp",
+    )
+    out = asof_join(
+        probes,
+        hist,
+        key="user_id",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        right_cols=["event_type", "version"],
+        right_tiebreak="version",
+        prune_right=False,
+    )
+    got = {r.o_orderkey: (r.event_type, r.version) for r in out.collect()}
+    assert got == {100: ("b", 2), 101: ("b", 2)}
+
+
+def test_ewma_skips_null_observations(spark):
+    """NULL values are skipped (oracle FILTER semantics), not folded as
+    NaN; an all-NULL user reports n_events=0 and NULL ewma."""
+    import datetime as dt
+    import math
+
+    from datawarehouse_project_spark.operators.events import events_ewma_by_user  # noqa: F401
+    from datawarehouse_project_spark.catalog import all_queries, all_oracle_sql
+    import duckdb
+    import pandas as pd
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t, 1, "a", 2.0, ""),
+        (2, dt.datetime(2024, 1, 1, 1), 1, "a", None, ""),
+        (3, dt.datetime(2024, 1, 1, 2), 1, "a", 4.0, ""),
+        (4, t, 2, "a", None, ""),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/events.parquet")
+        out = {
+            r.user_id: (r.n_events, r.ewma)
+            for r in all_queries()["events_ewma_by_user"](spark, d).collect()
+        }
+    # user 1: fold 2.0 then 4.0 -> 0.125*4 + 0.875*2 = 2.25; NULL skipped
+    assert out[1] == (2, 2.25)
+    assert out[2][0] == 0 and out[2][1] is None
