@@ -148,30 +148,46 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Synthetic order-placement time: the generated tables put orders in
+#: 1995–2001 but events (the dimension change log) in 2024, so joining on
+#: raw o_orderdate would make every as-of lookup NULL. A deterministic
+#: map of o_orderkey into the events month keeps the temporal join
+#: meaningful AND engine-portable (integer hour arithmetic — identical
+#: timestamps on both engines). 720 hours = the 30-day events window.
+_PLACED_EPOCH = "2024-01-01 00:00:00"
+_PLACED_HOURS_MOD = 720
+
+
 @register(
     "scd2_dim_asof_orders",
     driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 WITH {_DUCK_HIST},
 o AS (
-    SELECT o_orderkey, o_custkey AS user_id, o_orderdate
+    SELECT o_orderkey, o_custkey AS user_id,
+           TIMESTAMP '{_PLACED_EPOCH}'
+               + (o_orderkey % {_PLACED_HOURS_MOD}) * INTERVAL 1 HOUR
+               AS placed_ts
     FROM orders
     WHERE o_custkey <= (SELECT MAX(user_id) FROM events)
 )
-SELECT o.o_orderkey, o.user_id, o.o_orderdate,
+SELECT o.o_orderkey, o.user_id, o.placed_ts,
        h.event_type AS state_at_order,
        h.version AS state_version
 FROM o LEFT JOIN hist h
   ON h.user_id = o.user_id
- AND o.o_orderdate >= h.valid_from
- AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+ AND o.placed_ts >= h.valid_from
+ AND (h.valid_to IS NULL OR o.placed_ts < h.valid_to)
 """,
 )
 def scd2_dim_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal dimension join: each order (for users that have a
     dimension history) picks up the SCD2 ``event_type`` version that was
-    valid at ``o_orderdate`` — NULL when the order predates the user's
-    first recorded state (LEFT semantics).
+    valid at its placement time — NULL when the order predates the
+    user's first recorded state (LEFT semantics). Placement time is a
+    deterministic map of the order key into the change log's month (see
+    ``_PLACED_EPOCH`` — the generated orders/events epochs don't
+    overlap, and an all-NULL temporal join would verify nothing).
 
     The oracle states the semantics as the naive interval join; the
     Spark plan delegates to the engine's one union-merge as-of
@@ -192,16 +208,23 @@ def scd2_dim_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     orders = table(spark, sf_dir, "orders")
     max_user = events.select(F.max("user_id").alias("mx"))
+    placed = F.timestamp_add(
+        "HOUR",
+        (F.col("o_orderkey") % _PLACED_HOURS_MOD).cast("int"),
+        F.lit(_PLACED_EPOCH).cast("timestamp"),
+    )
     probes = orders.join(
         F.broadcast(max_user), F.col("o_custkey") <= F.col("mx")
     ).select(
-        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        placed.alias("placed_ts"),
     )
     joined = asof_join(
         probes,
         hist,
         key="user_id",
-        left_ts="o_orderdate",
+        left_ts="placed_ts",
         right_ts="valid_from",
         right_cols=["event_type", "version"],
         right_tiebreak="version",
@@ -210,7 +233,7 @@ def scd2_dim_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "o_orderkey",
         "user_id",
-        "o_orderdate",
+        "placed_ts",
         F.col("event_type").alias("state_at_order"),
         F.col("version").alias("state_version"),
     )

@@ -140,3 +140,46 @@ def test_llm_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert bad == 0
     bench_ids = docs.filter(F.col("source") == BENCHMARK_SOURCE).select("doc_id")
     assert back.join(bench_ids, "doc_id", "inner").count() == 0
+
+
+def test_warehouse_pipeline_scd2_end_to_end(spark, sf_dir):
+    """Warehouse-side composition: star fact -> SCD2 dimension history
+    from the change log -> temporal as-of enrichment of orders ->
+    revenue rolled up by the dimension state in effect when each order
+    was placed. Every stage is an oracle-gated operator; this pins that
+    the COMPOSITION conserves revenue and accounts for every order
+    exactly once."""
+    from datawarehouse_project_spark.catalog import all_queries
+    from datawarehouse_project_spark.plans.star import fact
+
+    q = all_queries()
+    asof = q["scd2_dim_asof_orders"](spark, sf_dir)
+
+    # revenue per order from the enriched star fact (reference shape:
+    # order_id / sale)
+    f = fact(spark, sf_dir)
+    rev = f.groupBy(F.col("order_id").alias("o_orderkey")).agg(
+        F.sum("sale").cast("double").alias("revenue")
+    )
+    enriched = asof.join(rev, "o_orderkey", "left")
+
+    # each probed order appears exactly once after enrichment
+    assert enriched.count() == asof.count()
+    assert (
+        enriched.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    )
+
+    by_state = enriched.groupBy("state_at_order").agg(
+        F.sum("revenue").alias("revenue"), F.count("*").alias("n_orders")
+    )
+    rows = by_state.collect()
+    # revenue conservation across dimension states (NULL state = orders
+    # predating the user's first recorded state — still accounted)
+    total_grouped = sum(r.revenue or 0.0 for r in rows)
+    total_direct = (
+        enriched.agg(F.sum("revenue")).first()[0] or 0.0
+    )
+    assert abs(total_grouped - total_direct) < 1e-6 * max(abs(total_direct), 1.0)
+    assert sum(r.n_orders for r in rows) == asof.count()
+    # the dimension attribute really varies (the rollup is non-trivial)
+    assert len(rows) >= 3

@@ -87,10 +87,10 @@ def test_scd2_asof_matches_history_lookup(spark, sf_dir):
             ["user_id", "state_version"],
         )
         out_of_interval = joined.filter(
-            (F.col("o_orderdate") < F.col("valid_from"))
+            (F.col("placed_ts") < F.col("valid_from"))
             | (
                 F.col("valid_to").isNotNull()
-                & (F.col("o_orderdate") >= F.col("valid_to"))
+                & (F.col("placed_ts") >= F.col("valid_to"))
             )
         ).count()
         assert out_of_interval == 0
@@ -98,7 +98,7 @@ def test_scd2_asof_matches_history_lookup(spark, sf_dir):
         bad_nulls = (
             asof.filter(F.col("state_version").isNull())
             .join(first, "user_id")
-            .filter(F.col("o_orderdate") >= F.col("first_from"))
+            .filter(F.col("placed_ts") >= F.col("first_from"))
             .count()
         )
         assert bad_nulls == 0
