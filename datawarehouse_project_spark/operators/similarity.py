@@ -1114,3 +1114,115 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+def _ivf_quantized_oracle() -> str:
+    """Lazy (trained centroids interpolate at first access, not import)."""
+    return f"""
+WITH assigned AS (
+    SELECT vec_id, {_duck_ivf_cluster("embedding")} AS cluster_id
+    FROM embeddings
+),
+{_DUCK_Q8.strip().rstrip()},
+a8 AS (
+    SELECT a.vec_id, a.cluster_id, s.scale, s.qvec
+    FROM assigned a JOIN q8 s USING (vec_id)
+),
+qp AS (
+    SELECT vec_id, unnest({_duck_ivf_probes("embedding")}) AS probe
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+qq AS (
+    SELECT qp.vec_id, qp.probe, s.scale AS q_scale, s.qvec AS q_qvec
+    FROM qp JOIN q8 s ON s.vec_id = qp.vec_id
+),
+pairs AS (
+    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, {DIM}),
+                              i -> qq.q_qvec[i] * c.qvec[i])),
+               (x, y) -> x + y) AS qdot,
+           qq.q_scale, c.scale AS c_scale
+    FROM qq JOIN a8 c ON c.cluster_id = qq.probe AND c.vec_id <> qq.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, qdot,
+           ((qdot * q_scale) * c_scale) / 16129.0 AS approx_dot,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY ((qdot * q_scale) * c_scale) DESC,
+                                              neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, qdot, approx_dot, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_ivf_quantized_topk",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=_ivf_quantized_oracle,
+)
+def similarity_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two ANN scale levers COMPOSED, exactly as a production index
+    stores them: IVF multi-probe restricts candidates to P/K_IVF of the
+    corpus (cluster equi-join, no nested loop), and each cell holds the
+    int8-quantized payload, so the candidate scan reads 4x fewer bytes
+    and scores with exact-integer dot products. Ranking uses the
+    de-quantized score; results stay engine-portable like both parents
+    (integer qdot + one deterministic multiply chain). Recall vs the
+    exact-cosine multi-probe parent is pytest-pinned."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    base = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0).cast("bigint")).otherwise(
+            F.round((x.cast("double") * 127.0) / F.col("scale")).cast("bigint")
+        ),
+    )
+    q8 = base.select("vec_id", "embedding", "scale", qvec.alias("qvec"))
+    a8 = q8.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _ivf_cluster_expr(F.col("embedding")).alias("cluster_id"),
+        F.col("scale").alias("c_scale"),
+        F.col("qvec").alias("c_qvec"),
+    )
+    qp = q8.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qvec").alias("q_qvec"),
+        F.explode(_ivf_probes_expr(F.col("embedding"))).alias("probe"),
+    )
+    pairs = a8.join(
+        F.broadcast(qp),
+        (F.col("cluster_id") == F.col("probe"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    qdot = F.aggregate(
+        F.zip_with("q_qvec", "c_qvec", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.withColumn("qdot", qdot).select(
+        "query_id",
+        "neighbor_id",
+        "qdot",
+        ((F.col("qdot").cast("double") * F.col("q_scale")) * F.col("c_scale"))
+        .alias("scaled"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("scaled"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qdot",
+            (F.col("scaled") / 16129.0).alias("approx_dot"),
+            "rank",
+        )
+    )

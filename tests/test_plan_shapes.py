@@ -355,3 +355,11 @@ def test_runtime_bloom_filter_injects_in_shuffle_join_regime(spark, sf_dir):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_ivf_quantized_is_cluster_equi_join(spark, sf_dir):
+    """The composed IVF+int8 operator must keep the parent IVF shape:
+    a (cluster_id = probe) equi-join, never a nested loop."""
+    p = plan_of(all_queries()["similarity_ivf_quantized_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

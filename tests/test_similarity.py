@@ -336,3 +336,26 @@ def test_scaled_components_cluster_planted_duplicates(spark):
         assert all(labels[v][1] is False for v in group if v != min(group))
     for v in background:
         assert labels[v] == (v, True)  # singletons stay canonical
+
+
+def test_ivf_quantized_recall_vs_exact_multiprobe(spark, sf_correct_dir):
+    """Composing int8 quantization into the IVF cells must not cost
+    recall on this corpus: the quantized multi-probe top-k should match
+    the exact-cosine multi-probe result almost exactly (same candidates,
+    near-identical in-cell ranking)."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    q = all_queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q["similarity_ivf_multiprobe_topk"](
+            spark, sf_correct_dir
+        ).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in q["similarity_ivf_quantized_topk"](
+            spark, sf_correct_dir
+        ).collect()
+    }
+    assert len(exact & quant) / len(exact) >= 0.9
