@@ -286,3 +286,81 @@ def test_incremental_lsh_algebra_on_generated_corpora(spark, specs, mod):
     inc_pairs = pairs(signatures_of(old), new)
     assert old_pairs | inc_pairs == all_pairs
     assert not (old_pairs & inc_pairs)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),        # user
+            st.integers(0, 2),        # attribute value
+            st.integers(0, 100_000),  # ts offset seconds
+        ),
+        min_size=5,
+        max_size=40,
+    ),
+    st.integers(2, 4),  # number of time-sliced batches
+)
+def test_scd2_incremental_algebra_on_generated_logs(spark, specs, n_batches):
+    """On arbitrary generated change logs (duplicate timestamps allowed —
+    event_id breaks ties): folding event-time-ordered batches through
+    IncrementalScd2 must equal the one-shot gaps-and-islands recompute,
+    and the history must partition each user's timeline."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from datawarehouse_project_spark.operators.scd import (
+        IncrementalScd2,
+        _close_intervals,
+        _runs_frame,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), user, f"v{val}", 0.0, "")
+        for i, (user, val, off) in enumerate(specs)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tiled = events.withColumn(
+        "tile", F.ntile(n_batches).over(Window.orderBy("ts", "event_id"))
+    )
+    batches = [
+        tiled.filter(F.col("tile") == i + 1).drop("tile").localCheckpoint(
+            eager=True
+        )
+        for i in range(n_batches)
+    ]
+
+    def canon(df):
+        return sorted(
+            (r.user_id, r.version, r.event_type, r.valid_from, r.valid_to,
+             r.run_events)
+            for r in df.collect()
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        inc = IncrementalScd2(f"{d}/scd2")
+        for i, b in enumerate(batches):
+            if b.count() == 0:
+                continue
+            inc.apply_batch(spark, b, batch_id=i)
+        got = canon(inc.read(spark))
+    assert got == canon(_close_intervals(_runs_frame(events)))
+    # timeline partition invariants on the generated log
+    by_user: dict = {}
+    for u, v, _t, vf, vt, n in got:
+        by_user.setdefault(u, []).append((v, vf, vt, n))
+    for u, ivs in by_user.items():
+        ivs.sort()
+        assert [v for v, *_ in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(n for *_, n in ivs) == sum(
+            1 for (user, _val, _off) in specs if user == u
+        )
+        for (v1, _f1, t1, _n1), (_v2, f2, _t2, _n2) in zip(ivs, ivs[1:]):
+            assert t1 == f2  # contiguous
+        assert ivs[-1][2] is None  # open current interval
