@@ -1175,3 +1175,56 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
              RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
 """
+
+from ..operators.similarity import spark_ivf_probes_sql  # noqa: E402
+
+SPARK_SQL["similarity_ivf_quantized_topk"] = f"""
+WITH assigned AS (
+    SELECT vec_id, {spark_ivf_cluster_sql("embedding")} AS cluster_id
+    FROM embeddings
+),
+qbase AS (
+    SELECT vec_id, embedding,
+           array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS scale
+    FROM embeddings
+),
+q8 AS (
+    SELECT vec_id, scale,
+           transform(embedding,
+               x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(round((CAST(x AS DOUBLE) * 127.0) / scale)
+                                   AS BIGINT) END) AS qvec
+    FROM qbase
+),
+a8 AS (
+    SELECT a.vec_id, a.cluster_id, s.scale, s.qvec
+    FROM assigned a JOIN q8 s USING (vec_id)
+),
+qp AS (
+    SELECT vec_id, explode({spark_ivf_probes_sql("embedding")}) AS probe
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+qq AS (
+    SELECT qp.vec_id, qp.probe, s.scale AS q_scale, s.qvec AS q_qvec
+    FROM qp JOIN q8 s ON s.vec_id = qp.vec_id
+),
+pairs AS (
+    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+           aggregate(zip_with(qq.q_qvec, c.qvec, (a, b) -> a * b),
+                     CAST(0 AS BIGINT), (acc, x) -> acc + x) AS qdot,
+           qq.q_scale, c.scale AS c_scale
+    FROM qq JOIN a8 c ON c.cluster_id = qq.probe AND c.vec_id <> qq.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, qdot,
+           ((qdot * q_scale) * c_scale) / 16129.0 AS approx_dot,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY ((qdot * q_scale) * c_scale) DESC,
+                                              neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, qdot, approx_dot, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
