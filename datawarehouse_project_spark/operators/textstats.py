@@ -721,3 +721,59 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(least(cum_end, (pack_id + 1) * {PACK_BUDGET}) "
         f"- greatest(cum_start, pack_id * {PACK_BUDGET}) AS BIGINT) AS n_tok",
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_word_rarity_scores",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle="""
+WITH docwords AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+),
+tokens AS (
+    SELECT doc_id, unnest(ws) AS w FROM docwords
+),
+df_map AS (
+    SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tokens GROUP BY w
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(m.df) AS BIGINT) AS sum_df,
+       CAST(MIN(m.df) AS BIGINT) AS rarest_df
+FROM tokens t JOIN df_map m ON m.w = t.w
+GROUP BY t.doc_id
+""",
+)
+def text_word_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal: per document, the total and
+    minimum DOCUMENT FREQUENCY of its words — the integer-exact core of
+    an IDF/perplexity-style rarity score. (The score itself stays in
+    integers deliberately: log()/pow() are not correctly-rounded across
+    libms, so a cross-engine float score could differ in the last ulp;
+    the consumer divides sum_df/n_tokens or applies log at the edge.)
+
+    Two corpus passes, both inverted-index shaped: pass 1 aggregates
+    per-word document frequency (explode -> distinct -> count, partial
+    aggs throughout); pass 2 joins tokens back to the df map on the word
+    — a hash equi-join whose build side is the vocabulary, orders of
+    magnitude smaller than the corpus, and per-doc re-aggregation. At
+    100 TB the vocabulary map is the only broadcast-or-shuffle state;
+    no pairwise work anywhere."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    tokens = docs.select("doc_id", F.explode(words("text")).alias("w"))
+    df_map = tokens.groupBy("w").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    return (
+        tokens.join(df_map, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+            F.min("df").cast("bigint").alias("rarest_df"),
+        )
+    )

@@ -1228,3 +1228,23 @@ ranked AS (
 SELECT query_id, neighbor_id, qdot, approx_dot, rank
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+SPARK_SQL["text_word_rarity_scores"] = r"""
+WITH docwords AS (
+    SELECT doc_id, split(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+),
+tokens AS (
+    SELECT doc_id, explode(ws) AS w FROM docwords
+),
+df_map AS (
+    SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tokens GROUP BY w
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(m.df) AS BIGINT) AS sum_df,
+       CAST(MIN(m.df) AS BIGINT) AS rarest_df
+FROM tokens t JOIN df_map m ON m.w = t.w
+GROUP BY t.doc_id
+"""
