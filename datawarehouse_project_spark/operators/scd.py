@@ -282,17 +282,33 @@ class IncrementalScd2:
         batch_id: int | None = None,
         app_id: str = "scd2",
     ) -> int:
-        from ..sources.sinks import ConcurrentWriteError
+        from .dedup import _release_checkpoint
 
         # materialize the batch's gaps-and-islands ONCE: the runs frame
         # feeds three join branches per attempt (Spark does no common-
         # subplan elimination across them) plus every CAS retry, so an
         # eager localCheckpoint bounds the window work to one evaluation
+        # (released in the finally — a long-lived stream must not accrue
+        # one checkpoint's blocks per batch)
         runs = (
             _runs_frame(batch)
             .withColumnRenamed("version", "brun")
             .localCheckpoint(eager=True)
         )
+        try:
+            return self._apply_runs(spark, runs, batch_id, app_id)
+        finally:
+            _release_checkpoint(runs)
+
+    def _apply_runs(
+        self,
+        spark: SparkSession,
+        runs: DataFrame,
+        batch_id: int | None,
+        app_id: str,
+    ) -> int:
+        from ..sources.sinks import ConcurrentWriteError
+
         txn = (app_id, batch_id) if batch_id is not None else None
         for _ in range(10):
             if batch_id is not None:
