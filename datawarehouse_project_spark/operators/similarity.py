@@ -1030,6 +1030,21 @@ q8 AS (
 """
 
 
+def _q8_frame(emb: DataFrame) -> DataFrame:
+    """The int8 quantization frame (vec_id, embedding, scale, qvec) —
+    the single DataFrame-side definition both quantized operators build
+    on, mirroring the shared ``_DUCK_Q8`` on the oracle side."""
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    base = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0).cast("bigint")).otherwise(
+            F.round((x.cast("double") * 127.0) / F.col("scale")).cast("bigint")
+        ),
+    )
+    return base.select("vec_id", "embedding", "scale", qvec.alias("qvec"))
+
+
 @register(
     "similarity_quantized_topk",
     driver_facing=False,  # driver window is full; oracle-gated in pytest
@@ -1066,16 +1081,7 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is engine-portable and oracle-checkable. Zero-vector guard:
     scale 0 quantizes to the zero vector instead of dividing by zero."""
     prepare(spark)
-    emb = spread(spark, table(spark, sf_dir, "embeddings"))
-    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-    base = emb.select("vec_id", "embedding", scale.alias("scale"))
-    qvec = F.transform(
-        "embedding",
-        lambda x: F.when(F.col("scale") == 0.0, F.lit(0).cast("bigint")).otherwise(
-            F.round((x.cast("double") * 127.0) / F.col("scale")).cast("bigint")
-        ),
-    )
-    q8 = base.select("vec_id", "scale", qvec.alias("qvec"))
+    q8 = _q8_frame(spread(spark, table(spark, sf_dir, "embeddings")))
     q = q8.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("scale").alias("q_scale"),
@@ -1124,7 +1130,7 @@ WITH assigned AS (
     SELECT vec_id, {_duck_ivf_cluster("embedding")} AS cluster_id
     FROM embeddings
 ),
-{_DUCK_Q8.strip().rstrip()},
+{_DUCK_Q8.strip()},
 a8 AS (
     SELECT a.vec_id, a.cluster_id, s.scale, s.qvec
     FROM assigned a JOIN q8 s USING (vec_id)
@@ -1175,16 +1181,7 @@ def similarity_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     (integer qdot + one deterministic multiply chain). Recall vs the
     exact-cosine multi-probe parent is pytest-pinned."""
     prepare(spark)
-    emb = spread(spark, table(spark, sf_dir, "embeddings"))
-    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-    base = emb.select("vec_id", "embedding", scale.alias("scale"))
-    qvec = F.transform(
-        "embedding",
-        lambda x: F.when(F.col("scale") == 0.0, F.lit(0).cast("bigint")).otherwise(
-            F.round((x.cast("double") * 127.0) / F.col("scale")).cast("bigint")
-        ),
-    )
-    q8 = base.select("vec_id", "embedding", "scale", qvec.alias("qvec"))
+    q8 = _q8_frame(spread(spark, table(spark, sf_dir, "embeddings")))
     a8 = q8.select(
         F.col("vec_id").alias("neighbor_id"),
         _ivf_cluster_expr(F.col("embedding")).alias("cluster_id"),

@@ -43,6 +43,7 @@ from ..operators.similarity import (
     ND_PLANES,
     TOP_K,
     spark_ivf_cluster_sql,
+    spark_ivf_probes_sql,
 )
 
 #: Oracle strings that are dialect-neutral: Spark runs them verbatim
@@ -1127,8 +1128,9 @@ SELECT r.lang, r.n_total, r.keep_permille,
 FROM rates r LEFT JOIN census c USING (lang)
 """
 
-SPARK_SQL["similarity_quantized_topk"] = f"""
-WITH qbase AS (
+#: Spark-dialect twin of operators/similarity._DUCK_Q8 — the single SQL-text
+#: definition of the int8 quantization CTE, shared by both quantized twins.
+_SPARK_Q8 = """qbase AS (
     SELECT vec_id, embedding,
            array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))
                AS scale
@@ -1141,7 +1143,10 @@ q8 AS (
                          ELSE CAST(round((CAST(x AS DOUBLE) * 127.0) / scale)
                                    AS BIGINT) END) AS qvec
     FROM qbase
-),
+)"""
+
+SPARK_SQL["similarity_quantized_topk"] = f"""
+WITH {_SPARK_Q8},
 pairs AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            aggregate(zip_with(q.qvec, c.qvec, (a, b) -> a * b),
@@ -1176,27 +1181,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
              RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
 """
 
-from ..operators.similarity import spark_ivf_probes_sql  # noqa: E402
-
 SPARK_SQL["similarity_ivf_quantized_topk"] = f"""
 WITH assigned AS (
     SELECT vec_id, {spark_ivf_cluster_sql("embedding")} AS cluster_id
     FROM embeddings
 ),
-qbase AS (
-    SELECT vec_id, embedding,
-           array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-               AS scale
-    FROM embeddings
-),
-q8 AS (
-    SELECT vec_id, scale,
-           transform(embedding,
-               x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
-                         ELSE CAST(round((CAST(x AS DOUBLE) * 127.0) / scale)
-                                   AS BIGINT) END) AS qvec
-    FROM qbase
-),
+{_SPARK_Q8},
 a8 AS (
     SELECT a.vec_id, a.cluster_id, s.scale, s.qvec
     FROM assigned a JOIN q8 s USING (vec_id)
