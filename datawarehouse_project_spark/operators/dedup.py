@@ -148,6 +148,10 @@ def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "dedup_minhash_signatures",
+    driver_facing=False,  # signature listing: its integers feed (and are
+    # transitively pinned by) the driver rows for the LSH pairs and
+    # components; the slot goes to the SCD2 history (same demotion
+    # precedent as the simhash signature listing below)
     oracle=f"WITH {_DUCK_SIG} SELECT doc_id, {', '.join(_MH_COLS)} FROM sig",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,7 +115,9 @@ def _history_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_user_state_history",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    # driver-facing: took the window slot of the demoted minhash
+    # signature listing (operators/dedup.py) — the SCD2 family's anchor
+    # row in the driver's sweep
     oracle=f"""
 WITH {_DUCK_HIST}
 SELECT user_id, version, event_type, valid_from, valid_to,
