@@ -327,38 +327,91 @@ class VersionedParquetTable:
                     ordered, pk, ordinal="_ordinal"
                 ).drop("_ordinal")
 
-            data_dir = uuid.uuid4().hex
-            staged = os.path.join(self._versions, data_dir)
-            merged.write.mode("overwrite").parquet(staged)
-            for app_id, v in ledger.items():
-                with open(os.path.join(staged, f"_txn_{app_id}"), "w") as fh:
-                    fh.write(str(v))
-                    fh.flush()
-                    os.fsync(fh.fileno())
-
-            manifest_tmp = os.path.join(
-                self._commits, f".tmp-{uuid.uuid4().hex}"
-            )
-            with open(manifest_tmp, "w") as fh:
-                fh.write(data_dir)
-                fh.flush()
-                os.fsync(fh.fileno())
-            commit = os.path.join(self._commits, str(base_version + 1))
-            try:
-                os.link(manifest_tmp, commit)  # the CAS
-            except FileExistsError:
-                # lost the race: someone committed base_version+1 first;
-                # our merge is stale — drop it and redo over their snapshot
-                os.unlink(manifest_tmp)
-                shutil.rmtree(staged, ignore_errors=True)
-                continue
-            os.unlink(manifest_tmp)
-            self._advance_current(base_version + 1)
-            return base_version + 1
+            committed = self._try_commit(merged, ledger, base_version)
+            if committed is not None:
+                return committed
         raise RuntimeError(
             f"upsert lost the commit race {max_retries} times in a row — "
             "writer contention on this table exceeds the optimistic "
             "protocol's retry budget"
+        )
+
+    def _try_commit(
+        self, merged: DataFrame, ledger: dict[str, int], base_version: int
+    ) -> int | None:
+        """Stage ``merged`` + the ledger and attempt the CAS commit of
+        ``base_version + 1``. Returns the new version, or None when the
+        race was lost (the staged data is cleaned up; caller re-derives
+        over the winner's snapshot and retries)."""
+        data_dir = uuid.uuid4().hex
+        staged = os.path.join(self._versions, data_dir)
+        merged.write.mode("overwrite").parquet(staged)
+        for app_id, v in ledger.items():
+            with open(os.path.join(staged, f"_txn_{app_id}"), "w") as fh:
+                fh.write(str(v))
+                fh.flush()
+                os.fsync(fh.fileno())
+
+        manifest_tmp = os.path.join(
+            self._commits, f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(manifest_tmp, "w") as fh:
+            fh.write(data_dir)
+            fh.flush()
+            os.fsync(fh.fileno())
+        commit = os.path.join(self._commits, str(base_version + 1))
+        try:
+            os.link(manifest_tmp, commit)  # the CAS
+        except FileExistsError:
+            # lost the race: someone committed base_version+1 first
+            os.unlink(manifest_tmp)
+            shutil.rmtree(staged, ignore_errors=True)
+            return None
+        os.unlink(manifest_tmp)
+        self._advance_current(base_version + 1)
+        return base_version + 1
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int | None = None,
+        target_bytes: int = 128 << 20,
+        max_retries: int = 10,
+    ) -> int | None:
+        """OPTIMIZE: rewrite the CURRENT snapshot into few large files as
+        a new version — same rows, same writer ledger, layout only. The
+        maintenance step every streaming upsert table needs: each micro-
+        batch commit writes its own small files, and scan cost degrades
+        with file count; compaction restores ~``target_bytes`` files
+        (explicit ``target_files`` overrides). Snapshot isolation means
+        readers are never disturbed, time travel still reaches the
+        pre-compaction layout until ``vacuum``, and the copied ledger
+        keeps replayed batches idempotent ACROSS the compaction. Runs
+        under the same CAS as upsert — a concurrent writer landing first
+        makes the rewrite stale, so it re-reads and retries. Returns the
+        committed version (None on an empty table)."""
+        for _ in range(max_retries):
+            base_version = self.current_version()
+            base_path = self.current_path()
+            if base_path is None:
+                return None
+            ledger = self._read_txns(base_path)
+            if target_files is not None:
+                n_out = target_files
+            else:
+                total = sum(
+                    e.stat().st_size
+                    for e in os.scandir(base_path)
+                    if e.name.endswith(".parquet")
+                )
+                n_out = max(1, -(-total // target_bytes))
+            merged = spark.read.parquet(base_path).coalesce(n_out)
+            committed = self._try_commit(merged, ledger, base_version)
+            if committed is not None:
+                return committed
+        raise RuntimeError(
+            f"compact lost the commit race {max_retries} times in a row — "
+            "run it in a quieter window or raise max_retries"
         )
 
     def _advance_current(self, version: int) -> None:

@@ -312,3 +312,65 @@ def test_streaming_to_versioned_table_exactly_once_effect(spark, tmp_path):
     assert vt.current_version() > v_after_first
     # and the pre-replay snapshot is still readable (time travel)
     assert sorted(map(str, vt.read(spark, version=v_after_first).collect())) == first
+
+
+def test_compact_rewrites_layout_without_changing_anything_else(spark, tmp_path):
+    """OPTIMIZE on the versioned table: many small per-batch commits ->
+    one compacted version with identical rows, a preserved writer ledger
+    (replays still no-op across the compaction), working time travel to
+    the pre-compaction layout, and fewer data files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "vt"))
+    base = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # six batch commits; AQE partition-coalescing off so each snapshot
+    # write fragments across the shuffle partitions (the real-table
+    # failure mode this test models — at scale the merge shuffle emits
+    # one file per partition regardless)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        for i in range(6):
+            t.upsert(
+                spark,
+                base.filter(F.col("k") % 6 == i).repartition(4),
+                pk=["k"],
+                txn=("writer", i),
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    pre_version = t.current_version()
+    pre_rows = sorted((r.k, r.v) for r in t.read(spark).collect())
+    pre_files = [
+        e.name for e in os.scandir(t.current_path()) if e.name.endswith(".parquet")
+    ]
+    assert len(pre_files) > 1
+
+    v = t.compact(spark, target_files=1)
+    assert v == pre_version + 1
+    post_files = [
+        e.name for e in os.scandir(t.current_path()) if e.name.endswith(".parquet")
+    ]
+    assert len(post_files) == 1
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == pre_rows
+    # ledger survived: replaying an applied batch is still a no-op
+    assert t.last_txn("writer") == 5
+    assert t.upsert(spark, base.limit(3), pk=["k"], txn=("writer", 5)) == v
+    # time travel still reaches the pre-compaction snapshot
+    old = t.read(spark, version=pre_version)
+    assert sorted((r.k, r.v) for r in old.collect()) == pre_rows
+    # and new writes keep working on the compacted snapshot
+    t.upsert(
+        spark,
+        spark.createDataFrame([(0, 999)], "k long, v long"),
+        pk=["k"],
+        txn=("writer", 6),
+    )
+    assert dict((r.k, r.v) for r in t.read(spark).collect())[0] == 999
