@@ -314,13 +314,47 @@ class VersionedParquetTable:
                     return base_version  # already applied — idempotent no-op
                 ledger = {**ledger, app_id: txn_version}
             if base_path is not None:
-                incumbent = (
-                    spark.read.parquet(base_path)
-                    .select(cols)
-                    .withColumn("_ordinal", F.lit(-1).cast("bigint"))
+                # additive schema evolution (Delta mergeSchema semantics):
+                # align BOTH sides to the union of columns — a column one
+                # side lacks becomes typed NULLs there. Same-name columns
+                # with different types are refused loudly: implicit casts
+                # silently corrupt a table, an explicit migration doesn't.
+                incumbent = spark.read.parquet(base_path)
+                inc_types = {f.name: f.dataType for f in incumbent.schema.fields}
+                new_types = {
+                    f.name: f.dataType
+                    for f in ordered.schema.fields
+                    if f.name != "_ordinal"
+                }
+                conflicts = sorted(
+                    n
+                    for n, t in new_types.items()
+                    if n in inc_types and inc_types[n] != t
                 )
+                if conflicts:
+                    raise ValueError(
+                        f"schema evolution type conflict on {conflicts}: "
+                        "incoming and incumbent disagree — migrate "
+                        "explicitly instead of upserting"
+                    )
+                all_cols = cols + [c for c in incumbent.columns if c not in cols]
+                inc_aligned = incumbent
+                ord_aligned = ordered
+                for n in all_cols:
+                    if n not in inc_types:
+                        inc_aligned = inc_aligned.withColumn(
+                            n, F.lit(None).cast(new_types[n])
+                        )
+                    if n not in new_types:
+                        ord_aligned = ord_aligned.withColumn(
+                            n, F.lit(None).cast(inc_types[n])
+                        )
+                inc_aligned = inc_aligned.select(*all_cols).withColumn(
+                    "_ordinal", F.lit(-1).cast("bigint")
+                )
+                ord_aligned = ord_aligned.select(*all_cols, "_ordinal")
                 merged = dedup_last_wins(
-                    incumbent.unionByName(ordered), pk, ordinal="_ordinal"
+                    inc_aligned.unionByName(ord_aligned), pk, ordinal="_ordinal"
                 ).drop("_ordinal")
             else:
                 merged = dedup_last_wins(

@@ -374,3 +374,37 @@ def test_compact_rewrites_layout_without_changing_anything_else(spark, tmp_path)
         txn=("writer", 6),
     )
     assert dict((r.k, r.v) for r in t.read(spark).collect())[0] == 999
+
+
+def test_versioned_upsert_additive_schema_evolution(spark, tmp_path):
+    """A batch with a NEW column evolves the table (old rows read NULL
+    there); a later batch WITHOUT that column keeps it (its rows read
+    NULL); a same-name type conflict is refused loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "evo"))
+    t.upsert(spark, spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), pk=["k"])
+    # add a column
+    t.upsert(
+        spark,
+        spark.createDataFrame([(2, 21, "x"), (3, 30, "y")], "k long, v long, tag string"),
+        pk=["k"],
+    )
+    rows = {r.k: (r.v, r.tag) for r in t.read(spark).collect()}
+    assert rows == {1: (10, None), 2: (21, "x"), 3: (30, "y")}
+    # writer still on the old schema: evolved column survives as NULL for its rows
+    t.upsert(spark, spark.createDataFrame([(4, 40)], "k long, v long"), pk=["k"])
+    rows = {r.k: (r.v, r.tag) for r in t.read(spark).collect()}
+    assert rows[4] == (40, None) and rows[2] == (21, "x")
+    # type conflict refused
+    with pytest.raises(ValueError, match="type conflict.*tag"):
+        t.upsert(
+            spark,
+            spark.createDataFrame([(5, 50, 99)], "k long, v long, tag long"),
+            pk=["k"],
+        )
+    # table unchanged by the refused write
+    assert t.current_version() == 3
