@@ -410,6 +410,7 @@ class VersionedParquetTable:
         spark: SparkSession,
         target_files: int | None = None,
         target_bytes: int = 128 << 20,
+        cluster_keys: list[str] | None = None,
         max_retries: int = 10,
     ) -> int | None:
         """OPTIMIZE: rewrite the CURRENT snapshot into few large files as
@@ -423,7 +424,15 @@ class VersionedParquetTable:
         keeps replayed batches idempotent ACROSS the compaction. Runs
         under the same CAS as upsert — a concurrent writer landing first
         makes the rewrite stale, so it re-reads and retries. Returns the
-        committed version (None on an empty table)."""
+        committed version (None on an empty table).
+
+        ``cluster_keys`` is the OPTIMIZE-ZORDER-BY form: one key
+        range-clusters the rewrite (disjoint per-file key ranges, rows
+        sorted within files), 2+ keys sort along the equi-depth z-curve
+        (``sources/clustered.py``) so range predicates on ANY key prune
+        the compacted files' row groups. Costs the one range exchange +
+        local sort a clustered write always pays; plain compaction stays
+        a shuffle-free coalesce."""
         for _ in range(max_retries):
             base_version = self.current_version()
             base_path = self.current_path()
@@ -439,7 +448,22 @@ class VersionedParquetTable:
                     if e.name.endswith(".parquet")
                 )
                 n_out = max(1, -(-total // target_bytes))
-            merged = spark.read.parquet(base_path).coalesce(n_out)
+            df = spark.read.parquet(base_path)
+            if not cluster_keys:
+                merged = df.coalesce(n_out)
+            elif len(cluster_keys) == 1:
+                merged = df.repartitionByRange(
+                    n_out, cluster_keys[0]
+                ).sortWithinPartitions(cluster_keys[0])
+            else:
+                from .clustered import zorder_column
+
+                zdf, zcol = zorder_column(df, cluster_keys, method="depth")
+                merged = (
+                    zdf.repartitionByRange(n_out, zcol)
+                    .sortWithinPartitions(zcol)
+                    .drop(zcol)
+                )
             committed = self._try_commit(merged, ledger, base_version)
             if committed is not None:
                 return committed

@@ -408,3 +408,46 @@ def test_versioned_upsert_additive_schema_evolution(spark, tmp_path):
         )
     # table unchanged by the refused write
     assert t.current_version() == 3
+
+
+def test_clustered_compaction_produces_disjoint_key_ranges(spark, tmp_path):
+    """OPTIMIZE ZORDER/range form: compact(cluster_keys=[k]) must leave
+    per-file key ranges disjoint (the property row-group pruning needs)
+    while preserving rows and the ledger."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "cvt"))
+    # interleaved inserts so the pre-compaction layout is unclustered
+    rows = spark.range(0, 400).select(
+        ((F.col("id") * 37) % 400).alias("k"), F.col("id").alias("v")
+    )
+    t.upsert(spark, rows, pk=["k"], txn=("w", 0))
+    pre = sorted((r.k, r.v) for r in t.read(spark).collect())
+
+    v = t.compact(spark, target_files=4, cluster_keys=["k"])
+    assert v == 2
+    files = sorted(
+        e.path
+        for e in os.scandir(t.current_path())
+        if e.name.endswith(".parquet")
+    )
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        ks = [
+            (md.row_group(i).column(0).statistics.min,
+             md.row_group(i).column(0).statistics.max)
+            for i in range(md.num_row_groups)
+        ]
+        ranges.append((min(lo for lo, _ in ks), max(hi for _, hi in ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file key ranges overlap: {ranges}"
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == pre
+    assert t.last_txn("w") == 0
