@@ -451,3 +451,55 @@ def test_clustered_compaction_produces_disjoint_key_ranges(spark, tmp_path):
         assert hi1 < lo2, f"file key ranges overlap: {ranges}"
     assert sorted((r.k, r.v) for r in t.read(spark).collect()) == pre
     assert t.last_txn("w") == 0
+
+
+def test_diff_versions_change_data_feed(spark, tmp_path):
+    """CDF between snapshots: inserts/updates/deletes classified per PK,
+    empty diff across a compaction commit, and evolved columns surface
+    as updates when they gain values."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_project_spark.sources.sinks import (
+        VersionedParquetTable,
+        diff_versions,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "cdf"))
+    t.upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+        pk=["k"],
+    )  # v1
+    t.upsert(
+        spark,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+        pk=["k"],
+    )  # v2: update k=2, insert k=4
+    changes = {
+        r.k: (r.v, r._change_type)
+        for r in diff_versions(spark, t, ["k"], 1, 2).collect()
+    }
+    assert changes == {2: ("B", "update"), 4: ("d", "insert")}
+    # compaction commit: layout-only, so the diff across it is EMPTY
+    t.compact(spark, target_files=1)  # v3
+    assert diff_versions(spark, t, ["k"], 2, 3).count() == 0
+    # schema evolution: a newly-populated evolved column is an update
+    t.upsert(
+        spark,
+        spark.createDataFrame([(1, "a", "tagged")], "k long, v string, tag string"),
+        pk=["k"],
+    )  # v4
+    ch = {
+        r.k: (r.v, r.tag, r._change_type)
+        for r in diff_versions(spark, t, ["k"], 3, 4).collect()
+    }
+    assert ch == {1: ("a", "tagged", "update")}
+    # a delete is visible when diffing BACKWARD from a version that had the key
+    back = {
+        r.k: r._change_type for r in diff_versions(spark, t, ["k"], 2, 1).collect()
+    }
+    assert back == {2: "update", 4: "delete"}
+    # full-history diff from the empty pre-table state: all inserts
+    assert {
+        r._change_type for r in diff_versions(spark, t, ["k"], 1, 4).collect()
+    } <= {"insert", "update"}
