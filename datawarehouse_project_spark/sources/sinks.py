@@ -112,6 +112,30 @@ def upsert_parquet(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _nullable_form(dt):
+    """A DataType with every nullability flag (field nullable, array
+    containsNull, map valueContainsNull) forced True, recursively — the
+    comparison form for schema-evolution conflict checks: nullability
+    differences are representationally compatible (union resolves them),
+    only genuine TYPE differences should refuse an upsert."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _nullable_form(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_form(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullable_form(dt.keyType), _nullable_form(dt.valueType), True
+        )
+    return dt
+
+
 class ConcurrentWriteError(RuntimeError):
     """Raised by ``VersionedParquetTable.upsert(expected_base=...)`` when
     another writer committed first: the caller's merge was derived from a
@@ -329,7 +353,8 @@ class VersionedParquetTable:
                 conflicts = sorted(
                     n
                     for n, t in new_types.items()
-                    if n in inc_types and inc_types[n] != t
+                    if n in inc_types
+                    and _nullable_form(inc_types[n]) != _nullable_form(t)
                 )
                 if conflicts:
                     raise ValueError(
