@@ -141,3 +141,21 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     repartition is a cheap rebalance of already-distributed data.
     """
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of the storage blocks behind a
+    ``localCheckpoint()``'d DataFrame. Spark exposes no public API for
+    this — ``DataFrame.unpersist()`` only covers cache-manager entries,
+    while localCheckpoint persists the physical RDD directly — so we dig
+    the checkpointed RDD out of the ``LogicalRDD`` leaf via py4j and
+    unpersist it. Any reflection failure is swallowed: the blocks are
+    then reclaimed by the ContextCleaner once the JVM Dataset is
+    garbage-collected, so this is an eager-release optimization, never a
+    correctness dependency. (Reflection chain pinned loudly by
+    tests/test_robustness.py so a Spark upgrade fails CI instead of
+    silently leaking.)"""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -336,20 +336,9 @@ def dedup_verified_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-def _release_checkpoint(df: DataFrame) -> None:
-    """Best-effort release of the storage blocks behind a
-    ``localCheckpoint()``'d DataFrame. Spark exposes no public API for
-    this — ``DataFrame.unpersist()`` only covers cache-manager entries,
-    while localCheckpoint persists the physical RDD directly — so we dig
-    the checkpointed RDD out of the ``LogicalRDD`` leaf via py4j and
-    unpersist it. Any reflection failure is swallowed: the blocks are
-    then reclaimed by the ContextCleaner once the JVM Dataset is
-    garbage-collected, so this is an eager-release optimization, never a
-    correctness dependency."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# localCheckpoint block release lives in io.py (shared storage utility);
+# kept under the historical private name for this module's callers.
+from ..io import release_checkpoint as _release_checkpoint  # noqa: E402
 
 
 def connected_components(

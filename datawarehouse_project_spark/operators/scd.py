@@ -284,7 +284,7 @@ class IncrementalScd2:
         batch_id: int | None = None,
         app_id: str = "scd2",
     ) -> int:
-        from .dedup import _release_checkpoint
+        from ..io import release_checkpoint as _release_checkpoint
 
         # materialize the batch's gaps-and-islands ONCE: the runs frame
         # feeds three join branches per attempt (Spark does no common-

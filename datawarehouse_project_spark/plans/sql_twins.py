@@ -1219,9 +1219,11 @@ SELECT query_id, neighbor_id, qdot, approx_dot, rank
 FROM ranked WHERE rank <= {TOP_K}
 """
 
-SPARK_SQL["text_word_rarity_scores"] = r"""
+from ..functions.text import words_sql  # noqa: E402
+
+SPARK_SQL["text_word_rarity_scores"] = f"""
 WITH docwords AS (
-    SELECT doc_id, split(lower(trim(text)), '\\s+') AS ws
+    SELECT doc_id, {words_sql("text")} AS ws
     FROM documents
 ),
 tokens AS (

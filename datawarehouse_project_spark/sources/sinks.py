@@ -313,6 +313,14 @@ class VersionedParquetTable:
         (incoming rows ARE the truth for their PKs) leave it None and get
         the internal retry."""
         cols = incoming.columns
+        missing_pk = [k for k in pk if k not in cols]
+        if missing_pk:
+            # never NULL-fill a primary key: the evolution alignment would
+            # collapse the whole batch onto one NULL-key row silently
+            raise ValueError(
+                f"incoming batch lacks primary-key column(s) {missing_pk} — "
+                "schema evolution applies to payload columns only"
+            )
         ordered = incoming.withColumn(
             "_ordinal", F.monotonically_increasing_id()
         )
@@ -585,12 +593,13 @@ def diff_versions(
     Schema evolution is handled the same way upsert stores it: columns
     absent in the older snapshot read as NULLs there, so rows whose only
     change is a newly-populated evolved column surface as updates."""
-    old = table.read(spark, version=v_from)
     new = table.read(
         spark, version=v_to if v_to is not None else table.current_version()
     )
-    if old is None:
-        old = new.limit(0)
+    # v_from=0 is the empty pre-table state: the bootstrap diff, every
+    # current row an insert (read() raises for version 0 — no snapshot
+    # dir exists — so it is special-cased here, not there)
+    old = new.limit(0) if v_from == 0 else table.read(spark, version=v_from)
     all_cols = new.columns + [c for c in old.columns if c not in new.columns]
     o_types = {f.name: f.dataType for f in old.schema.fields}
     n_types = {f.name: f.dataType for f in new.schema.fields}

@@ -73,6 +73,36 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def drive_update_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    sink,
+    operator,
+    files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Shared chunked-file-stream driver for the stateful operators (v1
+    and v2 runners both delegate here): ``operator`` maps the streaming
+    frame to its update-mode output, the sink sees each key's LATEST
+    state per batch."""
+    prepare(spark)
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(source_dir)
+    )
+    q = (
+        operator(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: sink(df, bid))
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        q = q.option("checkpointLocation", checkpoint_dir)
+    q.start().awaitTermination()
+
+
 def run_stateful_stream(
     spark: SparkSession,
     source_dir: str,
@@ -83,18 +113,12 @@ def run_stateful_stream(
 ) -> None:
     """Drive running_user_totals over a chunked file stream; the sink sees
     each user's LATEST running totals per batch (update mode)."""
-    prepare(spark)
-    stream = (
-        spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(source_dir)
+    drive_update_stream(
+        spark,
+        source_dir,
+        source_schema,
+        sink,
+        running_user_totals,
+        files_per_trigger,
+        checkpoint_dir,
     )
-    q = (
-        running_user_totals(stream)
-        .writeStream.outputMode("update")
-        .foreachBatch(lambda df, bid: sink(df, bid))
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir:
-        q = q.option("checkpointLocation", checkpoint_dir)
-    q.start().awaitTermination()

@@ -35,7 +35,6 @@ from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-from ..session import prepare
 from .stateful import OUTPUT_SCHEMA, STATE_SCHEMA
 
 # transformWithState spawns a dedicated DRIVER-side Python worker that
@@ -111,7 +110,8 @@ def run_stateful_stream_v2(
     checkpoint_dir: str | None = None,
 ) -> None:
     """Drive the v2 operator over a chunked file stream (RocksDB state
-    store set for the query, prior provider restored after)."""
+    store set for the query, prior provider restored after); delegates
+    the stream plumbing to the shared v1 driver."""
     if not HAVE_PROTOBUF:
         raise RuntimeError(
             "transformWithStateInPandas requires google.protobuf (the "
@@ -119,25 +119,21 @@ def run_stateful_stream_v2(
             "environment — use streaming.stateful.running_user_totals "
             "(applyInPandasWithState), the always-available twin"
         )
-    prepare(spark)
+    from .stateful import drive_update_stream
+
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prior = spark.conf.get(provider_key, None)
     spark.conf.set(provider_key, ROCKSDB_PROVIDER)
     try:
-        stream = (
-            spark.readStream.schema(source_schema)
-            .option("maxFilesPerTrigger", files_per_trigger)
-            .parquet(source_dir)
+        drive_update_stream(
+            spark,
+            source_dir,
+            source_schema,
+            sink,
+            running_user_totals_v2,
+            files_per_trigger,
+            checkpoint_dir,
         )
-        q = (
-            running_user_totals_v2(stream)
-            .writeStream.outputMode("update")
-            .foreachBatch(lambda df, bid: sink(df, bid))
-            .trigger(availableNow=True)
-        )
-        if checkpoint_dir:
-            q = q.option("checkpointLocation", checkpoint_dir)
-        q.start().awaitTermination()
     finally:
         if prior is None:
             spark.conf.unset(provider_key)

@@ -503,3 +503,36 @@ def test_diff_versions_change_data_feed(spark, tmp_path):
     assert {
         r._change_type for r in diff_versions(spark, t, ["k"], 1, 4).collect()
     } <= {"insert", "update"}
+
+
+def test_upsert_refuses_batch_missing_primary_key_column(spark, tmp_path):
+    """Evolution must never NULL-fill a PK: a batch lacking the key
+    column is refused loudly (silently collapsing onto one NULL-key row
+    is data loss)."""
+    import pytest
+
+    from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "pkm"))
+    t.upsert(spark, spark.createDataFrame([(1, 10)], "k long, v long"), pk=["k"])
+    with pytest.raises(ValueError, match="lacks primary-key"):
+        t.upsert(spark, spark.createDataFrame([(30,), (40,)], "v long"), pk=["k"])
+    assert t.current_version() == 1
+
+
+def test_diff_versions_bootstrap_from_version_zero(spark, tmp_path):
+    """v_from=0 is the empty pre-table state: the bootstrap CDF is every
+    current row as an insert."""
+    from datawarehouse_project_spark.sources.sinks import (
+        VersionedParquetTable,
+        diff_versions,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "boot"))
+    t.upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        pk=["k"],
+    )
+    ch = {r.k: r._change_type for r in diff_versions(spark, t, ["k"], 0, 1).collect()}
+    assert ch == {1: "insert", 2: "insert"}
