@@ -505,6 +505,55 @@ class VersionedParquetTable:
             "run it in a quieter window or raise max_retries"
         )
 
+    def delete(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        pk: list[str],
+        max_retries: int = 10,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """DELETE FROM ... WHERE pk IN (keys): commit a new version
+        without the rows whose primary key appears in ``keys`` — a
+        LEFT ANTI join, null-safe on the key so NULL-keyed rows are
+        deletable too. Same ledger (``txn``) and CAS/retry protocol as
+        upsert; deleting absent keys is a no-op commit of identical
+        rows. Completes the table's CRUD surface (the reference's MySQL
+        tables had DELETE for free; a snapshot store must write it)."""
+        key_frame = keys.select(*pk).distinct()
+        for _ in range(max_retries):
+            base_version = self.current_version()
+            base_path = self.current_path()
+            ledger = {} if base_path is None else self._read_txns(base_path)
+            if txn is not None:
+                app_id, txn_version = txn
+                if not re.fullmatch(r"[A-Za-z0-9._-]+", app_id):
+                    raise ValueError(
+                        f"txn app_id {app_id!r} must match [A-Za-z0-9._-]+ "
+                        "(it becomes a ledger filename)"
+                    )
+                last = ledger.get(app_id)
+                if last is not None and txn_version <= last:
+                    return base_version  # already applied
+                ledger = {**ledger, app_id: txn_version}
+            if base_path is None:
+                raise ValueError(
+                    f"delete on empty table {self.root}: nothing committed yet"
+                )
+            incumbent = spark.read.parquet(base_path)
+            cond = None
+            for k in pk:
+                c = incumbent[k].eqNullSafe(key_frame[k])
+                cond = c if cond is None else cond & c
+            remaining = incumbent.join(key_frame, cond, "left_anti")
+            committed = self._try_commit(remaining, ledger, base_version)
+            if committed is not None:
+                return committed
+        raise RuntimeError(
+            f"delete lost the commit race {max_retries} times in a row — "
+            "writer contention on this table exceeds the retry budget"
+        )
+
     def _advance_current(self, version: int) -> None:
         """Monotonic best-effort pointer update (atomic rename; readers
         fall back to the commit log, so a race here is self-healing)."""
@@ -646,3 +695,32 @@ def diff_versions(
         .filter(F.col("_change_type").isNotNull())
         .select(*out_side, "_change_type")
     )
+
+
+def apply_changes(
+    spark: SparkSession,
+    changes: DataFrame,
+    replica: "VersionedParquetTable",
+    pk: list[str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Consume a ``diff_versions`` change feed into a downstream replica
+    (the CDC-sync consumer): inserts/updates upsert, deletes remove, one
+    commit per feed batch. With ``txn`` the application is idempotent
+    under replay, exactly like any other ledgered writer. Applying the
+    source table's successive diffs keeps the replica VALUE-IDENTICAL to
+    the source at each synced version (pytest-pinned round trip)."""
+    upserts = changes.filter(
+        F.col("_change_type").isin("insert", "update")
+    ).drop("_change_type")
+    deletes = changes.filter(F.col("_change_type") == "delete").select(*pk)
+    v = replica.upsert(spark, upserts, pk, txn=txn)
+    n_del = deletes.limit(1).count()
+    if n_del:
+        v = replica.delete(
+            spark,
+            deletes,
+            pk,
+            txn=(txn[0] + ".del", txn[1]) if txn is not None else None,
+        )
+    return v

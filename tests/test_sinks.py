@@ -536,3 +536,59 @@ def test_diff_versions_bootstrap_from_version_zero(spark, tmp_path):
     )
     ch = {r.k: r._change_type for r in diff_versions(spark, t, ["k"], 0, 1).collect()}
     assert ch == {1: "insert", 2: "insert"}
+
+
+def test_delete_and_cdc_sync_round_trip(spark, tmp_path):
+    """DELETE completes CRUD, and the CDC loop closes: applying the
+    source's successive diff_versions feeds keeps a replica
+    value-identical at every synced version, idempotently under replay."""
+    import pytest
+
+    from datawarehouse_project_spark.sources.sinks import (
+        VersionedParquetTable,
+        apply_changes,
+        diff_versions,
+    )
+
+    src = VersionedParquetTable(str(tmp_path / "src"))
+    src.upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+        ),
+        pk=["k"],
+    )  # v1
+    src.upsert(
+        spark,
+        spark.createDataFrame([(2, "B"), (5, "e")], "k long, v string"),
+        pk=["k"],
+    )  # v2
+    src.delete(spark, spark.createDataFrame([(1,), (4,)], "k long"), pk=["k"])  # v3
+    # direct delete semantics
+    assert sorted(r.k for r in src.read(spark).collect()) == [2, 3, 5]
+    # deleting absent keys commits identical rows
+    v = src.delete(spark, spark.createDataFrame([(99,)], "k long"), pk=["k"])
+    assert v == 4 and sorted(r.k for r in src.read(spark).collect()) == [2, 3, 5]
+    # delete on an empty table refuses
+    empty = VersionedParquetTable(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="empty table"):
+        empty.delete(spark, spark.createDataFrame([(1,)], "k long"), pk=["k"])
+
+    # CDC sync: replay the version history into a replica via diffs
+    rep = VersionedParquetTable(str(tmp_path / "rep"))
+    for v_to in range(1, src.current_version() + 1):
+        changes = diff_versions(spark, src, ["k"], v_to - 1, v_to)
+        apply_changes(spark, changes, rep, ["k"], txn=("sync", v_to))
+        want = sorted(
+            (r.k, r.v) for r in src.read(spark, version=v_to).collect()
+        )
+        got_df = rep.read(spark)
+        got = sorted((r.k, r.v) for r in got_df.collect()) if got_df is not None else []
+        assert got == want, f"replica diverged at source version {v_to}"
+    # replaying the last feed batch is absorbed by the ledger
+    before = rep.current_version()
+    changes = diff_versions(
+        spark, src, ["k"], src.current_version() - 1, src.current_version()
+    )
+    apply_changes(spark, changes, rep, ["k"], txn=("sync", src.current_version()))
+    assert rep.current_version() == before
