@@ -60,13 +60,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     row set on every engine, rerun, and partitioning."""
     prepare(spark)
     docs = table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(_SALT), F.col("doc_id").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = portable_hash(F.concat(F.lit(_SALT), F.col("doc_id").cast("string")))
     rate = F.lit(DEFAULT_RATE)
     for lang, r in sorted(SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
@@ -115,17 +109,9 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale."""
     prepare(spark)
     docs = table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = portable_hash(
+        F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))
+    )
     bucket = h % _MOD
     split = (
         F.when(bucket < SPLIT_BOUNDS[0], "train")
@@ -181,15 +167,9 @@ def corpus_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(_SHARD_SALT), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = portable_hash(
+        F.concat(F.lit(_SHARD_SALT), F.col("doc_id").cast("string"))
+    )
     with_h = docs.select("doc_id", h.alias("hv"))
     w = Window.partitionBy(F.col("hv") % N_SHARDS).orderBy("hv", "doc_id")
     return with_h.select(
