@@ -265,3 +265,95 @@ def events_value_median_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("median_value")
     )
+
+
+# --------------------------------------------------------------------------
+#: Minimum co-occurrence count for an association rule to surface —
+#: the standard min-support cut that bounds rule-set size on any corpus.
+MIN_PAIR_COUNT = 3
+
+
+@register(
+    "affinity_lift_rules",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH {FACT_CTE},
+op AS (SELECT DISTINCT order_id, product_name FROM fact),
+n_orders AS (SELECT COUNT(DISTINCT order_id) AS n FROM op),
+pc AS (SELECT product_name, COUNT(*) AS n_p FROM op GROUP BY 1),
+pairs AS (
+    SELECT a.product_name AS product_a, b.product_name AS product_b,
+           COUNT(*) AS n_ab
+    FROM op a JOIN op b
+      ON a.order_id = b.order_id AND a.product_name < b.product_name
+    GROUP BY 1, 2
+)
+SELECT p.product_a, p.product_b, p.n_ab,
+       CAST(p.n_ab AS DOUBLE) / (SELECT n FROM n_orders) AS support,
+       CAST(p.n_ab AS DOUBLE) / ca.n_p AS conf_a_to_b,
+       CAST(p.n_ab AS DOUBLE) / cb.n_p AS conf_b_to_a,
+       (CAST(p.n_ab AS DOUBLE) * (SELECT n FROM n_orders))
+           / (CAST(ca.n_p AS DOUBLE) * cb.n_p) AS lift
+FROM pairs p
+JOIN pc ca ON ca.product_name = p.product_a
+JOIN pc cb ON cb.product_name = p.product_b
+WHERE p.n_ab >= {MIN_PAIR_COUNT}
+""",
+)
+def affinity_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over co-purchase baskets — the analyst's
+    step past q06's raw pair counts: support (pair frequency),
+    directional confidence (P(b|a), P(a|b)), and lift
+    (observed/expected co-occurrence; >1 = genuinely associated).
+    min-support cut bounds the rule set on any corpus.
+
+    Every metric is a ratio of exact integer counts computed with the
+    same association on both engines, so the doubles are bit-identical
+    and oracle-checkable. Plan: the distinct basket frame builds once
+    and feeds both the per-product counts and the within-order pair
+    self-join (bounded per basket — the same O(k²)-per-order shape as
+    q06j, fine while baskets are human-sized); the tiny product-count
+    and grand-total frames broadcast back onto the pair aggregate."""
+    prepare(spark)
+    op = fact(spark, sf_dir).select("order_id", "product_name").distinct()
+    n_orders = op.select(
+        F.count_distinct("order_id").alias("n")
+    )
+    pc = op.groupBy("product_name").agg(F.count("*").alias("n_p"))
+    a = op.select(
+        F.col("order_id"), F.col("product_name").alias("product_a")
+    )
+    b = op.select(
+        F.col("order_id"), F.col("product_name").alias("product_b")
+    )
+    pairs = (
+        a.join(b, "order_id")
+        .filter(F.col("product_a") < F.col("product_b"))
+        .groupBy("product_a", "product_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_PAIR_COUNT)
+    )
+    ca = pc.select(
+        F.col("product_name").alias("product_a"), F.col("n_p").alias("n_a")
+    )
+    cb = pc.select(
+        F.col("product_name").alias("product_b"), F.col("n_p").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ca), "product_a")
+        .join(F.broadcast(cb), "product_b")
+        .join(F.broadcast(n_orders))
+    )
+    n_ab_d = F.col("n_ab").cast("double")
+    return out.select(
+        "product_a",
+        "product_b",
+        "n_ab",
+        (n_ab_d / F.col("n")).alias("support"),
+        (n_ab_d / F.col("n_a")).alias("conf_a_to_b"),
+        (n_ab_d / F.col("n_b")).alias("conf_b_to_a"),
+        (
+            (n_ab_d * F.col("n"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ).alias("lift"),
+    )

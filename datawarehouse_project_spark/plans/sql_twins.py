@@ -1240,3 +1240,7 @@ SELECT t.doc_id,
 FROM tokens t JOIN df_map m ON m.w = t.w
 GROUP BY t.doc_id
 """
+
+# affinity_lift_rules' oracle is dialect-neutral (shared FACT_CTE + scalar
+# subqueries + integer-ratio arithmetic) — Spark runs it verbatim.
+NEUTRAL_AS_IS += ["affinity_lift_rules"]
