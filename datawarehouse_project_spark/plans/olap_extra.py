@@ -357,3 +357,88 @@ def affinity_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a").cast("double") * F.col("n_b"))
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+#: Fixed anchor for recency: just past the generated orders' last date
+#: (2001-08-01) — a moving now() would make the query non-reproducible.
+RFM_ANCHOR = "2001-09-01"
+
+
+@register(
+    "rfm_customer_segments",
+    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    oracle=f"""
+WITH base AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', MAX(o_orderdate),
+                          TIMESTAMP '{RFM_ANCHOR} 00:00:00') AS BIGINT)
+               AS r_days,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT *,
+           NTILE(5) OVER (ORDER BY r_days DESC, o_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY n_orders ASC, o_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+    FROM base
+)
+SELECT o_custkey, r_days, n_orders, monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_segment
+FROM scored
+""",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse customer analysis:
+    recency (days from last order to a FIXED anchor; a moving now()
+    would be unreproducible), frequency, monetary, each scored into
+    quintiles (5 = best) with customer-id tie-breaks so the NTILE
+    boundaries are deterministic on both engines; monetary sums in
+    exact DECIMAL before the final double cast so partial-sum order
+    cannot flip a quintile.
+
+    Scale note: the three NTILEs are global single-partition windows —
+    correct for a CUSTOMER-grain frame (orders collapse first; the
+    window input is customers, orders-of-magnitude smaller than the
+    fact). At truly huge customer counts the same scores come from a
+    two-pass approxQuantile cut, the documented trade."""
+    prepare(spark)
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"), F.max("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("r_days"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("r_days"), "o_custkey")
+    w_f = Window.orderBy(F.asc("n_orders"), "o_custkey")
+    w_m = Window.orderBy(F.asc("monetary"), "o_custkey")
+    scored = base.select(
+        "*",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "r_days",
+        "n_orders",
+        "monetary",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_segment"),
+    )

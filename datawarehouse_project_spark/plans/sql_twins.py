@@ -1244,3 +1244,30 @@ GROUP BY t.doc_id
 # affinity_lift_rules' oracle is dialect-neutral (shared FACT_CTE + scalar
 # subqueries + integer-ratio arithmetic) — Spark runs it verbatim.
 NEUTRAL_AS_IS += ["affinity_lift_rules"]
+
+from ..plans.olap_extra import RFM_ANCHOR  # noqa: E402
+
+SPARK_SQL["rfm_customer_segments"] = f"""
+WITH base AS (
+    SELECT o_custkey,
+           CAST(datediff(DATE '{RFM_ANCHOR}', CAST(MAX(o_orderdate) AS DATE))
+                AS BIGINT) AS r_days,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT *,
+           NTILE(5) OVER (ORDER BY r_days DESC, o_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY n_orders ASC, o_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+    FROM base
+)
+SELECT o_custkey, r_days, n_orders, monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_segment
+FROM scored
+"""
