@@ -528,11 +528,13 @@ def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # EXPLICIT keyed repartition before the grouped map: AQE coalesces
     # the groupBy shuffle by BYTES, which is right for JVM aggregation
-    # but serializes Python grouped-map work onto 1-2 workers (measured
-    # 2.1 s -> 0.7 s at sf0.1 from this alone — the Arrow+worker cost is
-    # per-row compute, so parallelism is the lever, same rationale as
-    # io.spread for the shingle operators). The repartition satisfies
-    # the grouped map's clustering requirement, so no second shuffle.
+    # but serializes Python grouped-map work onto 1-2 workers. Full
+    # operator measured 3.5 -> 0.75 s warm at sf0.1 (an identity grouped
+    # map isolated the serialized transport alone at 2.1 s) — the
+    # Arrow+worker cost is per-row compute, so parallelism is the lever,
+    # same rationale as io.spread for the shingle operators. The
+    # repartition satisfies the grouped map's clustering requirement, so
+    # no second shuffle.
     events = (
         table(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id", "value")

@@ -309,11 +309,14 @@ def affinity_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every metric is a ratio of exact integer counts computed with the
     same association on both engines, so the doubles are bit-identical
-    and oracle-checkable. Plan: the distinct basket frame builds once
-    and feeds both the per-product counts and the within-order pair
-    self-join (bounded per basket — the same O(k²)-per-order shape as
-    q06j, fine while baskets are human-sized); the tiny product-count
-    and grand-total frames broadcast back onto the pair aggregate."""
+    and oracle-checkable. Plan: the distinct basket frame feeds four
+    subtrees — ReuseExchange dedupes its SHUFFLE, though the post-
+    shuffle dedup aggregate re-runs per consumer (cache the basket
+    frame when the fact is large and rules are recomputed often); the
+    within-order pair self-join is bounded per basket (the same
+    O(k²)-per-order shape as q06j, fine while baskets are human-sized),
+    and the tiny product-count and grand-total frames broadcast back
+    onto the pair aggregate."""
     prepare(spark)
     op = fact(spark, sf_dir).select("order_id", "product_name").distinct()
     n_orders = op.select(
