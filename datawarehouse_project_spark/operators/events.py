@@ -541,16 +541,23 @@ def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "user_id")
     )
     alpha = EWMA_ALPHA
-    beta = 1.0 - EWMA_ALPHA
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         # NULL observations are SKIPPED (not folded as NaN) — the same
         # semantics as the oracle's FILTER(value IS NOT NULL); a user with
         # no non-null observations reports n_events=0, ewma NULL
-        vals = pdf.sort_values(["ts", "event_id"])["value"].dropna().to_numpy()
-        acc = None
-        for x in vals:
-            acc = float(x) if acc is None else alpha * float(x) + beta * acc
+        vals = pdf.sort_values(["ts", "event_id"])["value"].dropna()
+        # Series.ewm(adjust=False) runs the identical recurrence
+        # s_i = (1-α)·s_{i-1} + α·x_i in C (pandas' Cython kernel uses the
+        # same IEEE multiply-multiply-add order, and +/× are commutative
+        # bit-for-bit), so the result is bit-exact with the Python fold it
+        # replaced — pinned by tests/test_scd.py::test_ewma_c_kernel_bit_exact
+        # and by the DuckDB list_reduce oracle's hash check.
+        acc = (
+            float(vals.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+            if len(vals)
+            else None
+        )
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],

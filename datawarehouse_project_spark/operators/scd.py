@@ -355,6 +355,26 @@ class IncrementalScd2:
                         F.col("valid_from").alias("batch_start"),
                     )
                 )
+                # contract guard: batches must arrive in event-time order
+                # per key. A late batch (events preceding an affected
+                # user's stored open-row valid_from) would silently fold
+                # into negative/overlapping intervals — fail loudly
+                # instead. One extra action over the broadcast-sized
+                # ``first`` frame (runs is checkpointed), so ~free.
+                late = first.filter(
+                    F.col("cur_from").isNotNull()
+                    & (F.col("batch_start") < F.col("cur_from"))
+                ).select("user_id", "batch_start", "cur_from")
+                sample = late.limit(3).collect()
+                if sample:
+                    raise ValueError(
+                        "IncrementalScd2: batch violates the event-time-"
+                        "ordered contract — events precede the stored open "
+                        f"row for user(s) {[r.user_id for r in sample]} "
+                        f"(e.g. batch starts {sample[0].batch_start} < open "
+                        f"valid_from {sample[0].cur_from}); replay history "
+                        "in order or rebuild with Scd2 full recompute"
+                    )
                 joined = runs.join(first, "user_id")
                 new_rows = joined.select(
                     "user_id",

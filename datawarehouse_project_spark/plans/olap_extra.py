@@ -310,15 +310,21 @@ def affinity_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every metric is a ratio of exact integer counts computed with the
     same association on both engines, so the doubles are bit-identical
     and oracle-checkable. Plan: the distinct basket frame feeds four
-    subtrees — ReuseExchange dedupes its SHUFFLE, though the post-
-    shuffle dedup aggregate re-runs per consumer (cache the basket
-    frame when the fact is large and rules are recomputed often); the
+    subtrees, so it is eagerly ``localCheckpoint``'d — one fact scan +
+    one dedup shuffle total, with all four consumers reading the
+    materialized blocks (before this, ReuseExchange deduped the SHUFFLE
+    but the post-shuffle dedup aggregate re-ran per consumer); the
     within-order pair self-join is bounded per basket (the same
     O(k²)-per-order shape as q06j, fine while baskets are human-sized),
     and the tiny product-count and grand-total frames broadcast back
     onto the pair aggregate."""
     prepare(spark)
-    op = fact(spark, sf_dir).select("order_id", "product_name").distinct()
+    op = (
+        fact(spark, sf_dir)
+        .select("order_id", "product_name")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_orders = op.select(
         F.count_distinct("order_id").alias("n")
     )

@@ -703,24 +703,88 @@ def apply_changes(
     replica: "VersionedParquetTable",
     pk: list[str],
     txn: tuple[str, int] | None = None,
+    max_retries: int = 10,
 ) -> int:
     """Consume a ``diff_versions`` change feed into a downstream replica
-    (the CDC-sync consumer): inserts/updates upsert, deletes remove, one
-    commit per feed batch. With ``txn`` the application is idempotent
-    under replay, exactly like any other ledgered writer. Applying the
-    source table's successive diffs keeps the replica VALUE-IDENTICAL to
-    the source at each synced version (pytest-pinned round trip)."""
-    upserts = changes.filter(
-        F.col("_change_type").isin("insert", "update")
-    ).drop("_change_type")
-    deletes = changes.filter(F.col("_change_type") == "delete").select(*pk)
-    v = replica.upsert(spark, upserts, pk, txn=txn)
-    n_del = deletes.limit(1).count()
-    if n_del:
-        v = replica.delete(
-            spark,
-            deletes,
-            pk,
-            txn=(txn[0] + ".del", txn[1]) if txn is not None else None,
+    (the CDC-sync consumer) as ONE atomic commit per feed batch:
+    ``merged = (incumbent ANTI JOIN deleted-keys) last-wins-merged with
+    inserts/updates``. A single commit means a concurrent reader never
+    observes a half-applied batch (upserts in, deletes pending), the
+    replica gains exactly one version per synced source version, and an
+    entirely empty feed commits nothing. With ``txn`` the application is
+    idempotent under replay, via the same snapshot-embedded ledger as
+    every other writer. Applying the source table's successive diffs
+    keeps the replica VALUE-IDENTICAL to the source at each synced
+    version (pytest-pinned round trip).
+
+    The feed is eagerly ``localCheckpoint``'d for the duration of the
+    call (released in ``finally``): a ``diff_versions`` plan is a
+    full-outer diff of two snapshots, and the merge below consumes it
+    from multiple subtrees — checkpointing bounds the diff to one
+    evaluation. Schema note: the replica mirrors the source's columns by
+    construction (the feed IS the source's diff), so no evolution
+    alignment happens here — a mismatch fails loudly in the select."""
+    from ..io import release_checkpoint
+
+    changes = changes.localCheckpoint(eager=True)
+    try:
+        upserts = changes.filter(
+            F.col("_change_type").isin("insert", "update")
+        ).drop("_change_type")
+        deletes = (
+            changes.filter(F.col("_change_type") == "delete")
+            .select(*pk)
+            .distinct()
         )
-    return v
+        has_upserts = bool(upserts.limit(1).count())
+        has_deletes = bool(deletes.limit(1).count())
+        if not has_upserts and not has_deletes:
+            return replica.current_version()  # empty feed: no new version
+        ordered = upserts.withColumn(
+            "_ordinal", F.monotonically_increasing_id()
+        )
+        for _ in range(max_retries):
+            base_version = replica.current_version()
+            base_path = replica.current_path()
+            ledger = (
+                {} if base_path is None else replica._read_txns(base_path)
+            )
+            if txn is not None:
+                app_id, txn_version = txn
+                if not re.fullmatch(r"[A-Za-z0-9._-]+", app_id):
+                    raise ValueError(
+                        f"txn app_id {app_id!r} must match [A-Za-z0-9._-]+ "
+                        "(it becomes a ledger filename)"
+                    )
+                last = ledger.get(app_id)
+                if last is not None and txn_version <= last:
+                    return base_version  # already applied — replay no-op
+                ledger = {**ledger, app_id: txn_version}
+            if base_path is not None:
+                incumbent = spark.read.parquet(base_path)
+                kept = incumbent
+                if has_deletes:
+                    cond = None
+                    for k in pk:
+                        c = incumbent[k].eqNullSafe(deletes[k])
+                        cond = c if cond is None else cond & c
+                    kept = incumbent.join(deletes, cond, "left_anti")
+                kept = kept.select(*upserts.columns).withColumn(
+                    "_ordinal", F.lit(-1).cast("bigint")
+                )
+                merged = dedup_last_wins(
+                    kept.unionByName(ordered), pk, ordinal="_ordinal"
+                ).drop("_ordinal")
+            else:
+                merged = dedup_last_wins(
+                    ordered, pk, ordinal="_ordinal"
+                ).drop("_ordinal")
+            committed = replica._try_commit(merged, ledger, base_version)
+            if committed is not None:
+                return committed
+        raise RuntimeError(
+            f"apply_changes lost the commit race {max_retries} times in a "
+            "row — writer contention on this replica exceeds the retry budget"
+        )
+    finally:
+        release_checkpoint(changes)

@@ -311,6 +311,17 @@ def test_ewma_plans_grouped_map_pandas(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
 
 
+def test_lift_rules_consumers_read_checkpointed_basket(spark, sf_dir):
+    """affinity_lift_rules eagerly checkpoints the distinct basket frame,
+    so its four consumer subtrees (pair self-join a/b sides, per-product
+    counts, grand total) must all read the materialized blocks — the
+    final plan contains NO parquet scan (the fact scan + dedup shuffle
+    ran exactly once, at build time) and at least four checkpoint scans."""
+    p = plan_of(all_queries()["affinity_lift_rules"](spark, sf_dir))
+    assert "FileScan parquet" not in p, "basket subtree re-ran the fact scan"
+    assert len(re.findall(r"Scan ExistingRDD", p)) >= 4
+
+
 def test_runtime_bloom_filter_injects_in_shuffle_join_regime(spark, sf_dir):
     """100 TB posture evidence for runtime semi-join reduction: at toy
     scale a selectively-filtered dim broadcasts (no bloom needed — the

@@ -233,6 +233,24 @@ def test_incremental_scd2_replay_is_noop(spark, sf_dir, tmp_path):
     assert _scd2_canon(inc.read(spark)) == before
 
 
+def test_incremental_scd2_rejects_late_batch(spark, sf_dir, tmp_path):
+    """Contract violation fails loudly: applying batches out of event-time
+    order (batch 2 then batch 1) must raise, not silently fold
+    negative/overlapping intervals into the history, and must leave the
+    stored history untouched."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.scd import IncrementalScd2
+
+    batches = _time_sliced_batches(spark, sf_dir, n=2)
+    inc = IncrementalScd2(str(tmp_path / "scd2late"))
+    inc.apply_batch(spark, batches[1], batch_id=0)  # later slice first
+    before = _scd2_canon(inc.read(spark))
+    with pytest.raises(ValueError, match="event-time-ordered"):
+        inc.apply_batch(spark, batches[0], batch_id=1)  # late arrival
+    assert _scd2_canon(inc.read(spark)) == before
+
+
 def test_incremental_scd2_new_user_in_later_batch(spark, sf_dir, tmp_path):
     """A user first seen in batch 2 must start at version 1, and users
     absent from a batch must keep their rows untouched."""
@@ -368,6 +386,29 @@ def test_scd2_asof_duplicate_ts_resolves_to_highest_version(spark):
     )
     got = {r.o_orderkey: (r.event_type, r.version) for r in out.collect()}
     assert got == {100: ("b", 2), 101: ("b", 2)}
+
+
+def test_ewma_c_kernel_bit_exact():
+    """The round-9 vectorization replaced the Python fold with pandas'
+    Cython ewm kernel; both must produce the IDENTICAL IEEE sequence
+    (s_i = α·x_i + (1−α)·s_{i−1}, seeded with the first value) — the
+    property the DuckDB list_reduce oracle's hash check rides on."""
+    import numpy as np
+    import pandas as pd
+
+    from datawarehouse_project_spark.operators.events import EWMA_ALPHA
+
+    alpha, beta = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        vals = rng.normal(50, 20, int(rng.integers(1, 400)))
+        acc = None
+        for x in vals:
+            acc = float(x) if acc is None else alpha * float(x) + beta * acc
+        got = float(
+            pd.Series(vals).ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        )
+        assert np.float64(got).tobytes() == np.float64(acc).tobytes()
 
 
 def test_ewma_skips_null_observations(spark):

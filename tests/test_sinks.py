@@ -576,8 +576,10 @@ def test_delete_and_cdc_sync_round_trip(spark, tmp_path):
 
     # CDC sync: replay the version history into a replica via diffs
     rep = VersionedParquetTable(str(tmp_path / "rep"))
+    n_nonempty = 0
     for v_to in range(1, src.current_version() + 1):
         changes = diff_versions(spark, src, ["k"], v_to - 1, v_to)
+        n_nonempty += int(bool(changes.limit(1).count()))
         apply_changes(spark, changes, rep, ["k"], txn=("sync", v_to))
         want = sorted(
             (r.k, r.v) for r in src.read(spark, version=v_to).collect()
@@ -585,10 +587,28 @@ def test_delete_and_cdc_sync_round_trip(spark, tmp_path):
         got_df = rep.read(spark)
         got = sorted((r.k, r.v) for r in got_df.collect()) if got_df is not None else []
         assert got == want, f"replica diverged at source version {v_to}"
-    # replaying the last feed batch is absorbed by the ledger
+        # single-commit application: each non-empty feed = exactly one
+        # replica version (no separate delete commit), an empty feed
+        # (src v3->v4 deleted absent keys) = no version at all
+        assert rep.current_version() == n_nonempty
+    # replaying a NON-empty feed batch is absorbed by the ledger: no new
+    # version, values unchanged (v2->v3 carries the two deletes)
     before = rep.current_version()
-    changes = diff_versions(
-        spark, src, ["k"], src.current_version() - 1, src.current_version()
-    )
-    apply_changes(spark, changes, rep, ["k"], txn=("sync", src.current_version()))
+    changes = diff_versions(spark, src, ["k"], 2, 3)
+    assert changes.limit(1).count()
+    apply_changes(spark, changes, rep, ["k"], txn=("sync", 3))
     assert rep.current_version() == before
+    assert sorted(r.k for r in rep.read(spark).collect()) == [2, 3, 5]
+    # a feed mixing deletes and upserts still lands as one commit
+    src.upsert(
+        spark,
+        spark.createDataFrame([(3, "C"), (6, "f")], "k long, v string"),
+        pk=["k"],
+    )  # v5: update 3, insert 6
+    src.delete(spark, spark.createDataFrame([(2,)], "k long"), pk=["k"])  # v6
+    changes = diff_versions(spark, src, ["k"], 4, 6)
+    apply_changes(spark, changes, rep, ["k"], txn=("sync", 6))
+    assert rep.current_version() == before + 1
+    assert sorted((r.k, r.v) for r in rep.read(spark).collect()) == sorted(
+        (r.k, r.v) for r in src.read(spark).collect()
+    )
