@@ -1036,7 +1036,6 @@ def _duck_quality_scored() -> str:
 
 @register(
     "dedup_keep_best_quality",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=lambda: f"""
 WITH RECURSIVE {_DUCK_SIG},
 bands AS ({_duck_bands()}),

@@ -146,7 +146,6 @@ def incremental_lsh_pairs(
 # --------------------------------------------------------------------------
 @register(
     "dedup_incremental_lsh_pairs",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 WITH {_DUCK_SIG},
 bands AS ({_duck_bands()}),

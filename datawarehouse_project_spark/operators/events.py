@@ -207,6 +207,8 @@ def events_enrich_meshjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_click_attribution",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle="""
 SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
        epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us,
@@ -327,7 +329,6 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_funnel_conversion",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle="""
 WITH v AS (
     SELECT user_id, MIN(ts) AS t1 FROM events
@@ -389,7 +390,6 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_weekly_retention",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle="""
 WITH first_seen AS (
     SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
@@ -445,7 +445,6 @@ ROLL_WINDOW_US = 24 * 3600 * 1_000_000
 
 @register(
     "events_rolling_24h",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        COUNT(*) OVER w AS n_24h,
@@ -494,7 +493,6 @@ EWMA_ALPHA = 0.125
 
 @register(
     "events_ewma_by_user",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 WITH ordered AS (
     SELECT user_id,

@@ -142,7 +142,6 @@ def dq_duplicates(df: DataFrame, keys: list[str]) -> int:
 
 @register(
     "dq_audit_orders_lineitem",
-    driver_facing=False,
     oracle="""
 SELECT 'lineitem_discount_out_of_range' AS rule,
        CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1

@@ -232,6 +232,8 @@ def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "setops_customer_cohorts",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle="""
 WITH y97 AS (
     SELECT DISTINCT o_custkey FROM orders
@@ -285,6 +287,8 @@ def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "semi_anti_customers",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle="""
 SELECT c.c_mktsegment AS segment,
        CAST(SUM(CASE WHEN EXISTS (
@@ -367,6 +371,8 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_value_moments",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle="""
 WITH agg AS (
     SELECT event_type,

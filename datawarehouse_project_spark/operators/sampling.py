@@ -46,6 +46,8 @@ def _duck_rate_case() -> str:
 
 @register(
     "sample_stratified_hash",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle=f"""
 SELECT doc_id, lang, source, n_chars
 FROM documents
@@ -191,7 +193,6 @@ _TEMP_SALT = "temp:"
 
 @register(
     "sample_lang_temperature",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 WITH counts AS (
     SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang

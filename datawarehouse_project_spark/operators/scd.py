@@ -162,7 +162,6 @@ _PLACED_HOURS_MOD = 720
 
 @register(
     "scd2_dim_asof_orders",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 WITH {_DUCK_HIST},
 o AS (

@@ -1168,7 +1168,6 @@ FROM ranked WHERE rank <= {TOP_K}
 
 @register(
     "similarity_ivf_quantized_topk",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=_ivf_quantized_oracle,
 )
 def similarity_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

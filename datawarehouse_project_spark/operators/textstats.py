@@ -208,6 +208,8 @@ _BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 @register(
     "text_token_counts",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle=f"""
 WITH {DUCK_DOCWORDS}
 SELECT source,
@@ -244,6 +246,8 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "text_fingerprints",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle=f"""
 WITH {DUCK_DOCWORDS}
 SELECT doc_id,
@@ -277,6 +281,8 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "text_repetition_scores",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 wc AS (
@@ -389,6 +395,8 @@ CHUNK_STRIDE = 24
 
 @register(
     "text_chunk_documents",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle=f"""
 WITH {DUCK_DOCWORDS}
 SELECT doc_id,
@@ -441,7 +449,6 @@ DECON_N = 8  # n-gram width: the standard decontamination unit
 
 @register(
     "text_decontaminate_vs_benchmark",
-    driver_facing=False,  # driver window is full; pytest oracle covers it
     oracle=f"""
 WITH d AS (
     SELECT doc_id, source,
@@ -524,7 +531,6 @@ TOP_BIGRAMS_K = 20
 
 @register(
     "text_top_bigrams",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     order_by=["-n", "bigram"],
     oracle=f"""
 WITH {{docwords}},
@@ -604,7 +610,6 @@ def _duck_redact(col: str = "text") -> str:
 
 @register(
     "text_pii_redaction",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"][0]}')) AS BIGINT) AS n_emails,
@@ -642,7 +647,6 @@ PACK_BUDGET = 64
 
 @register(
     "text_pack_sequences",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 WITH {{docwords}},
 tok AS (
@@ -726,7 +730,6 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "text_word_rarity_scores",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle="""
 WITH docwords AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws

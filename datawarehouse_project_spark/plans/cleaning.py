@@ -26,6 +26,8 @@ from .registry import register
 # truncated, + unparsable rows to be dropped).
 @register(
     "clean_multiformat_dates",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle="""
 WITH dirty AS (
     SELECT o_orderkey,
@@ -87,6 +89,8 @@ def clean_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kept. Reference: MeshJoin.java:119-132 ("1299.99$" inputs).
 @register(
     "clean_price_strings",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle="""
 WITH dirty AS (
     SELECT p_partkey, p_brand,
@@ -137,6 +141,8 @@ def clean_price_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MeshJoin.java:74,136,200,358; README.md:134-136.
 @register(
     "dedup_lastwins_upsert",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle="""
 WITH ranked AS (
     SELECT lang, source, doc_id, n_chars,

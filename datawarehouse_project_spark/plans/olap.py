@@ -298,6 +298,8 @@ def q06_product_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each unordered pair counts once.
 @register(
     "q06j_copurchase_pairs",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle=f"""
 WITH {FACT_CTE},
 op AS (SELECT DISTINCT order_id, product_name FROM fact),
@@ -711,6 +713,8 @@ def q02j_growth_by_store_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (partial-match semantics, like MySQL REGEXP / Spark RLIKE).
 @register(
     "q03j_regex_type_filter",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle=f"""
 WITH {FACT_CTE},
 typed AS (

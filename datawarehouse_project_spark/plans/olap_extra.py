@@ -69,6 +69,8 @@ def q06m_groupconcat_mysql_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 # percentiles (float arithmetic) or t-digest approximations.
 @register(
     "events_value_median_disc",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle="""
 WITH ranked AS (
     SELECT event_type, value,
@@ -166,6 +168,8 @@ _PIV_COLS = {p: "p" + p[0] for p in _PRIORITIES}
 
 @register(
     "pivot_store_priority",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle=f"""
 WITH {FACT_CTE},
 joined AS (
@@ -275,7 +279,6 @@ MIN_PAIR_COUNT = 3
 
 @register(
     "affinity_lift_rules",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 WITH {FACT_CTE},
 op AS (SELECT DISTINCT order_id, product_name FROM fact),
@@ -376,7 +379,6 @@ RFM_ANCHOR = "2001-09-01"
 
 @register(
     "rfm_customer_segments",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
     oracle=f"""
 WITH base AS (
     SELECT o_custkey,

@@ -60,6 +60,8 @@ def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "partitioned_orders_year_agg",
+    driver_facing=False,  # rotated out r9: driver-green since <=r7;
+    # window slot ceded to the round-8 operator crop (pytest oracle still runs)
     oracle=f"""
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,

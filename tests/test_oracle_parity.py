@@ -44,6 +44,10 @@ def test_driver_catalog_fits_sweep_window():
     assert len(facing) <= DRIVER_WINDOW, sorted(facing)[DRIVER_WINDOW:]
     assert set(oracle_sql()) <= set(facing)
     # production paths the round-2 verdict called out must be driver-facing
+    # (r9 rotation: text_token_counts / text_fingerprints ceded their slots
+    # to the round-8 crop after 5 consecutive green rounds), plus the
+    # round-8 operator families the round-8 verdict told us to rotate IN so
+    # every family earns a driver CORRECTNESS row at least once
     for name in [
         "similarity_near_dup_pairs",
         "topn_products_per_store",
@@ -51,8 +55,24 @@ def test_driver_catalog_fits_sweep_window():
         "text_stats_by_lang",
         "text_quality_scores",
         "text_langid_stopwords",
-        "text_token_counts",
-        "text_fingerprints",
         "similarity_pandas_linear_scores",
+        # round-9 rotation: the round-8 crop
+        "scd2_dim_asof_orders",
+        "events_rolling_24h",
+        "events_ewma_by_user",
+        "rfm_customer_segments",
+        "affinity_lift_rules",
+        "text_word_rarity_scores",
+        "text_pack_sequences",
+        "text_pii_redaction",
+        "text_top_bigrams",
+        "text_decontaminate_vs_benchmark",
+        "similarity_ivf_quantized_topk",
+        "dedup_incremental_lsh_pairs",
+        "dedup_keep_best_quality",
+        "sample_lang_temperature",
+        "events_funnel_conversion",
+        "events_weekly_retention",
+        "dq_audit_orders_lineitem",
     ]:
         assert name in facing, name
