@@ -780,3 +780,45 @@ def text_word_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("df").cast("bigint").alias("rarest_df"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_idf_quality_scores",
+    driver_facing=False,  # float log-domain output: ln() is not
+    # correctly-rounded across libms, so a cross-engine HASH gate would
+    # flake on last-ulp differences — the gate is a tolerance-based
+    # DuckDB differential in tests/test_docs_pipeline.py instead
+)
+def text_idf_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-domain consumer of :func:`text_word_rarity_scores`' exact
+    integer core: per document, the sum and mean of ``ln(n_docs /
+    df(w))`` over its words — the standard IDF rarity/quality signal a
+    corpus pipeline actually thresholds on (high mean-IDF = rare-word
+    soup, likely junk; near-zero = stopword soup).
+
+    Same two inverted-index passes as the integer form (vocabulary df
+    map is the only shuffle/broadcast state, never pairwise), plus one
+    broadcast 1-row corpus count; the log arithmetic is all
+    Catalyst/JVM. Emitted as doubles — consumers compare against
+    thresholds, so last-ulp libm divergence is immaterial (which is
+    also why this twin is not in the cross-engine hash gate)."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    tokens = docs.select("doc_id", F.explode(words("text")).alias("w"))
+    df_map = tokens.groupBy("w").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    return (
+        tokens.join(df_map, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.log(F.col("n_docs") / F.col("df"))).alias("idf_sum"),
+            (
+                F.sum(F.log(F.col("n_docs") / F.col("df"))) / F.count("*")
+            ).alias("idf_mean"),
+        )
+    )

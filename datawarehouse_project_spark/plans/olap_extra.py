@@ -417,8 +417,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the three NTILEs are global single-partition windows —
     correct for a CUSTOMER-grain frame (orders collapse first; the
     window input is customers, orders-of-magnitude smaller than the
-    fact). At truly huge customer counts the same scores come from a
-    two-pass approxQuantile cut, the documented trade."""
+    fact). At truly huge customer counts use the registered scale twin
+    :func:`rfm_customer_segments_scaled` — identical scores from
+    ``approxQuantile`` cuts, no global sort (equality on distinct
+    values pytest-pinned; tie handling documented there)."""
     prepare(spark)
     orders = table(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
@@ -453,3 +455,86 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rfm_segment"),
     )
+
+
+def rfm_quantile_scores(
+    base: DataFrame, relative_error: float = 0.0
+) -> DataFrame:
+    """Score an RFM base frame (``r_days``, ``n_orders``, ``monetary``)
+    into quintiles from ``approxQuantile`` cuts instead of global NTILE
+    windows — the scale path for huge customer counts.
+
+    One distributed Greenwald-Khanna pass collects 12 doubles onto the
+    driver (bounded memory ∝ 1/relative_error per partition, merged
+    tree-wise — no sort, no single-partition stage), which re-enter the
+    plan as broadcast literals in a CASE cascade; the scoring itself is
+    then a shuffle-free projection. Calibration: with
+    ``relative_error=0`` (exact ranks) and DISTINCT metric values whose
+    count divides by 5, the scores EQUAL the exact form's NTILE output
+    (pytest-pinned on synthetic data). Tie handling intentionally
+    diverges: NTILE splits equal values across a boundary by the
+    customer-id tie-break to force equal bucket sizes, while value cuts
+    give equal values equal scores — at scale the value-deterministic
+    form is also the analytically defensible one (two identical
+    customers never land in different segments). At production
+    ``relative_error`` (1e-4 say) boundary values may shift by that rank
+    fraction; interior scores are unaffected."""
+    cuts = {
+        c: base.approxQuantile(c, [0.2, 0.4, 0.6, 0.8], relative_error)
+        for c in ("r_days", "n_orders", "monetary")
+    }
+
+    def asc_score(col: str):  # score 5 = highest value
+        s = F.lit(1)
+        for q in cuts[col]:
+            s = s + F.when(F.col(col) > F.lit(q), 1).otherwise(0)
+        return s.cast("int")
+
+    def desc_score(col: str):  # score 5 = lowest value (recency: fresher=better)
+        s = F.lit(1)
+        for q in cuts[col]:
+            s = s + F.when(F.col(col) <= F.lit(q), 1).otherwise(0)
+        return s.cast("int")
+
+    return base.select(
+        "o_custkey",
+        "r_days",
+        "n_orders",
+        "monetary",
+        desc_score("r_days").alias("r_score"),
+        asc_score("n_orders").alias("f_score"),
+        asc_score("monetary").alias("m_score"),
+    ).withColumn(
+        "rfm_segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int"),
+    )
+
+
+@register(
+    "rfm_customer_segments_scaled",
+    driver_facing=False,  # Spark-native quantile sketch: no DuckDB twin
+    # states the identical rank convention, so the gate is the pytest
+    # calibration + invariant suite (tests/test_scd.py rfm tests), not a
+    # cross-engine hash
+)
+def rfm_customer_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale twin of :func:`rfm_customer_segments` (same base
+    aggregate, quantile-cut scoring): no global sort anywhere in the
+    plan, so it survives 10⁹-customer frames where the exact form's
+    three single-partition NTILE windows stall. See
+    :func:`rfm_quantile_scores` for the calibration/tie-handling
+    contract; the registered-twin precedent is
+    ``similarity_near_dup_pairs`` / ``near_dup_pairs_scaled``."""
+    prepare(spark)
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ANCHOR).cast("date"), F.max("o_orderdate"))
+        .cast("bigint")
+        .alias("r_days"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    return rfm_quantile_scores(base)

@@ -220,3 +220,53 @@ def test_pii_redaction_robust_to_unicode_and_pathological_inputs(spark):
     assert out[4].count("[IP]") == 2
     # 5: empty input stays empty
     assert out[5] == ""
+
+
+# ---------------------------------------------------------------- float IDF
+def test_idf_quality_scores_match_duckdb_within_tolerance(spark, sf_dir):
+    """The log-domain IDF twin can't ride the cross-engine HASH gate
+    (ln() differs in the last ulp across libms), so its gate is this
+    differential with a relative tolerance: DuckDB computes the same
+    sum of ln(n_docs/df) per document and every value must agree to
+    1e-9 relative, with the integer inputs (n_tokens) exactly equal."""
+    import duckdb
+    import math
+
+    from datawarehouse_project_spark.catalog import all_queries
+
+    got = {
+        r.doc_id: r
+        for r in all_queries()["text_idf_quality_scores"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(
+        r"""
+WITH docwords AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+tokens AS (SELECT doc_id, unnest(ws) AS w FROM docwords),
+df_map AS (
+    SELECT w, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY w
+),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(ln((SELECT n_docs FROM n) / m.df)) AS idf_sum
+FROM tokens t JOIN df_map m ON m.w = t.w
+GROUP BY t.doc_id
+"""
+    ).fetchall()
+    assert len(want) == len(got)
+    for doc_id, n_tokens, idf_sum in want:
+        r = got[doc_id]
+        assert r.n_tokens == n_tokens
+        assert math.isclose(r.idf_sum, idf_sum, rel_tol=1e-9)
+        assert math.isclose(r.idf_mean, idf_sum / n_tokens, rel_tol=1e-9)
+    # the signal is meaningful: scores vary across the corpus
+    means = sorted(r.idf_mean for r in got.values())
+    assert means[0] < means[-1]

@@ -484,3 +484,89 @@ def test_concurrent_scd2_writers_lose_no_users(spark, sf_dir, tmp_path):
     assert not errs, errs
     got = _scd2_canon(IncrementalScd2(root).read(spark))
     assert got == _scd2_canon(_close_intervals(_runs_frame(events)))
+
+
+# ---------------------------------------------------------------------------
+# RFM scale twin (round-9): quantile-cut scoring vs the exact NTILE form.
+
+
+def test_rfm_scaled_equals_exact_on_distinct_values(spark):
+    """Calibration pin: on DISTINCT metric values with N divisible by 5
+    and relative_error=0, the quantile-cut scores equal the exact form's
+    NTILE output for all three metrics (asc f/m and desc r rules)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from datawarehouse_project_spark.plans.olap_extra import (
+        rfm_quantile_scores,
+    )
+
+    random.seed(11)
+    n = 200
+    rows = [
+        (
+            i,
+            float(v_r),
+            v_f,
+            float(v_m),
+        )
+        for i, (v_r, v_f, v_m) in enumerate(
+            zip(
+                random.sample(range(1, 10_000), n),
+                random.sample(range(1, 10_000), n),
+                random.sample(range(1, 10_000), n),
+            )
+        )
+    ]
+    base = spark.createDataFrame(
+        rows, "o_custkey long, r_days double, n_orders long, monetary double"
+    )
+    got = {
+        r.o_custkey: (r.r_score, r.f_score, r.m_score)
+        for r in rfm_quantile_scores(base).collect()
+    }
+    w_r = Window.orderBy(F.desc("r_days"), "o_custkey")
+    w_f = Window.orderBy(F.asc("n_orders"), "o_custkey")
+    w_m = Window.orderBy(F.asc("monetary"), "o_custkey")
+    want = {
+        r.o_custkey: (r.r, r.f, r.m)
+        for r in base.select(
+            "o_custkey",
+            F.ntile(5).over(w_r).alias("r"),
+            F.ntile(5).over(w_f).alias("f"),
+            F.ntile(5).over(w_m).alias("m"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rfm_scaled_invariants_and_no_global_sort(spark, sf_dir):
+    """On real data: same base metrics as the exact form, scores in 1..5
+    and value-monotone (equal values share a score — the documented tie
+    divergence from NTILE), and the PLAN has no single-partition window
+    (the point of the twin)."""
+    exact = _Q["rfm_customer_segments"](spark, sf_dir).collect()
+    scaled = _Q["rfm_customer_segments_scaled"](spark, sf_dir)
+    p = scaled._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p and "Sort" not in p.replace("SortAggregate", "")
+    rows = scaled.collect()
+    assert {r.o_custkey for r in rows} == {r.o_custkey for r in exact}
+    base_exact = {r.o_custkey: (r.r_days, r.n_orders, r.monetary) for r in exact}
+    for r in rows:
+        assert base_exact[r.o_custkey] == (r.r_days, r.n_orders, r.monetary)
+        for s in (r.r_score, r.f_score, r.m_score):
+            assert 1 <= s <= 5
+        assert r.rfm_segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+    # value-monotone per metric, ties share scores
+    for metric, score, sign in (
+        ("r_days", "r_score", -1),
+        ("n_orders", "f_score", 1),
+        ("monetary", "m_score", 1),
+    ):
+        ordered = sorted(rows, key=lambda r: sign * getattr(r, metric))
+        for a, b in zip(ordered, ordered[1:]):
+            if getattr(a, metric) == getattr(b, metric):
+                assert getattr(a, score) == getattr(b, score)
+            else:
+                assert getattr(a, score) <= getattr(b, score)
