@@ -183,3 +183,144 @@ def test_warehouse_pipeline_scd2_end_to_end(spark, sf_dir):
     assert sum(r.n_orders for r in rows) == asof.count()
     # the dimension attribute really varies (the rollup is non-trivial)
     assert len(rows) >= 3
+
+
+def test_warehouse_loop_stream_dq_cdc_rollup_exactly_once(spark, sf_dir, tmp_path):
+    """The composed production loop in ONE foreachBatch (the reference's
+    ETL story, MeshJoin.java:25-53, upgraded to warehouse semantics):
+    stream-ingest -> dq_quarantine_batch (clean rows to the versioned
+    fact, violations quarantined) -> diff_versions CDC feed off the fact
+    -> apply_changes into a downstream replica -> IncrementalRollup
+    refresh from the same feed. Each stage rides its own snapshot-ledger
+    txn, so replaying the WHOLE stream (crash recovery without a
+    checkpoint — the worst case) must leave every one of the four tables
+    bit-identical: at-least-once replay, exactly-once effect,
+    end-to-end through four chained writers."""
+    import pyspark.sql.types as T
+
+    from datawarehouse_project_spark.io import table
+    from datawarehouse_project_spark.operators.incremental import (
+        IncrementalRollup,
+    )
+    from datawarehouse_project_spark.operators.quality import (
+        dq_quarantine_batch,
+    )
+    from datawarehouse_project_spark.sources.sinks import (
+        VersionedParquetTable,
+        apply_changes,
+        diff_versions,
+    )
+
+    # deterministic micro-batched source: events split into 4 files
+    src = str(tmp_path / "src")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.withColumn("part", (F.col("event_id") % 4).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    pk = ["event_id"]
+    checks = {
+        "null_value": F.col("value").isNull(),
+        "nonpositive_value": F.col("value") <= 0,
+    }
+    fact = VersionedParquetTable(str(tmp_path / "fact"))
+    quarantine = VersionedParquetTable(str(tmp_path / "quarantine"))
+    replica = VersionedParquetTable(str(tmp_path / "replica"))
+    rollup = IncrementalRollup(
+        str(tmp_path / "rollup"), keys=["event_type"], sum_cols=["value"]
+    )
+
+    def loop_batch(bdf, bid):
+        bdf = bdf.select("event_id", "user_id", "event_type", "value")
+        routed = dq_quarantine_batch(
+            spark, bdf, checks, pk, fact, quarantine, txn=("loop", bid)
+        )
+        fact_v = routed["fact_version"]
+        synced = replica.last_txn("sync") or 0
+        if fact_v > synced:
+            feed = diff_versions(spark, fact, pk, synced, fact_v)
+            apply_changes(spark, feed, replica, pk, txn=("sync", fact_v))
+            # insert-only source (unique event_ids), so the feed's insert
+            # rows ARE the batch's clean rows and the additive fold is exact
+            rollup.apply_batch(
+                spark,
+                feed.filter(F.col("_change_type") == "insert").select(
+                    "event_type", "value"
+                ),
+                batch_id=fact_v,
+                app_id="rollup",
+            )
+
+    def run_stream():
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(loop_batch)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_stream()
+
+    def snap(vt):
+        df = vt.read(spark)
+        return (
+            vt.current_version(),
+            sorted(map(str, df.collect())) if df is not None else [],
+        )
+
+    # correctness of each stage against the batch truth
+    clean_want = sorted(
+        map(
+            str,
+            ev.filter(
+                F.col("value").isNotNull() & (F.col("value") > 0)
+            ).collect(),
+        )
+    )
+    fact_v, fact_rows = snap(fact)
+    assert fact_rows == clean_want
+    n_dirty = ev.filter(
+        F.col("value").isNull() | (F.col("value") <= 0)
+    ).count()
+    qdf = quarantine.read(spark)
+    assert qdf.count() == n_dirty
+    assert set(qdf.select(F.explode("violations")).toPandas().iloc[:, 0]) <= {
+        "null_value",
+        "nonpositive_value",
+    }
+    # replica is value-identical to the fact it syncs
+    _, rep_rows = snap(replica)
+    assert rep_rows == fact_rows
+    # rollup equals a from-scratch GROUP BY of the clean rows
+    want_rollup = sorted(
+        (r.event_type, round(r.s, 6), r.n)
+        for r in ev.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    got_rollup = sorted(
+        (r.event_type, round(r.sum_value, 6), r.n_rows)
+        for r in rollup.read(spark).collect()
+    )
+    assert got_rollup == want_rollup
+
+    # full replay with no checkpoint: every table's version AND contents
+    # must be unchanged — the ledgers absorb all four writers
+    before = (snap(fact), snap(quarantine), snap(replica), snap(rollup.table))
+    run_stream()
+    after = (snap(fact), snap(quarantine), snap(replica), snap(rollup.table))
+    assert after == before
