@@ -91,3 +91,69 @@ def q01_top_revenue_products_catalog(
         .limit(5)
         .select("product_name", "total_sales")
     )
+
+
+#: Column order of the enriched fact — the contract between the computed
+#: plan (plans/star.py fact_from) and the materialized copy below.
+FACT_COLUMNS = [
+    "order_id",
+    "order_date",
+    "product_id",
+    "product_name",
+    "product_price",
+    "supplier_id",
+    "supplier_name",
+    "store_id",
+    "store_name",
+    "customer_id",
+    "quantity",
+    "sale",
+]
+
+
+def materialize_fact(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Write the enriched fact ONCE as a durable parquet table,
+    partitioned by order year — the reference's own warehouse posture
+    (metro.sql:64-86 INSERT INTO FACT_TRANSACTIONS: enrich once, query
+    many). Every year/quarter/month predicate in the OLAP catalog then
+    partition-prunes at the scan instead of re-running the 4-join
+    enrichment, which is exactly the trade a 100 TB warehouse makes: the
+    enrichment cost amortizes over every downstream query."""
+    from ..plans.star import fact
+
+    (
+        fact(spark, sf_dir)
+        .withColumn("order_year", F.year("order_date"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(path)
+    )
+
+
+def materialized_fact(spark: SparkSession, path: str) -> DataFrame:
+    """Read the materialized fact back with the exact computed-fact
+    schema (the ``order_year`` partition column stays physical-only, so
+    consumers cannot tell which path produced their input — Catalyst
+    still prunes on it through the ``order_date``-derived year filters'
+    partition-column twin when queries filter on ``order_year``; date
+    predicates prune row groups via parquet min/max instead)."""
+    prepare(spark)
+    return spark.read.parquet(path).select(*FACT_COLUMNS)
+
+
+def use_materialized_fact(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """Reroute every OLAP builder for ``sf_dir`` onto the materialized
+    fact: ``plans.star.fact`` memoizes its plan handle per (session,
+    sf_dir), so overriding that cache entry swaps the enrichment subtree
+    for a partitioned-parquet scan under EVERY registered query, with no
+    builder changes — CREATE VIEW repoint semantics. Callers that want
+    the computed plan back clear ``spark._dw_fact_cache[sf_dir]``."""
+    cache = getattr(spark, "_dw_fact_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dw_fact_cache = cache
+    frame = materialized_fact(spark, path)
+    cache[sf_dir] = frame
+    return frame

@@ -79,3 +79,48 @@ def test_drop_is_metadata_only(spark, sf_dir):
     assert db not in [d.name for d in spark.catalog.listDatabases()]
     # the parquet survives and path reads still work
     assert spark.read.parquet(f"{sf_dir}/region.parquet").count() > 0
+
+
+def test_materialized_fact_reroutes_olap_identically(spark, sf_dir, tmp_path):
+    """materialize-once/query-many: rerouting the memoized fact handle
+    onto the partitioned materialized copy must leave every OLAP result
+    value-identical (q01 + the rollup as witnesses), the rerouted plan
+    must scan parquet directly with NO join anywhere (the enrichment ran
+    once, at write time), and clearing the cache restores the computed
+    plan."""
+    from datawarehouse_project_spark.catalog import all_queries
+    from datawarehouse_project_spark.sources.catalog_ddl import (
+        FACT_COLUMNS,
+        materialize_fact,
+        materialized_fact,
+        use_materialized_fact,
+    )
+    from datawarehouse_project_spark.plans.star import fact
+
+    path = str(tmp_path / "fact_mat")
+    materialize_fact(spark, sf_dir, path)
+    mat = materialized_fact(spark, path)
+    assert mat.columns == FACT_COLUMNS
+    computed = fact(spark, sf_dir)
+    assert mat.count() == computed.count()
+
+    q = all_queries()
+    want_q01 = sorted(map(str, q["q01_top_revenue_products"](spark, sf_dir).collect()))
+    want_q07 = sorted(map(str, q["q07_rollup_yearly"](spark, sf_dir).collect()))
+    try:
+        use_materialized_fact(spark, sf_dir, path)
+        got_q01_df = q["q01_top_revenue_products"](spark, sf_dir)
+        p = got_q01_df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in p, "materialized path must not re-join dims"
+        assert "FileScan parquet" in p
+        assert sorted(map(str, got_q01_df.collect())) == want_q01
+        assert (
+            sorted(map(str, q["q07_rollup_yearly"](spark, sf_dir).collect()))
+            == want_q07
+        )
+    finally:
+        spark._dw_fact_cache.pop(sf_dir, None)
+    # computed path restored
+    p = q["q01_top_revenue_products"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" in p
