@@ -510,29 +510,92 @@ FROM ordered
 )
 def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially-weighted moving average of ``value`` —
-    s_i = α·x_i + (1−α)·s_{i−1}, seeded with the first observation.
+    s_i = α·x_i + (1−α)·s_{i−1}, seeded with the first observation,
+    NULL observations skipped (a user with none reports n_events=0,
+    ewma NULL).
 
-    This is the catalog's grouped-map ``applyInPandas`` exemplar: the
-    recursion makes each output depend on the PREVIOUS output, which no
-    SQL window frame expresses (frames aggregate inputs, not outputs),
-    so this is exactly the case the sanctioned-Pandas-UDF rule carves
-    out. The fold runs vectorized per group over Arrow batches; the
-    plan is one shuffle on user_id and partition cost is one entity's
-    history. The DuckDB oracle states the identical left fold with
-    ``list_reduce``, and with α = 1/8 both engines execute the same
-    IEEE sequence — the comparison is bit-exact."""
+    The recursion makes each output depend on the PREVIOUS output,
+    which no SQL window FRAME expresses (frames aggregate inputs, not
+    outputs) — but a fold does, and Spark has one in Catalyst: the
+    ``aggregate`` higher-order function over a per-user
+    ``sort_array(collect_list(struct(ts, event_id, value)))``. That
+    keeps the whole operator JVM-side: one shuffle on user_id, per-user
+    state bounded by one entity's history (the same bound the grouped
+    map had), zero Python, zero Arrow transport. Measured against the
+    grouped-map exemplar it replaced on the scaled replicas: 2.73 →
+    0.40 s at sf1, 6.3 → 0.55 s at sf3 (the grouped map's cost was
+    never the fold — it was Arrow transport + per-group pandas
+    overhead; see :func:`events_ewma_grouped_map`, which stays
+    registered as the teaching twin).
+
+    The HOF lambda is LITERALLY the oracle's ``list_reduce`` lambda
+    (α·x + β·acc, same IEEE sequence, α = 1/8 exactly representable),
+    so the comparison stays bit-exact. sort_array orders the structs by
+    (ts, event_id [, value]) — event_id is unique, so the value field
+    never influences the order."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    hist = ev.groupBy("user_id").agg(
+        F.filter(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"].isNotNull(),
+        ).alias("h")
+    )
+    alpha, beta = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    return hist.select(
+        "user_id",
+        F.size("h").cast("bigint").alias("n_events"),
+        F.aggregate(
+            "h",
+            F.lit(None).cast("double"),
+            lambda acc, s: F.when(acc.isNull(), s["value"]).otherwise(
+                F.lit(alpha) * s["value"] + F.lit(beta) * acc
+            ),
+        ).alias("ewma"),
+    )
+
+
+@register(
+    "events_ewma_grouped_map",
+    driver_facing=False,  # value-identical Pandas twin of the JVM-fold
+    # driver row above — kept as the catalog's grouped-map applyInPandas
+    # exemplar (and the carrier of the AQE-vs-grouped-map repartition
+    # insight), oracle-checked in pytest
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id)
+               FILTER (WHERE value IS NOT NULL) AS vals,
+           CAST(COUNT(value) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       list_reduce(vals,
+                   (acc, x) -> {EWMA_ALPHA}e0 * x
+                               + {1.0 - EWMA_ALPHA}e0 * acc) AS ewma
+FROM ordered
+""",
+)
+def events_ewma_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map ``applyInPandas`` form of the EWMA — retained as
+    the catalog's sanctioned-Pandas exemplar now that the production
+    path is the Catalyst ``aggregate`` HOF (see
+    :func:`events_ewma_by_user`). Two insights live here:
+
+    * EXPLICIT keyed repartition before a grouped map: AQE coalesces
+      the groupBy shuffle by BYTES, which is right for JVM aggregation
+      but serializes Python grouped-map work onto 1-2 workers (measured
+      3.5 → 0.75 s warm at sf0.1). The repartition satisfies the
+      grouped map's clustering requirement, so no second shuffle.
+    * the per-group fold runs in pandas' Cython ewm kernel
+      (``adjust=False``), bit-exact with the explicit Python loop and
+      with the JVM fold (same IEEE sequence — pinned by
+      tests/test_scd.py::test_ewma_c_kernel_bit_exact)."""
     prepare(spark)
     import pandas as pd
 
-    # EXPLICIT keyed repartition before the grouped map: AQE coalesces
-    # the groupBy shuffle by BYTES, which is right for JVM aggregation
-    # but serializes Python grouped-map work onto 1-2 workers. Full
-    # operator measured 3.5 -> 0.75 s warm at sf0.1 (an identity grouped
-    # map isolated the serialized transport alone at 2.1 s) — the
-    # Arrow+worker cost is per-row compute, so parallelism is the lever,
-    # same rationale as io.spread for the shingle operators. The
-    # repartition satisfies the grouped map's clustering requirement, so
-    # no second shuffle.
     events = (
         table(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id", "value")
@@ -541,16 +604,7 @@ def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha = EWMA_ALPHA
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # NULL observations are SKIPPED (not folded as NaN) — the same
-        # semantics as the oracle's FILTER(value IS NOT NULL); a user with
-        # no non-null observations reports n_events=0, ewma NULL
         vals = pdf.sort_values(["ts", "event_id"])["value"].dropna()
-        # Series.ewm(adjust=False) runs the identical recurrence
-        # s_i = (1-α)·s_{i-1} + α·x_i in C (pandas' Cython kernel uses the
-        # same IEEE multiply-multiply-add order, and +/× are commutative
-        # bit-for-bit), so the result is bit-exact with the Python fold it
-        # replaced — pinned by tests/test_scd.py::test_ewma_c_kernel_bit_exact
-        # and by the DuckDB list_reduce oracle's hash check.
         acc = (
             float(vals.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
             if len(vals)
