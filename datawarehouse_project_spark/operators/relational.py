@@ -189,6 +189,8 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "range_join_ship_lag",
+    driver_facing=False,  # rotated out r9 (driver-green since r3):
+    # slot ceded to corpus_select_token_budget (pytest oracle still runs)
     oracle="""
 SELECT o.o_orderpriority,
        COUNT(*) AS n_fast_lines,

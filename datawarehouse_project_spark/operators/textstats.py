@@ -822,3 +822,88 @@ def text_idf_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: Per-language token budget for greedy corpus selection. Constant across
+#: scale factors on purpose: the selected fraction shrinks as the corpus
+#: grows, which is exactly the production shape (the budget is set by the
+#: training run, not the crawl size).
+TOKEN_BUDGET_PER_LANG = 2000
+
+
+@register(
+    "corpus_select_token_budget",
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+{_DUCK_QUALITY},
+ranked AS (
+    SELECT s.doc_id, d.lang, s.n_tokens, s.quality,
+           CAST(SUM(CAST(s.n_tokens AS BIGINT)) OVER (
+               PARTITION BY d.lang
+               ORDER BY s.quality DESC, s.doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_tokens
+    FROM scored s JOIN docwords d USING (doc_id)
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       cum_tokens
+FROM ranked
+WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+""",
+)
+def corpus_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — the data-mixing step after
+    scoring: per language, greedily keep the highest-quality documents
+    (quality DESC, doc_id tie-break) until the language's token budget
+    is spent. The standard way a training mix is assembled once
+    quality/dedup signals exist: budgets per language come from the run
+    recipe; the crawl is bigger than the budget by construction.
+
+    Semantics: greedy prefix — a document is kept iff the running token
+    total INCLUDING it fits the budget. The prefix sum is monotone, so
+    the first overflow ends the language's selection: cheap and
+    deterministic. Best-fit packing variants that skip past an
+    over-budget document belong to the packer
+    (:func:`text_pack_sequences`), not the selector.
+
+    Plan: quality is the same Catalyst expression as
+    :func:`text_quality_scores` (already hash-green cross-engine); the
+    cumulative sum is one window PARTITIONED BY lang — partition size
+    is one language's corpus slice, the natural parallel unit. At
+    extreme per-language cardinality the refinement is the
+    rfm-scaled precedent: an approxQuantile threshold on quality picks
+    the boundary bucket, the exact window runs only inside it; not
+    implemented because the window here is already partitioned (the
+    RFM case was a GLOBAL NTILE)."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    ws = words("text")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("n_tokens"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias(
+            "n_alpha"
+        ),
+        _stop_count(ws, "en").alias("n_stop"),
+    ).filter(F.col("n_tokens") >= 1)
+    mean_wlen = F.col("n_alpha").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    quality = (
+        0.5 * F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        + 0.3 * F.when(mean_wlen.between(3, 10), 1.0).otherwise(0.0)
+        + 0.2 * F.least(F.lit(1.0), 5.0 * stop_ratio)
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_doc.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
