@@ -1168,8 +1168,29 @@ SELECT query_id, neighbor_id, qdot, approx_dot, rank
 FROM ranked WHERE rank <= {TOP_K}
 """
 
-# events_ewma_by_user is deliberately absent: the EWMA recursion is the
-# catalog's applyInPandas exemplar precisely because no SQL window states it.
+# events_ewma_by_user: the recursion no SQL window FRAME expresses IS a
+# fold, and Spark SQL has one — the aggregate() higher-order function.
+# Same lambda as the production builder and the DuckDB list_reduce oracle
+# (0.125D/0.875D literals: DOUBLE, same IEEE sequence, bit-exact). The
+# grouped-map twin events_ewma_grouped_map stays text-less (it exists to
+# exercise the Pandas surface, not the SQL one).
+from ..operators.events import EWMA_ALPHA  # noqa: E402
+
+SPARK_SQL["events_ewma_by_user"] = f"""
+WITH hist AS (
+    SELECT user_id,
+           filter(sort_array(collect_list(struct(ts, event_id, value))),
+                  s -> s.value IS NOT NULL) AS h
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(size(h) AS BIGINT) AS n_events,
+       aggregate(h, CAST(NULL AS DOUBLE),
+                 (acc, s) -> CASE WHEN acc IS NULL THEN s.value
+                             ELSE {EWMA_ALPHA}D * s.value
+                                  + {1.0 - EWMA_ALPHA}D * acc END) AS ewma
+FROM hist
+"""
 from ..operators.events import ROLL_WINDOW_US  # noqa: E402
 
 SPARK_SQL["events_rolling_24h"] = f"""
@@ -1270,4 +1291,39 @@ SELECT o_custkey, r_days, n_orders, monetary,
        CAST(m_score AS INT) AS m_score,
        CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_segment
 FROM scored
+"""
+
+
+from ..operators.textstats import TOKEN_BUDGET_PER_LANG  # noqa: E402
+
+SPARK_SQL["corpus_select_token_budget"] = f"""
+WITH {SPARK_DOCWORDS},
+per_doc AS (
+    SELECT doc_id,
+           size(ws) AS n_tokens,
+           length(regexp_replace(lower(text), '[^a-z]', '')) AS n_alpha,
+           {_lang_stop_sql()["en"]} AS n_stop
+    FROM docwords
+    WHERE size(ws) >= 1
+),
+scored AS (
+    SELECT doc_id, n_tokens,
+           0.5D * least(1.0D, n_tokens / 100.0D)
+           + 0.3D * (CASE WHEN CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 3 AND 10
+                         THEN 1.0D ELSE 0.0D END)
+           + 0.2D * least(1.0D, 5.0D * (CAST(n_stop AS DOUBLE) / n_tokens))
+               AS quality
+    FROM per_doc
+),
+ranked AS (
+    SELECT s.doc_id, d.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           s.quality,
+           SUM(CAST(s.n_tokens AS BIGINT)) OVER (
+               PARTITION BY d.lang ORDER BY s.quality DESC, s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_tokens
+    FROM scored s JOIN docwords d USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, quality, cum_tokens
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
 """

@@ -76,7 +76,7 @@ def test_partitioned_orders_scan_prunes_partitions(spark, sf_dir):
     """The year predicate over the partitioned layout must reach the scan
     as a PartitionFilter (directory-level pruning, zero I/O on other
     years) — not merely a row-level parquet filter."""
-    df = queries()["partitioned_orders_year_agg"](spark, sf_dir)
+    df = all_queries()["partitioned_orders_year_agg"](spark, sf_dir)
     p = plan_of(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m, p
