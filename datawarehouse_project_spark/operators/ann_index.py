@@ -1,0 +1,143 @@
+"""Persisted IVF+int8 vector index — the ANN serving shape.
+
+``similarity_ivf_quantized_topk`` computes cluster assignments and int8
+payloads for the WHOLE corpus inside every query plan — correct for a
+one-shot analytical query, wasteful for a serving index queried many
+times over a corpus that grows by append. This module stores the index
+the way a production system does (and the way the repo already persists
+LSH dedup state, ``dedup_incremental.SignatureStore``):
+
+* one durable :class:`~..sources.sinks.VersionedParquetTable` keyed by
+  ``vec_id`` holding ``(vec_id, cluster_id, scale, qvec)`` — the
+  assignment + quantized payload, computed ONCE per vector;
+* ``add_batch`` assigns/quantizes only the appended vectors —
+  O(batch × K_IVF) work, never O(corpus) — idempotent under replay via
+  the snapshot ledger (foreachBatch-ready, same contract as
+  ``IncrementalRollup``);
+* ``query_topk`` reads the index: probe clusters from the query vectors
+  (broadcast-sized), equi-join on ``cluster_id`` (candidates = P/K_IVF
+  of the corpus), exact-int64 dot products on the int8 payload, one
+  per-query window for the top-k. The corpus-side scan reads the INDEX
+  columns only — no embeddings, no assignment arithmetic (plan-pinned).
+
+Centroids are the module's shared trained set
+(``similarity.ivf_centroids`` — fixed literals), so batch-wise
+assignment is exactly batch-order-independent: an index built
+incrementally equals the one-shot build bit-for-bit (pytest-pinned),
+and query results over a full-corpus index equal
+``similarity_ivf_quantized_topk`` row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import (
+    N_QUERIES,
+    TOP_K,
+    _ivf_cluster_expr,
+    _ivf_probes_expr,
+    _q8_frame,
+)
+from ..sources.sinks import VersionedParquetTable
+
+#: 127**2 — the de-quantization divisor shared with the inline operators.
+_Q8_SQ = 16129.0
+
+
+class IvfVectorIndex:
+    """Durable IVF+int8 index over an embedding column (see module doc)."""
+
+    KEYS = ["vec_id"]
+
+    def __init__(self, root: str):
+        self.table = VersionedParquetTable(root)
+
+    @staticmethod
+    def _index_rows(emb: DataFrame) -> DataFrame:
+        """Assignment + quantization for a batch of (vec_id, embedding)."""
+        return _q8_frame(emb).select(
+            "vec_id",
+            _ivf_cluster_expr(F.col("embedding")).cast("int").alias(
+                "cluster_id"
+            ),
+            "scale",
+            "qvec",
+        )
+
+    def add_batch(
+        self,
+        spark: SparkSession,
+        emb: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "ivf-index",
+    ) -> int:
+        """Fold appended vectors into the index; O(batch), replay-safe
+        with ``batch_id`` (re-adding a vec_id last-wins — an UPDATED
+        embedding re-assigns, which is the desired upsert semantics)."""
+        txn = (app_id, batch_id) if batch_id is not None else None
+        return self.table.upsert(
+            spark, self._index_rows(emb), self.KEYS, txn=txn
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return self.table.read(spark)
+
+    def query_topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        top_k: int = TOP_K,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Top-k neighbors from the index for (vec_id, embedding) query
+        rows. Identical math (and therefore identical, engine-portable
+        results) to ``similarity_ivf_quantized_topk`` when the index
+        holds the full corpus: exact int64 dot products over int8
+        payloads, de-quantized score ranking, (score DESC, neighbor_id)
+        tie-break."""
+        index = self.read(spark)
+        if index is None:
+            raise ValueError(
+                f"IVF index at {self.table.root} is empty — add_batch first"
+            )
+        qp = _q8_frame(queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("scale").alias("q_scale"),
+            F.col("qvec").alias("q_qvec"),
+            F.explode(_ivf_probes_expr(F.col("embedding"))).alias("probe"),
+        )
+        cond = F.col("cluster_id") == F.col("probe")
+        if exclude_self:
+            cond = cond & (F.col("vec_id") != F.col("query_id"))
+        pairs = index.join(F.broadcast(qp), cond)
+        qdot = F.aggregate(
+            F.zip_with("q_qvec", "qvec", lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        scored = pairs.withColumn("qdot", qdot).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qdot",
+            (
+                (F.col("qdot").cast("double") * F.col("q_scale"))
+                * F.col("scale")
+            ).alias("scaled"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("scaled"), "neighbor_id"
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top_k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "qdot",
+                (F.col("scaled") / _Q8_SQ).alias("approx_dot"),
+                "rank",
+            )
+        )

@@ -1,0 +1,100 @@
+"""Persisted IVF+int8 index: serving-path parity with the inline
+operator, batch-order independence, replay safety, and the index-scan
+plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.catalog import all_queries
+from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.operators.ann_index import IvfVectorIndex
+from datawarehouse_project_spark.operators.similarity import N_QUERIES
+
+
+def _canon_topk(df):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.qdot, round(r.approx_dot, 12), r.rank)
+        for r in df.collect()
+    )
+
+
+def _canon_index(df):
+    return sorted(
+        (r.vec_id, r.cluster_id, r.scale, tuple(r.qvec)) for r in df.collect()
+    )
+
+
+def test_index_query_equals_inline_operator(spark, sf_dir, tmp_path):
+    """A full-corpus index must answer the standard query set with
+    EXACTLY the inline similarity_ivf_quantized_topk rows (same integer
+    dot products, same de-quantized ranking, same tie-breaks)."""
+    emb = table(spark, sf_dir, "embeddings")
+    idx = IvfVectorIndex(str(tmp_path / "ivf"))
+    idx.add_batch(spark, emb, batch_id=0)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    got = _canon_topk(idx.query_topk(spark, queries))
+    want = _canon_topk(
+        all_queries()["similarity_ivf_quantized_topk"](spark, sf_dir)
+    )
+    assert got == want and len(got) > 0
+
+
+def test_incremental_build_equals_one_shot(spark, sf_dir, tmp_path):
+    """Appending the corpus in halves must produce the bit-identical
+    index state as one add_batch of everything (fixed centroid literals
+    make assignment batch-order independent), and replaying an applied
+    batch must change nothing."""
+    emb = table(spark, sf_dir, "embeddings")
+    lo = emb.filter(F.col("vec_id") % 2 == 0)
+    hi = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = IvfVectorIndex(str(tmp_path / "inc"))
+    inc.add_batch(spark, lo, batch_id=0)
+    inc.add_batch(spark, hi, batch_id=1)
+    full = IvfVectorIndex(str(tmp_path / "full"))
+    full.add_batch(spark, emb, batch_id=0)
+    assert _canon_index(inc.read(spark)) == _canon_index(full.read(spark))
+
+    before = inc.table.current_version()
+    inc.add_batch(spark, hi, batch_id=1)  # replay
+    assert inc.table.current_version() == before
+
+
+def test_updated_vector_reassigns_last_wins(spark, sf_dir, tmp_path):
+    """Re-adding a vec_id with a NEW embedding must replace its index
+    row (assignment + payload recomputed) — upsert semantics."""
+    emb = table(spark, sf_dir, "embeddings")
+    idx = IvfVectorIndex(str(tmp_path / "upd"))
+    idx.add_batch(spark, emb, batch_id=0)
+    n = idx.read(spark).count()
+    moved = emb.filter(F.col("vec_id") == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    idx.add_batch(spark, moved, batch_id=1)
+    after = idx.read(spark)
+    assert after.count() == n
+    row_new = after.filter(F.col("vec_id") == 0).first()
+    expect = IvfVectorIndex._index_rows(moved).first()
+    assert row_new.cluster_id == expect.cluster_id
+    assert list(row_new.qvec) == list(expect.qvec)
+
+
+def test_query_scan_reads_index_not_embeddings(spark, sf_dir, tmp_path):
+    """The serving point: the corpus side of the query plan scans the
+    INDEX parquet (cluster_id/scale/qvec) — no embedding column, no
+    assignment arithmetic over the corpus."""
+    import re
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = IvfVectorIndex(str(tmp_path / "plan"))
+    idx.add_batch(spark, emb, batch_id=0)
+    q = idx.query_topk(spark, emb.filter(F.col("vec_id") < N_QUERIES))
+    p = q._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"FileScan parquet [^\n]*ReadSchema: ([^\n]*)", p)
+    index_scans = [s for s in scans if "qvec" in s]
+    assert index_scans, p
+    for s in index_scans:
+        assert "embedding" not in s, s
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
