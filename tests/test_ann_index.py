@@ -98,3 +98,42 @@ def test_query_scan_reads_index_not_embeddings(spark, sf_dir, tmp_path):
         assert "embedding" not in s, s
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_streaming_embedding_ingest_foreachbatch(spark, sf_dir, tmp_path):
+    """The index is foreachBatch-ready: micro-batched embedding ingest
+    must converge to the one-shot build, and a full no-checkpoint replay
+    (crash recovery worst case) must leave the index version and state
+    unchanged — the same contract as the streaming LSH dedup store."""
+    emb = table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "src")
+    emb.withColumn("part", (F.col("vec_id") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    idx = IvfVectorIndex(str(tmp_path / "stream"))
+
+    def run_stream():
+        (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: idx.add_batch(
+                    spark, bdf.select("vec_id", "embedding"), batch_id=bid
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_stream()
+    one_shot = IvfVectorIndex(str(tmp_path / "oneshot"))
+    one_shot.add_batch(spark, emb, batch_id=0)
+    assert _canon_index(idx.read(spark)) == _canon_index(one_shot.read(spark))
+    v = idx.table.current_version()
+    run_stream()  # full replay, no checkpoint
+    assert idx.table.current_version() == v
+    assert _canon_index(idx.read(spark)) == _canon_index(one_shot.read(spark))
