@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .similarity import (
-    N_QUERIES,
     TOP_K,
     _ivf_cluster_expr,
     _ivf_probes_expr,
