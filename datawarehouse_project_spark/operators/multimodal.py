@@ -400,3 +400,216 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("feature"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
         ).alias("feature_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio: a REAL pure-python WAV/PCM codec (RIFF container, 8/16-bit PCM),
+# the audio analog of the netpbm/BMP image path — no external libraries,
+# foreign formats (mp3/ogg/flac) fall back to the deterministic stub so
+# the pipeline knows their bytes without pretending to decode them.
+
+AUDIO_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),  # per channel
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("sum_sq", T.LongType(), True),  # exact int64
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+        T.StructField("decoded", T.BooleanType(), True),
+    ]
+)
+
+
+def _parse_wav(data: bytes) -> dict | None:
+    """Minimal RIFF/WAVE reader: PCM format code 1, 8- or 16-bit.
+    Returns None on anything that is not a well-formed PCM WAV (the
+    caller falls back to the stub) — never raises on truncation."""
+    import struct as st
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (csize,) = st.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            return None  # truncated chunk
+        if cid == b"fmt " and csize >= 16:
+            audio_format, n_ch, rate = st.unpack("<HHI", body[:8])
+            bits = st.unpack("<H", body[14:16])[0]
+            if audio_format != 1 or n_ch < 1 or bits not in (8, 16):
+                return None  # compressed / exotic PCM: not ours
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        return None
+    n_ch, rate, bits = fmt
+    if bits == 16:
+        n = len(raw) // 2
+        samples = list(st.unpack(f"<{n}h", raw[: 2 * n]))
+    else:  # 8-bit WAV is UNSIGNED, centered at 128
+        samples = [b - 128 for b in raw]
+    frames = len(samples) // n_ch
+    samples = samples[: frames * n_ch]
+    return {
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "bits": bits,
+        "samples": samples,
+        "n_samples": frames,
+    }
+
+
+def wav_decoder(payload: bytes, kind: str) -> dict:
+    """Audio feature extraction: integer-exact energy (sum of squares in
+    int64 — |s| <= 32768 so even hour-long audio stays far inside range),
+    peak, RMS over all channels interleaved, and mono zero-crossings
+    (first channel, sign changes ignoring zeros). Non-WAV payloads get
+    the deterministic stub treatment (decoded=False, digest-derived
+    pseudo-features) — same contract as the image path's foreign
+    formats."""
+    parsed = _parse_wav(payload) if kind == "audio" else None
+    if parsed is None:
+        digest = hashlib.md5(payload).digest()
+        h = int.from_bytes(digest[:8], "big")
+        return {
+            "n_bytes": len(payload),
+            "n_channels": None,
+            "sample_rate": None,
+            "n_samples": None,
+            "duration_ms": None,
+            "peak": int(h % 32768),
+            "sum_sq": None,
+            "rms": None,
+            "zero_crossings": None,
+            "decoded": False,
+        }
+    samples = parsed["samples"]
+    n = len(samples)
+    sum_sq = sum(s * s for s in samples)
+    peak = max((abs(s) for s in samples), default=0)
+    ch0 = samples[:: parsed["n_channels"]]
+    zc = 0
+    prev = 0
+    for s in ch0:
+        if s != 0:
+            if prev != 0 and (s > 0) != (prev > 0):
+                zc += 1
+            prev = s
+    rate = parsed["sample_rate"]
+    return {
+        "n_bytes": len(payload),
+        "n_channels": parsed["n_channels"],
+        "sample_rate": rate,
+        "n_samples": parsed["n_samples"],
+        "duration_ms": int(parsed["n_samples"] * 1000 // rate) if rate else None,
+        "peak": int(peak),
+        "sum_sq": int(sum_sq),
+        "rms": (sum_sq / n) ** 0.5 if n else None,
+        "zero_crossings": int(zc),
+        "decoded": True,
+    }
+
+
+def decode_audio(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], dict] = wav_decoder,
+) -> DataFrame:
+    """Arrow-batched audio decode — same mapInPandas shape as
+    ``decode_media``; decode failures become stub rows, never task
+    failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = {"media_id": media_id, "kind": kind}
+                try:
+                    row.update(decoder(bytes(payload), kind))
+                except Exception:
+                    row.update(
+                        n_bytes=None, n_channels=None, sample_rate=None,
+                        n_samples=None, duration_ms=None, peak=None,
+                        sum_sq=None, rms=None, zero_crossings=None,
+                        decoded=False,
+                    )
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_DECODED_SCHEMA]
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=AUDIO_DECODED_SCHEMA
+    )
+
+
+def synth_wav(
+    samples: list[int], sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Deterministic 16-bit PCM WAV writer (the codec's inverse) — used
+    by the synthetic-media exemplar and the golden tests."""
+    import struct as st
+
+    raw = st.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = st.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+                  n_channels * 2, 16)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(raw)) + raw
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+@register("multimodal_audio_features", driver_facing=False)  # no oracle:
+# Python codec path (rows-only check); the codec itself is pinned by
+# golden tests in tests/test_multimodal.py
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio pipeline over synthetic WAV media: a first
+    mapInPandas stage 'ingests' deterministic PCM waveforms (samples
+    derived from document bytes — the stand-in for reading real audio
+    blobs), the second decodes them back through the REAL wav codec and
+    emits integer-exact energy features. Every third document ships a
+    deliberately foreign payload (its raw utf-8 bytes) to exercise the
+    stub fallback inline."""
+    prepare(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    ingest_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if media_id % 3 == 0:
+                    payload = data  # foreign bytes -> stub fallback
+                else:
+                    samples = [
+                        ((b - 128) * 256) for b in data[:256]
+                    ] or [0]
+                    payload = synth_wav(samples, sample_rate=8000)
+                out.append(
+                    {"media_id": media_id, "kind": "audio", "payload": payload}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])
+
+    media = docs.mapInPandas(ingest, schema=ingest_schema)
+    return decode_audio(media)

@@ -217,3 +217,104 @@ def test_netpbm_parser_roundtrip_properties():
         assert d5["feature"] == d6["feature"]
 
     prop()
+
+
+# ------------------------------------------------------------------- audio
+def test_wav_codec_round_trip_and_golden_features():
+    """synth_wav -> _parse_wav is the identity on samples/rate/channels,
+    and wav_decoder's features match an independent computation (the
+    stdlib `wave` module writes the golden bytes, proving container
+    compatibility beyond our own writer)."""
+    import io
+    import math
+    import wave
+
+    from datawarehouse_project_spark.operators.multimodal import (
+        _parse_wav,
+        synth_wav,
+        wav_decoder,
+    )
+
+    samples = [0, 1000, -2000, 3000, -3000, 32767, -32768, 5, -5, 0]
+    data = synth_wav(samples, sample_rate=16000)
+    parsed = _parse_wav(data)
+    assert parsed is not None
+    assert parsed["samples"] == samples
+    assert parsed["sample_rate"] == 16000 and parsed["n_channels"] == 1
+
+    # golden bytes via the stdlib writer (independent container impl)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        import struct as st
+
+        w.writeframes(st.pack(f"<{len(samples)}h", *samples))
+    golden = buf.getvalue()
+    feats = wav_decoder(golden, "audio")
+    assert feats["decoded"] is True
+    assert feats["n_samples"] == len(samples)
+    assert feats["sum_sq"] == sum(s * s for s in samples)
+    assert feats["peak"] == 32768
+    assert math.isclose(
+        feats["rms"], (sum(s * s for s in samples) / len(samples)) ** 0.5
+    )
+    # sign pattern of nonzero samples: + - + - + - + - => 7 crossings
+    assert feats["zero_crossings"] == 7
+    assert feats["duration_ms"] == len(samples) * 1000 // 16000
+
+
+def test_wav_codec_rejects_foreign_and_truncated():
+    from datawarehouse_project_spark.operators.multimodal import (
+        _parse_wav,
+        synth_wav,
+        wav_decoder,
+    )
+
+    ok = synth_wav([100, -100] * 50)
+    assert _parse_wav(ok) is not None
+    assert _parse_wav(ok[: len(ok) // 2]) is None  # truncated data chunk
+    assert _parse_wav(b"ID3\x04rest-of-an-mp3") is None
+    stub = wav_decoder(b"ID3\x04rest-of-an-mp3", "audio")
+    assert stub["decoded"] is False and stub["sum_sq"] is None
+    # 8-bit unsigned PCM decodes centered at 128
+    import struct as st
+
+    raw = bytes([128, 228, 28, 128])
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(raw)) + raw
+    )
+    wav8 = b"RIFF" + st.pack("<I", len(body)) + body
+    parsed = _parse_wav(wav8)
+    assert parsed is not None and parsed["samples"] == [0, 100, -100, 0]
+
+
+def test_audio_pipeline_end_to_end(spark, sf_dir):
+    """The registered synthetic-audio exemplar: WAV rows decode with
+    integer-exact features, foreign rows (every third doc) fall back to
+    the stub, and the run is deterministic."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    out = all_queries()["multimodal_audio_features"](spark, sf_dir)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) > 0
+    again = {
+        r.media_id: r
+        for r in all_queries()["multimodal_audio_features"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert {k: str(v) for k, v in rows.items()} == {
+        k: str(v) for k, v in again.items()
+    }
+    for mid, r in rows.items():
+        if mid % 3 == 0:
+            assert r.decoded is False and r.sum_sq is None
+        else:
+            assert r.decoded is True
+            assert r.sample_rate == 8000 and r.n_channels == 1
+            assert r.n_samples >= 1 and r.peak <= 32768
+            assert r.sum_sq >= 0 and r.rms is not None
