@@ -125,6 +125,69 @@ def dq_quarantine_batch(
     return {"fact_version": fv, "quarantine_version": qv}
 
 
+def dq_replay_quarantine(
+    spark: SparkSession,
+    checks: dict[str, Column],
+    pk: list[str],
+    fact,
+    quarantine,
+    txn: tuple[str, int] | None = None,
+) -> dict[str, int]:
+    """The quarantine's second half — the reason evidence is kept at all:
+    after rules are FIXED (loosened, corrected, or a parser repaired),
+    re-audit every quarantined row against the current ``checks``; rows
+    that now pass promote into ``fact`` and leave ``quarantine``, rows
+    that still violate stay with REFRESHED violation tags (a row can
+    break different rules under the new checks).
+
+    Commit order mirrors the ingest routing's crash posture, inverted:
+    FACT first — if we crash after promoting but before shrinking the
+    quarantine, the replay re-run re-promotes idempotently (``txn``
+    ledger on the fact side absorbs it) and then completes the
+    quarantine rewrite; no row is ever in NEITHER table. Three txn
+    app-ids (``<app_id>.fact`` / ``.qdel`` / ``.qtag``) make the whole
+    three-commit operation exactly-once under replay.
+
+    Returns ``{"fact_version", "quarantine_version", "promoted"}``
+    (promoted = -1 when the txn ledger says this replay already ran)."""
+    state = quarantine.read(spark)
+    if state is None:
+        raise ValueError(
+            f"quarantine at {quarantine.root} is empty: nothing to replay"
+        )
+    if txn is not None:
+        last = quarantine.last_txn(f"{txn[0]}.qtag")
+        if last is not None and txn[1] <= last:
+            # full replay already applied (qtag commits LAST, so its
+            # ledger entry implies the fact + delete halves completed)
+            return {
+                "fact_version": fact.current_version(),
+                "quarantine_version": quarantine.current_version(),
+                "promoted": -1,
+            }
+    rows = state.drop("violations").localCheckpoint(eager=True)
+    try:
+        clean, dirty = dq_split(rows, checks)
+        n_promoted = clean.count()
+        f_txn = (f"{txn[0]}.fact", txn[1]) if txn else None
+        d_txn = (f"{txn[0]}.qdel", txn[1]) if txn else None
+        t_txn = (f"{txn[0]}.qtag", txn[1]) if txn else None
+        fv = fact.upsert(spark, clean, pk, txn=f_txn)
+        qv = quarantine.delete(spark, clean.select(*pk), pk, txn=d_txn)
+        # refresh the violation tags on what remains (rules changed, so
+        # the stored reasons may be stale) — upsert of the re-tagged rows
+        qv = quarantine.upsert(spark, dirty, pk, txn=t_txn)
+        return {
+            "fact_version": fv,
+            "quarantine_version": qv,
+            "promoted": int(n_promoted),
+        }
+    finally:
+        from ..io import release_checkpoint
+
+        release_checkpoint(rows)
+
+
 def dq_orphans(child: DataFrame, parent: DataFrame, keys: list[str]) -> int:
     """Referential-integrity violation count: child rows whose key has no
     parent (LEFT ANTI equi-join)."""

@@ -166,3 +166,61 @@ def test_streaming_ingest_with_quarantine_routing(spark, tmp_path):
     assert sorted(r["id"] for r in fact.read(spark).select("id").collect()) == clean_ids
     assert sorted(r["id"] for r in quar.read(spark).select("id").collect()) == dirty_ids
     assert fact.current_version() == fv and quar.current_version() == qv
+
+
+def test_dq_replay_quarantine_promotes_after_rule_fix(spark, tmp_path):
+    """The quarantine's second half: after the rules are LOOSENED,
+    replaying the quarantine promotes now-clean rows into the fact,
+    removes them from quarantine, refreshes the remaining rows'
+    violation tags, and the whole three-commit operation is
+    exactly-once under txn replay."""
+    from datawarehouse_project_spark.operators.quality import (
+        dq_replay_quarantine,
+    )
+
+    fact = VersionedParquetTable(str(tmp_path / "fact"))
+    quar = VersionedParquetTable(str(tmp_path / "quarantine"))
+    dq_quarantine_batch(
+        spark, _batch(spark), _checks(), ["id"], fact, quar, txn=("ingest", 1)
+    )
+    # rules v2: negative prices are now defaulted upstream, so the
+    # price range check is dropped — row 4 becomes clean; rows 2/3/5
+    # still violate (5 under fewer rules than before -> tags refresh)
+    fixed_checks = {
+        "nonpositive_qty": F.col("qty") <= 0,
+        "null_name": F.col("name").isNull(),
+    }
+    out = dq_replay_quarantine(
+        spark, fixed_checks, ["id"], fact, quar, txn=("requal", 1)
+    )
+    assert out["promoted"] == 1
+    assert sorted(
+        r["id"] for r in fact.read(spark).select("id").collect()
+    ) == [1, 4, 6]
+    q = {
+        r["id"]: sorted(r["violations"])
+        for r in quar.read(spark).select("id", "violations").collect()
+    }
+    assert set(q) == {2, 3, 5}
+    assert q[5] == ["nonpositive_qty", "null_name"]  # refreshed: 2 rules now
+    fv, qv = fact.current_version(), quar.current_version()
+
+    # txn replay of the SAME requalification: nothing moves
+    out2 = dq_replay_quarantine(
+        spark, fixed_checks, ["id"], fact, quar, txn=("requal", 1)
+    )
+    assert out2["promoted"] == -1
+    assert fact.current_version() == fv and quar.current_version() == qv
+
+    # a later requalification with unchanged rules promotes nothing but
+    # still runs (tags rewritten identically)
+    out3 = dq_replay_quarantine(
+        spark, fixed_checks, ["id"], fact, quar, txn=("requal", 2)
+    )
+    assert out3["promoted"] == 0
+    assert sorted(
+        r["id"] for r in fact.read(spark).select("id").collect()
+    ) == [1, 4, 6]
+    assert {
+        r["id"] for r in quar.read(spark).select("id").collect()
+    } == {2, 3, 5}
