@@ -384,3 +384,24 @@ def test_ivf_quantized_is_cluster_equi_join(spark, sf_dir):
     p = plan_of(all_queries()["similarity_ivf_quantized_topk"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_corpus_select_single_partitioned_window_no_global_sort(spark, sf_dir):
+    """Token-budget selection must plan ONE lang-partitioned window (the
+    cumulative token sum) and no global (un-partitioned) sort — the
+    parallel unit is a language slice."""
+    p = plan_of(all_queries()["corpus_select_token_budget"](spark, sf_dir))
+    assert len(re.findall(r"Window ", p)) == 1
+    assert "partial_sum" not in p.split("Window")[0]  # window is the cumsum
+    for m in re.finditer(r"Sort \[([^\]]*)\],\s*(\w+)", p):
+        # every sort is the window's local per-partition sort
+        assert "false" in m.group(2).lower() or "global=false" in p, p
+
+
+def test_rfm_scaled_plans_no_exchange_after_agg(spark, sf_dir):
+    """The RFM scale twin: one keyed aggregation exchange (the customer
+    rollup) and nothing else — the quantile cuts are literals, scoring
+    is a projection."""
+    p = plan_of(all_queries()["rfm_customer_segments_scaled"](spark, sf_dir))
+    assert "Window" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1

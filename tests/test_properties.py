@@ -364,3 +364,41 @@ def test_scd2_incremental_algebra_on_generated_logs(spark, specs, n_batches):
         for (v1, _f1, t1, _n1), (_v2, f2, _t2, _n2) in zip(ivs, ivs[1:]):
             assert t1 == f2  # contiguous
         assert ivs[-1][2] is None  # open current interval
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_codec_roundtrip_property(samples, rate, n_ch):
+    """synth_wav -> _parse_wav is the identity for any 16-bit PCM
+    content, channel count, and rate; decoder energy/peak agree with
+    direct computation (pure-python property — no Spark job per example)."""
+    from datawarehouse_project_spark.operators.multimodal import (
+        _parse_wav,
+        synth_wav,
+        wav_decoder,
+    )
+
+    frames = len(samples) // n_ch
+    samples = samples[: frames * n_ch] if frames else samples[:1]
+    if frames == 0:
+        n_ch = 1
+        frames = len(samples)
+    data = synth_wav(samples, sample_rate=rate, n_channels=n_ch)
+    parsed = _parse_wav(data)
+    assert parsed is not None
+    assert parsed["samples"] == samples
+    assert parsed["sample_rate"] == rate
+    assert parsed["n_channels"] == n_ch
+    assert parsed["n_samples"] == frames
+    feats = wav_decoder(data, "audio")
+    assert feats["decoded"] is True
+    assert feats["sum_sq"] == sum(s * s for s in samples)
+    assert feats["peak"] == max(abs(s) for s in samples)
+    # any byte-level truncation inside the data chunk must never parse
+    assert _parse_wav(data[:-1]) is None
