@@ -26,6 +26,7 @@ from .operators import relational as _relational  # noqa: F401
 from .operators import sampling as _sampling  # noqa: F401
 from .operators import scd as _scd  # noqa: F401
 from .operators import similarity as _similarity  # noqa: F401
+from .operators import sketches as _sketches  # noqa: F401
 from .operators import skew as _skew  # noqa: F401
 from .operators import textstats as _textstats  # noqa: F401
 from .sources import jdbc_scan as _jdbc_scan  # noqa: F401

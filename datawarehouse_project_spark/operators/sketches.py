@@ -1,0 +1,154 @@
+"""Mergeable-sketch rollups: store sketches, not raw keys.
+
+``events_approx_distinct_users`` answers one approximate-distinct query
+in one pass. The WAREHOUSE form of the problem is different: distinct
+users per day are pre-aggregated once, and arbitrary date-range
+questions ("distinct users last week/month/quarter") must be answered
+from the pre-aggregate WITHOUT rescanning events — impossible with
+counts (distinct does not add) but exactly what a mergeable sketch
+gives: union(sketch(A), sketch(B)) == sketch(A ∪ B), so any range is a
+register-wise merge of its days. This is the same algebra the corpus
+overlap operator uses for minhash (``dedup.corpus_source_similarity``),
+here with Spark's built-in Apache DataSketches HLL surface
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``).
+
+Scale posture: the sketch table is O(days × lgK registers) — kilobytes
+per day regardless of corpus size; the daily build is one pass with
+map-side partial sketching (HLL aggregates combine in the partial agg,
+so only registers shuffle, never user ids); range queries touch no raw
+data at all. The mergeability property and error bound are
+pytest-pinned; there is no cross-engine oracle by construction (sketch
+registers are engine-specific), so the registered query is a rows-only
+driver entry like the other sketch op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..plans.registry import register
+from ..session import prepare
+from ..sources.sinks import VersionedParquetTable
+
+#: DataSketches HLL log2(registers) — 12 gives ~1.6 % typical relative
+#: error in a 4 KB sketch; raise for tighter bounds, same algebra.
+LG_K = 12
+
+
+def daily_user_sketches(events: DataFrame, lg_k: int = LG_K) -> DataFrame:
+    """One HLL sketch of ``user_id`` per event day: the pre-aggregate a
+    warehouse stores instead of raw id lists. Map-side partial sketches
+    merge in the aggregation, so the shuffle carries registers only."""
+    return events.groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def range_distinct_users(
+    sketches: DataFrame, day_from: str, day_to: str
+) -> DataFrame:
+    """Distinct users over [day_from, day_to] from stored sketches only:
+    one register-wise union, zero raw-data access."""
+    return (
+        sketches.filter(
+            F.col("day").between(F.lit(day_from), F.lit(day_to))
+        )
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            F.hll_sketch_estimate("merged").alias("approx_users"),
+        )
+    )
+
+
+class DailySketchStore:
+    """Durable daily-sketch table (the warehouse pre-aggregate), with the
+    same ledgered foreachBatch contract as :class:`IncrementalRollup`:
+    each appended batch of events re-sketches ONLY its own days and
+    merges them register-wise into the stored rows — O(batch) work,
+    replay-safe, and any date-range query reads kilobytes."""
+
+    KEYS = ["day"]
+
+    def __init__(self, root: str, lg_k: int = LG_K):
+        self.table = VersionedParquetTable(root)
+        self.lg_k = lg_k
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "sketches",
+    ) -> int:
+        from ..sources.sinks import ConcurrentWriteError
+
+        part = daily_user_sketches(batch, self.lg_k)
+        txn = (app_id, batch_id) if batch_id is not None else None
+        for _ in range(10):
+            if batch_id is not None:
+                last = self.table.last_txn(app_id)
+                if last is not None and batch_id <= last:
+                    return self.table.current_version()
+            base_version = self.table.current_version()
+            state = self.table.read(spark)
+            merged = part
+            if state is not None:
+                batch_days = part.select("day").distinct()
+                affected = state.join(batch_days, "day", "left_semi")
+                merged = (
+                    affected.unionByName(part)
+                    .groupBy("day")
+                    .agg(
+                        F.hll_union_agg("sketch").alias("sketch"),
+                        F.sum("n_events").alias("n_events"),
+                    )
+                )
+            try:
+                return self.table.upsert(
+                    spark,
+                    merged,
+                    self.KEYS,
+                    txn=txn,
+                    expected_base=base_version,
+                )
+            except ConcurrentWriteError:
+                continue  # another writer landed: re-read and re-merge
+        raise RuntimeError(
+            "DailySketchStore.apply_batch lost the commit race 10 times — "
+            "writer contention exceeds the retry budget"
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return self.table.read(spark)
+
+    def range_estimate(
+        self, spark: SparkSession, day_from: str, day_to: str
+    ) -> int:
+        state = self.read(spark)
+        if state is None:
+            raise ValueError(
+                f"sketch store at {self.table.root} is empty: nothing stored"
+            )
+        row = range_distinct_users(state, day_from, day_to).first()
+        return int(row.approx_users)
+
+
+@register("events_daily_sketch_rollup", driver_facing=False)  # no oracle:
+# sketch registers are engine-specific; pytest bounds the estimates
+# against exact distincts and pins the merge algebra instead
+def events_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL user sketches with their estimates, plus each day's
+    estimate error vs nothing hidden: the stored pre-aggregate a range
+    query merges. Columns: day, n_events, approx_users."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    return daily_user_sketches(ev).select(
+        "day",
+        "n_events",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+    )

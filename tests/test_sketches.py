@@ -1,0 +1,105 @@
+"""HLL daily-sketch rollups: estimate accuracy vs exact distincts, the
+merge algebra (union of day sketches == range answer, no raw rescans),
+and the durable store's incremental/replay contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.catalog import all_queries
+from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.operators.sketches import (
+    DailySketchStore,
+    daily_user_sketches,
+    range_distinct_users,
+)
+
+#: DataSketches HLL at lg_k=12 has ~1.6 % typical relative standard
+#: error; 5 % absorbs tail draws across every generated day.
+REL_TOL = 0.05
+
+
+def _exact_by_day(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return {
+        r.day: r.exact
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+
+
+def test_daily_estimates_within_error_bound(spark, sf_dir):
+    exact = _exact_by_day(spark, sf_dir)
+    got = {
+        r.day: r.approx_users
+        for r in all_queries()["events_daily_sketch_rollup"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(exact) and len(got) >= 5
+    for day, est in got.items():
+        assert abs(est - exact[day]) <= max(2, REL_TOL * exact[day]), (
+            day,
+            est,
+            exact[day],
+        )
+
+
+def test_range_merge_answers_without_rescan(spark, sf_dir):
+    """union(sketch(day_i)) must estimate the distinct of the UNION of
+    days within the bound — the property that lets a kilobyte table
+    answer any range; and the merged estimate must not be the sum of
+    days (users repeat across days, a plain rollup would overcount)."""
+    ev = table(spark, sf_dir, "events")
+    sketches = daily_user_sketches(ev).localCheckpoint(eager=True)
+    days = sorted(r.day for r in sketches.select("day").collect())
+    lo, hi = str(days[0]), str(days[len(days) // 2])
+    est = range_distinct_users(sketches, lo, hi).first().approx_users
+    exact = (
+        ev.filter(F.to_date("ts").between(F.lit(lo), F.lit(hi)))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) <= max(2, REL_TOL * exact)
+    day_sum = sum(
+        r.approx_users
+        for r in all_queries()["events_daily_sketch_rollup"](spark, sf_dir)
+        .filter(F.col("day").between(F.lit(lo), F.lit(hi)))
+        .collect()
+    )
+    assert day_sum > est * 1.5  # users repeat daily: merge != sum
+
+
+def test_sketch_store_incremental_equals_one_shot_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Two event batches folded into the store must answer range queries
+    within the same error bound as a one-shot build (register-wise merge
+    algebra), and a replayed batch must be absorbed by the ledger."""
+    ev = table(spark, sf_dir, "events")
+    lo_half = ev.filter(F.col("event_id") % 2 == 0)
+    hi_half = ev.filter(F.col("event_id") % 2 == 1)
+
+    inc = DailySketchStore(str(tmp_path / "inc"))
+    inc.apply_batch(spark, lo_half, batch_id=0)
+    inc.apply_batch(spark, hi_half, batch_id=1)
+    full = DailySketchStore(str(tmp_path / "full"))
+    full.apply_batch(spark, ev, batch_id=0)
+
+    days = sorted(str(r.day) for r in inc.read(spark).select("day").collect())
+    assert days == sorted(
+        str(r.day) for r in full.read(spark).select("day").collect()
+    )
+    span = (days[0], days[-1])
+    est_inc = inc.range_estimate(spark, *span)
+    est_full = full.range_estimate(spark, *span)
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est_inc - exact) <= max(2, REL_TOL * exact)
+    assert abs(est_full - exact) <= max(2, REL_TOL * exact)
+
+    v = inc.table.current_version()
+    inc.apply_batch(spark, hi_half, batch_id=1)  # replay
+    assert inc.table.current_version() == v
+    assert inc.range_estimate(spark, *span) == est_inc
