@@ -524,7 +524,7 @@ def test_rfm_scaled_equals_exact_on_distinct_values(spark):
     )
     got = {
         r.o_custkey: (r.r_score, r.f_score, r.m_score)
-        for r in rfm_quantile_scores(base).collect()
+        for r in rfm_quantile_scores(base, relative_error=0.0).collect()
     }
     w_r = Window.orderBy(F.desc("r_days"), "o_custkey")
     w_f = Window.orderBy(F.asc("n_orders"), "o_custkey")
