@@ -1327,3 +1327,11 @@ ranked AS (
 SELECT doc_id, lang, n_tokens, quality, cum_tokens
 FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
 """
+
+
+# text_idf_quality_scores has NO SQL twin on purpose: even within one
+# engine, two different plans sum ln() terms in different partial-agg
+# orders, so the dual-surface strict-equality gate would flake on the
+# last ulp (measured: 8.2873914575032 vs ...3201). Its gate is the
+# tolerance-based DuckDB differential in tests/test_docs_pipeline.py —
+# the same reason the engine keeps integer cores for hash-gated scores.
