@@ -405,3 +405,13 @@ def test_rfm_scaled_plans_no_exchange_after_agg(spark, sf_dir):
     p = plan_of(all_queries()["rfm_customer_segments_scaled"](spark, sf_dir))
     assert "Window" not in p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_sketch_rollup_partial_aggregates_registers(spark, sf_dir):
+    """Daily HLL sketches must partial-aggregate map-side (two
+    ObjectHashAggregate levels around one exchange): only registers
+    shuffle, never user ids — the property that makes the pre-aggregate
+    O(days), not O(users)."""
+    p = plan_of(all_queries()["events_daily_sketch_rollup"](spark, sf_dir))
+    assert p.count("ObjectHashAggregate") >= 2, p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
