@@ -84,6 +84,22 @@ class IvfVectorIndex:
     def read(self, spark: SparkSession) -> DataFrame | None:
         return self.table.read(spark)
 
+    def remove(
+        self,
+        spark: SparkSession,
+        vec_ids: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "ivf-index-del",
+    ) -> int:
+        """Drop vectors from the index (corpus deletions / takedowns):
+        a ledgered DELETE on the key — removed ids stop appearing in
+        query results immediately (next snapshot), replay-safe like
+        add_batch. Completes the index's CRUD surface."""
+        txn = (app_id, batch_id) if batch_id is not None else None
+        return self.table.delete(
+            spark, vec_ids.select("vec_id"), self.KEYS, txn=txn
+        )
+
     def query_topk(
         self,
         spark: SparkSession,

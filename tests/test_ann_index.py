@@ -137,3 +137,33 @@ def test_streaming_embedding_ingest_foreachbatch(spark, sf_dir, tmp_path):
     run_stream()  # full replay, no checkpoint
     assert idx.table.current_version() == v
     assert _canon_index(idx.read(spark)) == _canon_index(one_shot.read(spark))
+
+
+def test_remove_drops_vectors_from_results(spark, sf_dir, tmp_path):
+    """Deleted vectors vanish from query answers (the takedown path),
+    the removal is replay-safe, and remaining answers re-rank exactly as
+    if the index had been built without the removed ids."""
+    emb = table(spark, sf_dir, "embeddings")
+    idx = IvfVectorIndex(str(tmp_path / "del"))
+    idx.add_batch(spark, emb, batch_id=0)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    first = idx.query_topk(spark, queries)
+    victims = {r.neighbor_id for r in first.filter(F.col("rank") == 1).collect()}
+    victims_df = spark.createDataFrame(
+        [(int(v),) for v in victims], "vec_id long"
+    )
+    v = idx.remove(spark, victims_df, batch_id=0)
+    after = idx.query_topk(spark, queries)
+    assert not (
+        {r.neighbor_id for r in after.collect()} & victims
+    ), "removed vectors still returned"
+    # equivalent to an index never containing the victims
+    clean = IvfVectorIndex(str(tmp_path / "clean"))
+    clean.add_batch(
+        spark,
+        emb.join(victims_df, "vec_id", "left_anti"),
+        batch_id=0,
+    )
+    assert _canon_topk(after) == _canon_topk(clean.query_topk(spark, queries))
+    # replay of the same removal batch is absorbed
+    assert idx.remove(spark, victims_df, batch_id=0) == v

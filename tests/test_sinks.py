@@ -612,3 +612,44 @@ def test_delete_and_cdc_sync_round_trip(spark, tmp_path):
     assert sorted((r.k, r.v) for r in rep.read(spark).collect()) == sorted(
         (r.k, r.v) for r in src.read(spark).collect()
     )
+
+
+def test_cdc_sync_survives_compaction_in_the_middle(spark, tmp_path):
+    """OPTIMIZE must be invisible to CDC consumers: a compaction version
+    produces an EMPTY diff (layout-only, same rows), and a replica
+    syncing successive diffs straight across the compaction boundary
+    stays value-identical without gaining a version for the no-op feed."""
+    from datawarehouse_project_spark.sources.sinks import (
+        VersionedParquetTable,
+        apply_changes,
+        diff_versions,
+    )
+
+    src = VersionedParquetTable(str(tmp_path / "src"))
+    src.upsert(
+        spark,
+        spark.createDataFrame([(k, "v%d" % k) for k in range(50)], "k long, v string"),
+        pk=["k"],
+    )  # v1
+    src.upsert(
+        spark,
+        spark.createDataFrame([(1, "V1"), (99, "new")], "k long, v string"),
+        pk=["k"],
+    )  # v2
+    cv = src.compact(spark, target_files=1)  # v3: layout only
+    assert cv == 3
+    assert diff_versions(spark, src, ["k"], 2, 3).count() == 0
+    src.delete(spark, spark.createDataFrame([(0,)], "k long"), pk=["k"])  # v4
+
+    rep = VersionedParquetTable(str(tmp_path / "rep"))
+    versions_applied = 0
+    for v_to in range(1, src.current_version() + 1):
+        feed = diff_versions(spark, src, ["k"], v_to - 1, v_to)
+        apply_changes(spark, feed, rep, ["k"], txn=("sync", v_to))
+        versions_applied += int(bool(feed.limit(1).count()))
+        assert rep.current_version() == versions_applied
+    assert sorted((r.k, r.v) for r in rep.read(spark).collect()) == sorted(
+        (r.k, r.v) for r in src.read(spark).collect()
+    )
+    # the compaction contributed no replica version
+    assert rep.current_version() == 3  # v1, v2, v4 feeds only
