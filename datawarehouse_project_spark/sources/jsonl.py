@@ -82,3 +82,81 @@ def jsonl_clean(df: DataFrame) -> DataFrame:
     return df.filter(F.col(CORRUPT_COL).isNull()).drop(
         CORRUPT_COL, "_src_file", "_ordinal"
     )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str,
+    order_key: str | None = None,
+    manifest: bool = True,
+) -> dict:
+    """The export half of the interchange loop: write a corpus as JSONL
+    shards the way a training job consumes them — ``n_shards`` files,
+    rows assigned by hash of ``shard_key`` (stable under re-runs and
+    incremental re-exports; pair with
+    ``sampling.corpus_shard_assignments`` to choose the layout) and
+    ordered inside each shard by ``order_key`` (default: the shard key),
+    so a reader streaming one file sequentially sees a deterministic
+    order. One shuffle — the one any shard writer pays.
+
+    Internal columns (``_src_file``/``_ordinal``/``_corrupt_record``
+    et al.) are dropped: they describe THIS engine's scan, not the data.
+    JSON is written with ``to_json`` (ignoreNullFields=false, so a NULL
+    field round-trips as an explicit ``null`` instead of vanishing from
+    the schema).
+
+    With ``manifest=True`` a ``_MANIFEST.json`` lands beside the shards
+    AFTER the data (write-then-publish: a consumer that requires the
+    manifest never sees a half-written export) recording per-shard file
+    names, row counts, byte sizes, and the total — the handshake a
+    downstream loader validates against. Returns the manifest dict."""
+    import json as _json
+    import os
+
+    cols = [c for c in df.columns if not c.startswith("_")]
+    order = order_key or shard_key
+    out = (
+        df.select(*cols)
+        .repartition(n_shards, F.col(shard_key))
+        .sortWithinPartitions(order)
+        .select(
+            F.to_json(
+                F.struct(*cols), {"ignoreNullFields": "false"}
+            ).alias("value")
+        )
+    )
+    out.write.mode("overwrite").text(path)
+    shards = sorted(
+        f for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    per_shard = []
+    total = 0
+    for f in shards:
+        full = os.path.join(path, f)
+        n = 0
+        with open(full, "rb") as fh:
+            for _ in fh:
+                n += 1
+        total += n
+        per_shard.append(
+            {"file": f, "rows": n, "bytes": os.path.getsize(full)}
+        )
+    doc = {
+        "format": "jsonl",
+        "n_shards": len(per_shard),
+        "total_rows": total,
+        "shard_key": shard_key,
+        "order_key": order,
+        "shards": per_shard,
+    }
+    if manifest:
+        tmp = os.path.join(path, "._MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(doc, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    return doc

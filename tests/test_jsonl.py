@@ -83,3 +83,71 @@ def test_jsonl_gz_shard_reads_but_is_single_task(spark, tmp_path):
     df = jsonl_clean(read_jsonl(spark, shard, DOCUMENT_SCHEMA))
     assert df.count() == 3
     assert df.rdd.getNumPartitions() == 1
+
+
+def test_write_jsonl_round_trip_with_manifest(spark, sf_dir, tmp_path):
+    """Export -> re-ingest is the identity on data columns; shards carry
+    a deterministic in-file order; the manifest's counts match both the
+    files and the frame; nulls survive as explicit JSON nulls."""
+    import json
+    import os
+
+    from datawarehouse_project_spark.io import table
+    from datawarehouse_project_spark.sources.jsonl import (
+        DOCUMENT_SCHEMA,
+        jsonl_clean,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "export")
+    doc = write_jsonl(docs, out, n_shards=4, shard_key="doc_id")
+    assert doc["n_shards"] == 4
+    assert doc["total_rows"] == docs.count()
+    m = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert m == doc
+    for shard in m["shards"]:
+        p = os.path.join(out, shard["file"])
+        assert os.path.getsize(p) == shard["bytes"]
+        with open(p) as fh:
+            lines = fh.read().splitlines()
+        assert len(lines) == shard["rows"]
+        ids = [json.loads(ln)["doc_id"] for ln in lines]
+        assert ids == sorted(ids)  # in-shard order key
+    back = jsonl_clean(read_jsonl(spark, out, DOCUMENT_SCHEMA))
+    want = sorted(map(str, docs.collect()))
+    got = sorted(
+        map(str, back.select(*docs.columns).collect())
+    )
+    assert got == want
+    # determinism: a re-export writes byte-identical shard contents
+    out2 = str(tmp_path / "export2")
+    doc2 = write_jsonl(docs, out2, n_shards=4, shard_key="doc_id")
+    assert [s["rows"] for s in doc2["shards"]] == [
+        s["rows"] for s in doc["shards"]
+    ]
+    for a, b in zip(doc["shards"], doc2["shards"]):
+        pa = os.path.join(out, a["file"]); pb = os.path.join(out2, b["file"])
+        assert open(pa, "rb").read() == open(pb, "rb").read()
+
+
+def test_write_jsonl_preserves_explicit_nulls(spark, tmp_path):
+    import json
+    import os
+
+    from datawarehouse_project_spark.sources.jsonl import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, "hello", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "nulls")
+    write_jsonl(df, out, n_shards=1, shard_key="doc_id")
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-") and not f.endswith(".crc"):
+            lines += open(os.path.join(out, f)).read().splitlines()
+    rows = {json.loads(ln)["doc_id"]: json.loads(ln) for ln in lines}
+    assert rows[1]["text"] is None and "text" in rows[1]
+    assert rows[2]["lang"] is None and "lang" in rows[2]
