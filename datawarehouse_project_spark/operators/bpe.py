@@ -1,0 +1,160 @@
+"""BPE merge-rule training — the tokenizer-building step of a training
+pipeline, Spark-first.
+
+Byte-pair encoding trains on the WORD-FREQUENCY table, not the raw
+corpus: one corpus-wide aggregation produces (word, count), and every
+merge round after that touches only that table — the asymmetry that
+makes BPE tractable at 100 TB (the corpus pass is O(corpus) once; the
+K merge rounds are O(vocabulary) each, and a real vocabulary is
+10³–10⁷ rows no matter how big the corpus is).
+
+Per round, entirely in Catalyst expressions:
+
+* adjacent symbol pairs explode from each word's symbol array,
+  weighted by word count; a two-level aggregate finds the max-count
+  pair (deterministic tie-break: count DESC, then pair ASC — pinned,
+  because real BPE implementations differ exactly here);
+* the winning pair returns to the driver (ONE tiny row per round — the
+  same bounded-driver-action pattern as the IVF centroids and RFM
+  cuts) and re-enters the plan as literals;
+* the merge itself is a left-to-right greedy fold over each word's
+  symbol array via the ``aggregate`` higher-order function (state =
+  (rebuilt array, pending symbol); 'aaa' under merge (a,a) becomes
+  ['aa','a'] — the standard greedy semantics, pinned against a pure
+  Python reference);
+* the word table is ``localCheckpoint``'d per round (same star-rounds
+  lineage-truncation discipline as the connected-components loop).
+
+No DuckDB oracle — the loop is genuinely iterative (the round-N input
+depends on round-N-1's argmax), which SQL cannot state; the gate is a
+golden differential against an independent pure-Python BPE in
+tests/test_bpe.py, plus symbol-conservation invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+from ..io import release_checkpoint, spread, table
+from ..plans.registry import register
+from ..session import prepare
+
+#: Merge rounds for the registered exemplar — enough to produce
+#: multi-character subwords on the test corpora while keeping the
+#: round-trip fast; the API takes any K.
+N_MERGES = 12
+
+#: End-of-word marker (the classic sentinel): distinguishes "t h e </w>"
+#: from the prefix "t h e" inside "t h e m </w>", exactly as the
+#: original BPE formulation does.
+EOW = "</w>"
+
+
+def word_freq_table(docs: DataFrame) -> DataFrame:
+    """(word, count) over the corpus — the ONE corpus-wide pass."""
+    return (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _initial_symbols(word_col) -> F.Column:
+    """Characters + the end-of-word sentinel."""
+    return F.concat(
+        F.split(word_col, ""), F.array(F.lit(EOW))
+    )
+
+
+def _merge_expr(left: str, right: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (left, right) in ``syms``
+    as a Catalyst fold: state is (rebuilt array, pending symbol)."""
+    merged = left + right
+    step = lambda acc, s: F.when(  # noqa: E731
+        acc["pend"].isNull(),
+        F.struct(acc["out"].alias("out"), s.alias("pend")),
+    ).when(
+        (acc["pend"] == F.lit(left)) & (s == F.lit(right)),
+        F.struct(
+            F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+            s.alias("pend"),
+        )
+    )
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    finish = lambda acc: F.when(  # noqa: E731
+        acc["pend"].isNull(), acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+    return F.aggregate(F.col("syms"), init, step, finish)
+
+
+def train_bpe_merges(
+    spark: SparkSession, docs: DataFrame, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules; returns
+    [(left, right, weighted_pair_count), ...] in training order.
+    Stops early if no adjacent pair remains."""
+    vocab = (
+        word_freq_table(docs)
+        .select(_initial_symbols(F.col("word")).alias("syms"), "n")
+        .localCheckpoint(eager=True)
+    )
+    rules: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            ).filter(F.size("syms") >= 2)
+            counted = pairs.groupBy("p").agg(F.sum("n").alias("c"))
+            top = counted.orderBy(
+                F.desc("c"), F.col("p.l"), F.col("p.r")
+            ).limit(1).collect()
+            if not top:
+                break
+            left, right, c = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["c"]
+            rules.append((left, right, int(c)))
+            nxt = vocab.select(
+                _merge_expr(left, right).alias("syms"), "n"
+            ).localCheckpoint(eager=True)
+            release_checkpoint(vocab)
+            vocab = nxt
+    finally:
+        release_checkpoint(vocab)
+    return rules
+
+
+@register("bpe_merge_rules", driver_facing=False)  # no oracle: the loop
+# is genuinely iterative (round N consumes round N-1's argmax), which SQL
+# cannot state — golden-differential-gated against a pure-Python BPE in
+# tests/test_bpe.py instead
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table as a DataFrame: (rank, left, right,
+    merged, pair_count) — what a tokenizer ships as its merges.txt."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    rules = train_bpe_merges(spark, docs, N_MERGES)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, left + right, c)
+            for i, (left, right, c) in enumerate(rules)
+        ],
+        "rank int, left string, right string, merged string, pair_count long",
+    )

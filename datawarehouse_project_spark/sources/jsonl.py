@@ -111,7 +111,11 @@ def write_jsonl(
     AFTER the data (write-then-publish: a consumer that requires the
     manifest never sees a half-written export) recording per-shard file
     names, row counts, byte sizes, and the total — the handshake a
-    downstream loader validates against. Returns the manifest dict."""
+    downstream loader validates against. Returns the manifest dict.
+    The manifest pass lists/counts through the LOCAL filesystem (this
+    container's layout); on HDFS/S3 swap the ``os`` calls for the
+    Hadoop FileSystem API — the write-then-publish protocol is
+    unchanged, and object stores make the final rename a copy."""
     import json as _json
     import os
 

@@ -1,0 +1,110 @@
+"""BPE merge training: golden differential against an independent
+pure-Python reference, greedy-merge semantics, and conservation
+invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.catalog import all_queries
+from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.functions.text import words  # noqa: F401
+from datawarehouse_project_spark.operators.bpe import (
+    EOW,
+    N_MERGES,
+    train_bpe_merges,
+)
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    """Independent reference: textbook BPE on a word-frequency table
+    with (count DESC, pair ASC) tie-breaks and greedy left-to-right
+    merging."""
+    vocab = {
+        tuple(list(w) + [EOW]): n for w, n in word_counts.items()
+    }
+    rules = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += n
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        rules.append((left, right, c))
+        merged = left + right
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == left and s == right:
+                    out.append(merged)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return rules
+
+
+def _word_counts(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return {
+        r.word: r.n
+        for r in docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def test_bpe_matches_pure_python_reference(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    got = train_bpe_merges(spark, docs, N_MERGES)
+    want = _py_bpe(_word_counts(spark, sf_dir), N_MERGES)
+    assert got == want
+    # multi-character subwords actually emerged
+    assert any(len(left) > 1 or len(right) > 1 for left, right, _ in got)
+
+
+def test_bpe_registered_table_shape(spark, sf_dir):
+    out = all_queries()["bpe_merge_rules"](spark, sf_dir).collect()
+    assert len(out) == N_MERGES
+    assert [r.rank for r in out] == list(range(1, N_MERGES + 1))
+    for r in out:
+        assert r.merged == r.left + r.right
+        assert r.pair_count > 0
+    # training order: a merged symbol can only appear in LATER rules
+    seen = set()
+    for r in out:
+        assert (
+            r.left in seen or len(r.left.replace(EOW, "x")) == 1
+        ), r.left
+        assert (
+            r.right in seen or len(r.right.replace(EOW, "x")) == 1
+        ), r.right
+        seen.add(r.merged)
+
+
+def test_bpe_greedy_merge_on_repeats(spark):
+    """'aaaa' under merge (a,a): greedy left-to-right gives exactly
+    ['aa','aa',EOW] — the overlap case every BPE implementation must
+    pin down."""
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    rules = train_bpe_merges(spark, df, 1)
+    assert rules[0][:2] == ("a", "a") and rules[0][2] == 3
+    rules2 = train_bpe_merges(spark, df, 2)
+    # round 2 ties at count 1: ('aa','</w>') vs ('aa','aa') — the ASC
+    # pair tie-break picks '</w>' ('<' sorts below 'a' in UTF-8)
+    assert rules2[1][:2] == ("aa", EOW)
