@@ -158,3 +158,51 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, left string, right string, merged string, pair_count long",
     )
+
+
+def bpe_segment_words(
+    spark: SparkSession, docs: DataFrame, rules: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Apply learned merges to every DISTINCT word: (word, subwords
+    array). The scale asymmetry again — segmentation costs O(vocabulary
+    × K), never O(corpus); the corpus only ever joins against this
+    table by word."""
+    seg = word_freq_table(docs).select(
+        "word", _initial_symbols(F.col("word")).alias("syms")
+    )
+    for left, right, _ in rules:
+        seg = seg.select("word", _merge_expr(left, right).alias("syms"))
+    return seg.select("word", F.col("syms").alias("subwords"))
+
+
+@register("bpe_token_counts", driver_facing=False)  # no oracle: consumes
+# the iterative trainer's rules; gated by the python-reference
+# differential in tests/test_bpe.py
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE: per document, the
+    subword-token count before vs after merging (the compression a
+    tokenizer buys). Plan: train on the word table, segment the
+    VOCABULARY once, then one explode + broadcast-ish equi-join of
+    corpus words against the segmentation table and a per-doc
+    re-aggregation — the corpus is never touched by the merge loop."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    rules = train_bpe_merges(spark, docs, N_MERGES)
+    seg = bpe_segment_words(spark, docs, rules).select(
+        "word", F.size("subwords").alias("n_subwords")
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(words("text")).alias("word")
+    )
+    return (
+        doc_words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_subwords").cast("bigint").alias("n_bpe_tokens"),
+            # chars+EOW per word is the untrained-token baseline
+            F.sum(F.length("word") + F.lit(1))
+            .cast("bigint")
+            .alias("n_char_tokens"),
+        )
+    )

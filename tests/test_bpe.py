@@ -108,3 +108,51 @@ def test_bpe_greedy_merge_on_repeats(spark):
     # round 2 ties at count 1: ('aa','</w>') vs ('aa','aa') — the ASC
     # pair tie-break picks '</w>' ('<' sorts below 'a' in UTF-8)
     assert rules2[1][:2] == ("aa", EOW)
+
+
+def test_bpe_tokenize_matches_reference_segmentation(spark, sf_dir):
+    """Segmenting the vocabulary with the learned rules must match the
+    pure-Python application of the same rules word-for-word, and the
+    per-doc token counts must shrink vs the character baseline."""
+    from datawarehouse_project_spark.operators.bpe import (
+        bpe_segment_words,
+        train_bpe_merges,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    rules = train_bpe_merges(spark, docs, N_MERGES)
+    got = {
+        r.word: tuple(r.subwords)
+        for r in bpe_segment_words(spark, docs, rules).collect()
+    }
+
+    def apply_rules(word):
+        syms = list(word) + [EOW]
+        for left, right, _ in rules:
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == left and s == right:
+                    out.append(left + right)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        return tuple(syms)
+
+    assert set(got) == set(_word_counts(spark, sf_dir))
+    for w, subwords in got.items():
+        assert subwords == apply_rules(w), w
+        assert "".join(subwords) == w + EOW  # conservation
+
+    counts = all_queries()["bpe_token_counts"](spark, sf_dir).collect()
+    assert len(counts) > 0
+    total_bpe = sum(r.n_bpe_tokens for r in counts)
+    total_chars = sum(r.n_char_tokens for r in counts)
+    assert total_bpe < total_chars  # the merges actually compress
+    for r in counts:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_char_tokens
