@@ -90,7 +90,13 @@ def _runs_frame(events: DataFrame) -> DataFrame:
         F.sum("chg").over(wsum).cast("bigint").alias("version"),
     )
     return numbered.groupBy("user_id", "version", "event_type").agg(
-        F.min("ts").alias("valid_from"), F.count("*").alias("run_events")
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("run_events"),
+        # the run's event-time high-watermark: what the incremental
+        # maintainer's late-batch guard compares against (a late batch
+        # can land AFTER the open row's valid_from but before its last
+        # folded event — valid_from alone cannot catch that)
+        F.max("ts").alias("last_ts"),
     )
 
 
@@ -98,6 +104,7 @@ def _close_intervals(runs: DataFrame) -> DataFrame:
     """Attach ``valid_to`` = next run's ``valid_from`` (NULL on the open
     interval) — reuses the user_id clustering, no extra shuffle."""
     wlead = Window.partitionBy("user_id").orderBy("version")
+    extra = ["last_ts"] if "last_ts" in runs.columns else []
     return runs.select(
         "user_id",
         "version",
@@ -105,6 +112,7 @@ def _close_intervals(runs: DataFrame) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(wlead).alias("valid_to"),
         "run_events",
+        *extra,
     )
 
 
@@ -324,6 +332,11 @@ class IncrementalScd2:
                 )
             else:
                 batch_users = runs.select("user_id").distinct()
+                cur_last = (
+                    F.col("last_ts")
+                    if "last_ts" in state.columns
+                    else F.col("valid_from")  # pre-last_ts stores: degrade
+                )
                 cur = (
                     state.filter(F.col("valid_to").isNull())
                     .join(F.broadcast(batch_users), "user_id", "left_semi")
@@ -333,6 +346,7 @@ class IncrementalScd2:
                         F.col("event_type").alias("cur_type"),
                         F.col("valid_from").alias("cur_from"),
                         F.col("run_events").alias("cur_events"),
+                        cur_last.alias("cur_last"),
                     )
                 )
                 first = (
@@ -351,6 +365,7 @@ class IncrementalScd2:
                         "cur_type",
                         "cur_from",
                         "cur_events",
+                        "cur_last",
                         F.col("valid_from").alias("batch_start"),
                     )
                 )
@@ -361,18 +376,22 @@ class IncrementalScd2:
                 # instead. One extra action over the broadcast-sized
                 # ``first`` frame (runs is checkpointed), so ~free.
                 late = first.filter(
-                    F.col("cur_from").isNotNull()
-                    & (F.col("batch_start") < F.col("cur_from"))
-                ).select("user_id", "batch_start", "cur_from")
+                    F.col("cur_version").isNotNull()
+                    & (
+                        F.col("batch_start")
+                        < F.coalesce(F.col("cur_last"), F.col("cur_from"))
+                    )
+                ).select("user_id", "batch_start", "cur_last")
                 sample = late.limit(3).collect()
                 if sample:
                     raise ValueError(
                         "IncrementalScd2: batch violates the event-time-"
                         "ordered contract — events precede the stored open "
-                        f"row for user(s) {[r.user_id for r in sample]} "
+                        f"run's last event for user(s) "
+                        f"{[r.user_id for r in sample]} "
                         f"(e.g. batch starts {sample[0].batch_start} < open "
-                        f"valid_from {sample[0].cur_from}); replay history "
-                        "in order or rebuild with Scd2 full recompute"
+                        f"run high-watermark {sample[0].cur_last}); replay "
+                        "history in order or rebuild with a full recompute"
                     )
                 joined = runs.join(first, "user_id")
                 new_rows = joined.select(
@@ -395,6 +414,7 @@ class IncrementalScd2:
                             F.col("cur_events"),
                         ).otherwise(F.lit(0).cast("bigint"))
                     ).alias("run_events"),
+                    "last_ts",
                 )
                 closed_old = (
                     first.filter(
@@ -407,6 +427,7 @@ class IncrementalScd2:
                         F.col("cur_from").alias("valid_from"),
                         F.col("batch_start").alias("valid_to"),
                         F.col("cur_events").alias("run_events"),
+                        F.col("cur_last").alias("last_ts"),
                     )
                 )
                 delta = _close_intervals(new_rows).unionByName(closed_old)

@@ -85,10 +85,24 @@ class DailySketchStore:
         batch_id: int | None = None,
         app_id: str = "sketches",
     ) -> int:
+        from ..io import release_checkpoint
+
+        # sketch the batch ONCE: the partial feeds batch_days + the
+        # union merge, plus every CAS retry — without the checkpoint the
+        # batch-wide hll_sketch_agg (the expensive step) re-runs per
+        # consumer (same shape, same fix as IncrementalScd2's runs frame)
+        part = daily_user_sketches(batch, self.lg_k).localCheckpoint(
+            eager=True
+        )
+        txn = (app_id, batch_id) if batch_id is not None else None
+        try:
+            return self._apply_part(spark, part, txn, app_id, batch_id)
+        finally:
+            release_checkpoint(part)
+
+    def _apply_part(self, spark, part, txn, app_id, batch_id) -> int:
         from ..sources.sinks import ConcurrentWriteError
 
-        part = daily_user_sketches(batch, self.lg_k)
-        txn = (app_id, batch_id) if batch_id is not None else None
         for _ in range(10):
             if batch_id is not None:
                 last = self.table.last_txn(app_id)
@@ -135,16 +149,18 @@ class DailySketchStore:
                 f"sketch store at {self.table.root} is empty: nothing stored"
             )
         row = range_distinct_users(state, day_from, day_to).first()
-        return int(row.approx_users)
+        # hll_union_agg over zero stored days yields NULL: the range
+        # holds no data, so its distinct count is 0
+        return int(row.approx_users) if row.approx_users is not None else 0
 
 
 @register("events_daily_sketch_rollup", driver_facing=False)  # no oracle:
 # sketch registers are engine-specific; pytest bounds the estimates
 # against exact distincts and pins the merge algebra instead
 def events_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day HLL user sketches with their estimates, plus each day's
-    estimate error vs nothing hidden: the stored pre-aggregate a range
-    query merges. Columns: day, n_events, approx_users."""
+    """Per-day HLL user sketches rendered as estimates — the stored
+    pre-aggregate a range query merges. Columns: day, n_events,
+    approx_users."""
     prepare(spark)
     ev = table(spark, sf_dir, "events")
     return daily_user_sketches(ev).select(

@@ -328,6 +328,18 @@ def affinity_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # the returned frame stays lazy, so there is no scope to release the
+    # checkpoint in — instead cap accumulation at ONE live checkpoint per
+    # session: each rebuild releases the previous builder's blocks
+    from ..io import release_checkpoint
+
+    prev = getattr(spark, "_dw_basket_ckpt", None)
+    if prev is not None:
+        try:
+            release_checkpoint(prev)
+        except Exception:
+            pass  # already cleaned by GC/ContextCleaner
+    spark._dw_basket_ckpt = op
     n_orders = op.select(
         F.count_distinct("order_id").alias("n")
     )
@@ -483,10 +495,11 @@ def rfm_quantile_scores(
     Greenwald-Khanna summary keep every value (measured 1.8 s vs 0.9 s
     at sf1 and unbounded driver memory at scale) — exactly the failure
     the twin exists to avoid."""
-    cuts = {
-        c: base.approxQuantile(c, [0.2, 0.4, 0.6, 0.8], relative_error)
-        for c in ("r_days", "n_orders", "monetary")
-    }
+    metric_cols = ["r_days", "n_orders", "monetary"]
+    all_cuts = base.approxQuantile(
+        metric_cols, [0.2, 0.4, 0.6, 0.8], relative_error
+    )  # ONE action: all 12 cuts from a single base-aggregate execution
+    cuts = dict(zip(metric_cols, all_cuts))
 
     def asc_score(col: str):  # score 5 = highest value
         s = F.lit(1)

@@ -115,10 +115,14 @@ def materialize_fact(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Write the enriched fact ONCE as a durable parquet table,
     partitioned by order year — the reference's own warehouse posture
     (metro.sql:64-86 INSERT INTO FACT_TRANSACTIONS: enrich once, query
-    many). Every year/quarter/month predicate in the OLAP catalog then
-    partition-prunes at the scan instead of re-running the 4-join
-    enrichment, which is exactly the trade a 100 TB warehouse makes: the
-    enrichment cost amortizes over every downstream query."""
+    many). What the layout buys, precisely: queries that filter on
+    ``order_year`` get directory-level partition pruning; the catalog's
+    ``order_date``-range predicates do NOT map to the partition column
+    (Catalyst does not infer year(d)=1997 from a date range — measured,
+    PERFORMANCE.md round 9) and rely on parquet row-group min/max
+    skipping instead, which the year-aligned file layout makes exactly
+    as selective. Either way the 4-join enrichment never re-runs — the
+    trade a 100 TB warehouse makes, amortized over every query."""
     from ..plans.star import fact
 
     (

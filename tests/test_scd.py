@@ -570,3 +570,44 @@ def test_rfm_scaled_invariants_and_no_global_sort(spark, sf_dir):
                 assert getattr(a, score) == getattr(b, score)
             else:
                 assert getattr(a, score) <= getattr(b, score)
+
+
+def test_incremental_scd2_rejects_mid_run_late_batch(spark, tmp_path):
+    """The round-9 review case: a late batch whose events land AFTER the
+    open row's valid_from but BEFORE its last folded event (the window
+    the old valid_from-only guard could not see) must raise, not close
+    the open run mid-history."""
+    import datetime as dt
+
+    import pytest
+
+    from datawarehouse_project_spark.operators.scd import IncrementalScd2
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = dt.datetime(2024, 1, 1)
+    first = spark.createDataFrame(
+        [
+            (1, t, 7, "a", 1.0, ""),
+            (2, t + dt.timedelta(hours=100), 7, "a", 1.0, ""),
+        ],
+        schema,
+    )
+    late = spark.createDataFrame(
+        [(3, t + dt.timedelta(hours=50), 7, "b", 1.0, "")], schema
+    )
+    inc = IncrementalScd2(str(tmp_path / "midlate"))
+    inc.apply_batch(spark, first, batch_id=0)
+    before = _scd2_canon(inc.read(spark))
+    with pytest.raises(ValueError, match="high-watermark"):
+        inc.apply_batch(spark, late, batch_id=1)
+    assert _scd2_canon(inc.read(spark)) == before
+    # the boundary itself is legal: an event AT the high-watermark
+    at_hwm = spark.createDataFrame(
+        [(4, t + dt.timedelta(hours=100), 7, "b", 1.0, "")], schema
+    )
+    inc.apply_batch(spark, at_hwm, batch_id=1)
+    rows = {r.version: r.event_type for r in inc.read(spark).collect()}
+    assert rows == {1: "a", 2: "b"}

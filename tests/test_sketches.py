@@ -103,3 +103,13 @@ def test_sketch_store_incremental_equals_one_shot_and_replays(
     inc.apply_batch(spark, hi_half, batch_id=1)  # replay
     assert inc.table.current_version() == v
     assert inc.range_estimate(spark, *span) == est_inc
+
+
+def test_range_estimate_empty_range_is_zero(spark, sf_dir, tmp_path):
+    """A range with no stored days estimates 0 (hll_union_agg over
+    nothing is NULL, not a crash)."""
+    from datawarehouse_project_spark.io import table
+
+    store = DailySketchStore(str(tmp_path / "empty_range"))
+    store.apply_batch(spark, table(spark, sf_dir, "events"), batch_id=0)
+    assert store.range_estimate(spark, "1990-01-01", "1990-12-31") == 0
