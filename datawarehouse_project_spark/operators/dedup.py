@@ -40,7 +40,6 @@ from ..functions.text import (
     duck_minhash_exprs,
     hash_array,
     hash_array_sql,
-    minhash_signature,
     minhash_signature_sql,
     simhash,
     simhash64,

@@ -36,7 +36,6 @@ from ..functions.text import MINHASH_COEFFS, P
 from ..operators.dedup import DF_CAP, _BANDS
 from ..operators.similarity import (
     BAND_BITS,
-    DIM,
     HYPERPLANES,
     N_BANDS,
     N_QUERIES,
