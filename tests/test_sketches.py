@@ -113,3 +113,50 @@ def test_range_estimate_empty_range_is_zero(spark, sf_dir, tmp_path):
     store = DailySketchStore(str(tmp_path / "empty_range"))
     store.apply_batch(spark, table(spark, sf_dir, "events"), batch_id=0)
     assert store.range_estimate(spark, "1990-01-01", "1990-12-31") == 0
+
+
+def test_streaming_sketch_ingest_foreachbatch(spark, sf_dir, tmp_path):
+    """foreachBatch contract parity with the other stores: micro-batched
+    event ingest converges to the one-shot build's range answers, and a
+    full no-checkpoint replay leaves version and estimates unchanged."""
+    from datawarehouse_project_spark.io import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.withColumn("part", (F.col("event_id") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    store = DailySketchStore(str(tmp_path / "stream"))
+
+    def run_stream():
+        (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: store.apply_batch(
+                    spark, bdf.select("ts", "user_id"), batch_id=bid
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_stream()
+    one_shot = DailySketchStore(str(tmp_path / "oneshot"))
+    one_shot.apply_batch(spark, ev, batch_id=0)
+    days = sorted(str(r.day) for r in store.read(spark).select("day").collect())
+    assert days == sorted(
+        str(r.day) for r in one_shot.read(spark).select("day").collect()
+    )
+    span = (days[0], days[-1])
+    est = store.range_estimate(spark, *span)
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) <= max(2, REL_TOL * exact)
+    v = store.table.current_version()
+    run_stream()  # replay
+    assert store.table.current_version() == v
+    assert store.range_estimate(spark, *span) == est
