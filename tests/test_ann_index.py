@@ -167,3 +167,38 @@ def test_remove_drops_vectors_from_results(spark, sf_dir, tmp_path):
     assert _canon_topk(after) == _canon_topk(clean.query_topk(spark, queries))
     # replay of the same removal batch is absorbed
     assert idx.remove(spark, victims_df, batch_id=0) == v
+
+
+def test_concurrent_index_writers_lose_no_vectors(spark, sf_dir, tmp_path):
+    """Two writers race disjoint vector halves into one index: last-wins
+    upsert retries on lost CAS, so the final index equals the one-shot
+    build bit-for-bit."""
+    import threading
+
+    emb = table(spark, sf_dir, "embeddings")
+    halves = {
+        "A": emb.filter(F.col("vec_id") % 2 == 0).localCheckpoint(eager=True),
+        "B": emb.filter(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True),
+    }
+    root = str(tmp_path / "race")
+    errors = []
+
+    def writer(name):
+        try:
+            IvfVectorIndex(root).add_batch(
+                spark, halves[name], batch_id=0, app_id=f"w{name}"
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append((name, exc))
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    full = IvfVectorIndex(str(tmp_path / "full"))
+    full.add_batch(spark, emb, batch_id=0)
+    assert _canon_index(IvfVectorIndex(root).read(spark)) == _canon_index(
+        full.read(spark)
+    )

@@ -160,3 +160,46 @@ def test_streaming_sketch_ingest_foreachbatch(spark, sf_dir, tmp_path):
     run_stream()  # replay
     assert store.table.current_version() == v
     assert store.range_estimate(spark, *span) == est
+
+
+def test_concurrent_sketch_writers_lose_no_days(spark, sf_dir, tmp_path):
+    """Two writers race disjoint event halves into one store: the
+    table-level CAS forces the loser to re-read and re-merge, so both
+    halves' registers land and the final range estimate matches the
+    one-shot build."""
+    import threading
+
+    from datawarehouse_project_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    halves = {
+        "A": ev.filter(F.col("event_id") % 2 == 0).localCheckpoint(eager=True),
+        "B": ev.filter(F.col("event_id") % 2 == 1).localCheckpoint(eager=True),
+    }
+    root = str(tmp_path / "race")
+    errors = []
+
+    def writer(name):
+        try:
+            DailySketchStore(root).apply_batch(
+                spark, halves[name], batch_id=0, app_id=f"w{name}"
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append((name, exc))
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    store = DailySketchStore(root)
+    days = sorted(str(r.day) for r in store.read(spark).select("day").collect())
+    one_shot = DailySketchStore(str(tmp_path / "oneshot"))
+    one_shot.apply_batch(spark, ev, batch_id=0)
+    assert days == sorted(
+        str(r.day) for r in one_shot.read(spark).select("day").collect()
+    )
+    est = store.range_estimate(spark, days[0], days[-1])
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) <= max(2, REL_TOL * exact)
