@@ -402,3 +402,68 @@ def test_wav_codec_roundtrip_property(samples, rate, n_ch):
     assert feats["peak"] == max(abs(s) for s in samples)
     # any byte-level truncation inside the data chunk must never parse
     assert _parse_wav(data[:-1]) is None
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=5),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_cdc_replica_parity_on_generated_histories(spark, tmp_path_factory, ops):
+    """For ANY short history of upserts/deletes, syncing successive
+    diff_versions feeds keeps the replica value-identical to the source
+    at every version, with exactly one replica commit per non-empty feed
+    and zero for empty ones (deleting absent keys)."""
+    from datawarehouse_project_spark.sources.sinks import (
+        VersionedParquetTable,
+        apply_changes,
+        diff_versions,
+    )
+
+    base = tmp_path_factory.mktemp("cdcprop")
+    src = VersionedParquetTable(str(base / "src"))
+    first_keys = ops[0][1]
+    src.upsert(
+        spark,
+        spark.createDataFrame([(k, f"v{k}") for k in first_keys], "k long, v string"),
+        pk=["k"],
+    )
+    for i, (kind, keys) in enumerate(ops):
+        if kind == "upsert":
+            src.upsert(
+                spark,
+                spark.createDataFrame(
+                    [(k, f"u{i}-{k}") for k in keys], "k long, v string"
+                ),
+                pk=["k"],
+            )
+        else:
+            src.delete(
+                spark,
+                spark.createDataFrame([(k,) for k in keys], "k long"),
+                pk=["k"],
+            )
+    rep = VersionedParquetTable(str(base / "rep"))
+    applied = 0
+    for v_to in range(1, src.current_version() + 1):
+        feed = diff_versions(spark, src, ["k"], v_to - 1, v_to)
+        nonempty = bool(feed.limit(1).count())
+        apply_changes(spark, feed, rep, ["k"], txn=("sync", v_to))
+        applied += int(nonempty)
+        assert rep.current_version() == applied
+        want = sorted(
+            (r.k, r.v) for r in src.read(spark, version=v_to).collect()
+        )
+        got_df = rep.read(spark)
+        got = (
+            sorted((r.k, r.v) for r in got_df.collect())
+            if got_df is not None
+            else []
+        )
+        assert got == want, f"diverged at source v{v_to} for ops={ops}"
