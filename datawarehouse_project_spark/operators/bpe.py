@@ -175,9 +175,9 @@ def bpe_segment_words(
     return seg.select("word", F.col("syms").alias("subwords"))
 
 
-@register("bpe_token_counts", driver_facing=False)  # no oracle: consumes
-# the iterative trainer's rules; gated by the python-reference
-# differential in tests/test_bpe.py
+@register("bpe_token_counts")  # r10 rotation: driver-facing as a rows-only
+# row (no oracle: consumes the iterative trainer's rules); gated by the
+# python-reference differential in tests/test_bpe.py
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the learned BPE: per document, the
     subword-token count before vs after merging (the compression a

@@ -124,7 +124,8 @@ sig AS (
 # --------------------------------------------------------------------------
 @register(
     "dedup_exact_md5",
-    headline=True,
+    headline=True,  # stays in bench.py; driver row rotated out r10 (green r≤9)
+    driver_facing=False,
     oracle="""
 SELECT md5(text) AS text_hash,
        MIN(doc_id) AS canonical_doc_id,
@@ -286,7 +287,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "dedup_verified_near_dup",
-    driver_facing=False,  # composed two-stage exemplar; both stages hold driver rows
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
     oracle=f"""
 WITH {_DUCK_SIG},
 bands AS ({_duck_bands()}),
@@ -538,6 +539,7 @@ def connected_components_star(
 
 @register(
     "dedup_minhash_components",
+    driver_facing=False,  # r10 rotation: driver-green r≤9, pytest oracle retained
     oracle=f"""
 WITH RECURSIVE {_DUCK_SIG},
 bands AS ({_duck_bands()}),

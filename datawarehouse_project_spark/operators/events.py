@@ -28,7 +28,8 @@ SESSION_GAP_S = 30 * 60
 # --------------------------------------------------------------------------
 @register(
     "events_hourly_windows",
-    headline=True,
+    headline=True,  # stays in bench.py; driver row rotated out r10 (green r≤9)
+    driver_facing=False,
     oracle="""
 SELECT event_type,
        epoch_us(date_trunc('hour', ts)) AS window_start_us,
@@ -175,6 +176,9 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_enrich_meshjoin",
+    # r10 rotation: J1's batch-twin driver row earned r9; stream==batch
+    # pytest parity (tests/test_streaming.py) remains the ongoing gate.
+    driver_facing=False,
     oracle="""
 SELECT c.c_mktsegment AS segment, e.event_type,
        COUNT(*) AS n_events,
@@ -238,7 +242,7 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_gapfill_hourly",
-    driver_facing=False,  # driver window is full; pytest oracle covers it
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
     oracle="""
 WITH spans AS (
     SELECT event_type,

@@ -337,6 +337,9 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "multimodal_binary_features",
+    # r10 rotation: driver-green r≤9; multimodal_audio_features takes the
+    # family's window slot this round.
+    driver_facing=False,
     oracle=f"""
 WITH media AS (
     -- md5 over the VARCHAR: this DuckDB build lacks md5(BLOB), and the
@@ -570,9 +573,9 @@ def synth_wav(
     return b"RIFF" + st.pack("<I", len(body)) + body
 
 
-@register("multimodal_audio_features", driver_facing=False)  # no oracle:
-# Python codec path (rows-only check); the codec itself is pinned by
-# golden tests in tests/test_multimodal.py
+@register("multimodal_audio_features")  # r10 rotation: driver-facing as a
+# rows-only row (no oracle: Python codec path); the codec itself is pinned
+# by golden tests in tests/test_multimodal.py
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audio pipeline over synthetic WAV media: a first
     mapInPandas stage 'ingests' deterministic PCM waveforms (samples

@@ -426,6 +426,7 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "bigjoin_order_priority_revenue",
+    driver_facing=False,  # r10 rotation: driver-green r≤9, pytest oracle retained
     oracle="""
 SELECT o.o_orderpriority AS order_priority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -465,7 +466,7 @@ def bigjoin_order_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 # --------------------------------------------------------------------------
 @register(
     "fullouter_yearly_customer_recon",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
     oracle="""
 WITH y97 AS (
     SELECT o_custkey, COUNT(*) AS n_1997

@@ -79,7 +79,7 @@ _SPLIT_SALT = "split:"
 
 @register(
     "sample_train_val_test",
-    driver_facing=False,
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
     oracle=f"""
 WITH h AS (
     SELECT doc_id, lang,
@@ -139,7 +139,7 @@ _SHARD_SALT = "shard:"
 
 @register(
     "corpus_shard_assignments",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
     oracle=f"""
 WITH h AS (
     SELECT doc_id,

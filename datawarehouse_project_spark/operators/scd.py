@@ -123,9 +123,9 @@ def _history_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_user_state_history",
-    # driver-facing: took the window slot of the demoted minhash
-    # signature listing (operators/dedup.py) — the SCD2 family's anchor
-    # row in the driver's sweep
+    # r10 rotation: driver-green r≤9; scd2_dim_asof_orders keeps the
+    # SCD2 family's row in the driver's sweep.
+    driver_facing=False,
     oracle=f"""
 WITH {_DUCK_HIST}
 SELECT user_id, version, event_type, valid_from, valid_to,

@@ -154,9 +154,9 @@ class DailySketchStore:
         return int(row.approx_users) if row.approx_users is not None else 0
 
 
-@register("events_daily_sketch_rollup", driver_facing=False)  # no oracle:
-# sketch registers are engine-specific; pytest bounds the estimates
-# against exact distincts and pins the merge algebra instead
+@register("events_daily_sketch_rollup")  # r10 rotation: driver-facing as a
+# rows-only row (no oracle: sketch registers are engine-specific); pytest
+# bounds the estimates against exact distincts and pins the merge algebra
 def events_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day HLL user sketches rendered as estimates — the stored
     pre-aggregate a range query merges. Columns: day, n_events,

@@ -51,6 +51,7 @@ def salted_sum(
 
 @register(
     "skew_salted_store_revenue",
+    driver_facing=False,  # r10 rotation: driver-green r≤9, pytest oracle retained
     oracle="""
 SELECT n.n_name AS store_name,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

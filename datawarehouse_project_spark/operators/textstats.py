@@ -160,6 +160,7 @@ def _duck_langid_case() -> str:
 
 @register(
     "text_langid_stopwords",
+    driver_facing=False,  # r10 rotation: driver-green r≤9, pytest oracle retained
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 scored AS (
@@ -785,10 +786,11 @@ def text_word_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "text_idf_quality_scores",
-    driver_facing=False,  # float log-domain output: ln() is not
-    # correctly-rounded across libms, so a cross-engine HASH gate would
-    # flake on last-ulp differences — the gate is a tolerance-based
-    # DuckDB differential in tests/test_docs_pipeline.py instead
+    # r10 rotation: driver-facing as a rows-only row (no oracle — the float
+    # log-domain output depends on ln(), which is not correctly-rounded
+    # across libms, so a cross-engine HASH gate would flake on last-ulp
+    # differences); the value gate remains the tolerance-based DuckDB
+    # differential in tests/test_docs_pipeline.py.
 )
 def text_idf_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The log-domain consumer of :func:`text_word_rarity_scores`' exact

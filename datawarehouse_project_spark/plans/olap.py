@@ -144,6 +144,30 @@ def q03_supplier_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# O2 served form, driver-proven: the registered q03 builder routed through
+# ``catalog.ordered_query`` — the reference's trailing ORDER BY
+# (olap_queries.sql:48) applied as the presentation sort. The driver's
+# value-hash is order-insensitive, so this row verifies that the ordered
+# SURFACE (QuerySpec.order_by + catalog.ordered_query) executes and is
+# value-identical to the unsorted hot-path form; pytest separately pins
+# that the output is actually sorted (tests/test_oracle_parity.py).
+@register(
+    "q03_supplier_contribution_ordered",
+    oracle=f"""
+WITH {FACT_CTE}
+SELECT store_name, supplier_name, product_name,
+       CAST(SUM(sale) AS DOUBLE) AS total_sales
+FROM fact
+GROUP BY 1, 2, 3
+ORDER BY store_name, supplier_name, product_name
+""",
+)
+def q03_supplier_contribution_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog as _catalog
+
+    return _catalog.ordered_query("q03_supplier_contribution")(spark, sf_dir)
+
+
 def _season_expr(col: str):
     m = F.month(col)
     return (
@@ -353,11 +377,23 @@ GROUP BY ROLLUP (store_name, supplier_name, product_name)
 """,
 )
 def q07_rollup_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # Pre-aggregate to the finest ROLLUP grain BEFORE the Expand: Expand
+    # replicates its input once per grouping set (4× here), so feeding it
+    # the (store, supplier, product) partial sums — thousands of rows —
+    # instead of the filtered fact — 60M rows at sf10, ~600B at 100 TB —
+    # cuts the replicated volume by ~4 orders of magnitude. SUM of the
+    # decimal partials re-aggregates losslessly (exact, order-insensitive
+    # decimal addition), so every subtotal is bit-identical to the direct
+    # form; measured sf10: see PERFORMANCE.md r10 ledger.
+    pre = (
         fact(spark, sf_dir)
         .filter(_in_year("order_date"))
-        .rollup("store_name", "supplier_name", "product_name")
-        .agg(F.sum("sale").cast("double").alias("total_revenue"))
+        .groupBy("store_name", "supplier_name", "product_name")
+        .agg(F.sum("sale").alias("_sale"))
+    )
+    return (
+        pre.rollup("store_name", "supplier_name", "product_name")
+        .agg(F.sum("_sale").cast("double").alias("total_revenue"))
     )
 
 

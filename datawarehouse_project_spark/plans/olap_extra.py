@@ -123,6 +123,7 @@ def events_value_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which plans as TakeOrderedAndProject).
 @register(
     "topn_products_per_store",
+    driver_facing=False,  # r10 rotation: driver-green r≤9, pytest oracle retained
     oracle=f"""
 WITH {FACT_CTE},
 agg AS (
@@ -229,7 +230,7 @@ def _unpivot_oracle() -> str:
 
 @register(
     "unpivot_store_priority",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
     oracle=_unpivot_oracle,
 )
 def unpivot_store_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,7 +249,7 @@ def unpivot_store_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_value_median_cont",
-    driver_facing=False,  # driver window is full; oracle-gated in pytest
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
     oracle="""
 SELECT event_type,
        percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS median_value
@@ -530,10 +531,10 @@ def rfm_quantile_scores(
 
 @register(
     "rfm_customer_segments_scaled",
-    driver_facing=False,  # Spark-native quantile sketch: no DuckDB twin
-    # states the identical rank convention, so the gate is the pytest
-    # calibration + invariant suite (tests/test_scd.py rfm tests), not a
-    # cross-engine hash
+    # r10 rotation: driver-facing as a rows-only row (no oracle — the
+    # Spark-native quantile sketch has no DuckDB twin stating the identical
+    # rank convention); the value gate remains the pytest calibration +
+    # invariant suite (tests/test_scd.py rfm tests).
 )
 def rfm_customer_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale twin of :func:`rfm_customer_segments` (same base

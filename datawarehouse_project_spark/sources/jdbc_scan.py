@@ -62,6 +62,9 @@ def seed_nation_jdbc(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "jdbc_nation_dim_agg",
+    # r10 rotation: S4's driver row earned r9; rotating it out also removes
+    # the embedded-Derby one-JVM collision risk from the driver sweep.
+    driver_facing=False,
     oracle="""
 SELECT n_regionkey,
        CAST(COUNT(*) AS BIGINT) AS n_nations,
