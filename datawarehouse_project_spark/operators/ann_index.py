@@ -20,15 +20,24 @@ LSH dedup state, ``dedup_incremental.SignatureStore``):
   per-query window for the top-k. The corpus-side scan reads the INDEX
   columns only — no embeddings, no assignment arithmetic (plan-pinned).
 
-Centroids are the module's shared trained set
-(``similarity.ivf_centroids`` — fixed literals), so batch-wise
-assignment is exactly batch-order-independent: an index built
-incrementally equals the one-shot build bit-for-bit (pytest-pinned),
-and query results over a full-corpus index equal
+Centroids: an index either carries its OWN trained quantizer —
+``IvfVectorIndex.build(spark, embeddings)`` trains k-means on a
+deterministic hash-sample of the corpus and persists the centroids in
+``<root>/centroids.json``, so a fresh handle on the same root
+reconstructs the identical quantizer — or, for an index opened without
+one (pre-r10 layout, and the registered queries' twins), falls back to
+the module's shared trained set (``similarity.ivf_centroids``). Either
+way the centroids are FROZEN at build time, so batch-wise assignment is
+exactly batch-order-independent: an index built incrementally equals
+the one-shot build bit-for-bit (pytest-pinned), and query results over
+a full-corpus shared-centroid index equal
 ``similarity_ivf_quantized_topk`` row-for-row.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,11 +48,14 @@ from .similarity import (
     _ivf_cluster_expr,
     _ivf_probes_expr,
     _q8_frame,
+    train_centroids_from_df,
 )
 from ..sources.sinks import VersionedParquetTable
 
 #: 127**2 — the de-quantization divisor shared with the inline operators.
 _Q8_SQ = 16129.0
+
+_CENTROIDS_FILE = "centroids.json"
 
 
 class IvfVectorIndex:
@@ -53,15 +65,58 @@ class IvfVectorIndex:
 
     def __init__(self, root: str):
         self.table = VersionedParquetTable(root)
+        self.root = root
+        #: Per-index quantizer (None => module shared set). Loaded from
+        #: the persisted sidecar so every handle on this root assigns
+        #: identically — the property that makes appends replay-safe.
+        self.centroids: list[list[float]] | None = None
+        path = os.path.join(root, _CENTROIDS_FILE)
+        if os.path.exists(path):
+            with open(path) as fh:
+                self.centroids = json.load(fh)
 
-    @staticmethod
-    def _index_rows(emb: DataFrame) -> DataFrame:
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        emb: DataFrame,
+        root: str,
+        k: int | None = None,
+        sample_n: int | None = None,
+    ) -> "IvfVectorIndex":
+        """Create an index whose quantizer is TRAINED from ``emb``
+        (VERDICT r9 #4 — a user with their own embeddings needs no
+        hand-supplied centroids): deterministic hash-sample k-means
+        (``similarity.train_centroids_from_df``), centroids persisted to
+        ``<root>/centroids.json`` BEFORE the first data commit so a
+        crash between the two leaves a re-buildable empty index, then
+        the full ``emb`` ingested as batch 0. Subsequent ``add_batch``
+        calls on any handle reuse the persisted quantizer — training
+        happens exactly once per index lifetime, the standard IVF
+        posture (re-train = rebuild under a new root)."""
+        from .similarity import IVF_TRAIN_SAMPLE, K_IVF
+
+        cent = train_centroids_from_df(
+            emb,
+            k=k if k is not None else K_IVF,
+            sample_n=sample_n if sample_n is not None else IVF_TRAIN_SAMPLE,
+        )
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, _CENTROIDS_FILE + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(cent, fh)
+        os.replace(tmp, os.path.join(root, _CENTROIDS_FILE))
+        idx = cls(root)
+        idx.add_batch(spark, emb, batch_id=0, app_id="ivf-index-build")
+        return idx
+
+    def _index_rows(self, emb: DataFrame) -> DataFrame:
         """Assignment + quantization for a batch of (vec_id, embedding)."""
         return _q8_frame(emb).select(
             "vec_id",
-            _ivf_cluster_expr(F.col("embedding")).cast("int").alias(
-                "cluster_id"
-            ),
+            _ivf_cluster_expr(F.col("embedding"), self.centroids)
+            .cast("int")
+            .alias("cluster_id"),
             "scale",
             "qvec",
         )
@@ -122,7 +177,9 @@ class IvfVectorIndex:
             F.col("vec_id").alias("query_id"),
             F.col("scale").alias("q_scale"),
             F.col("qvec").alias("q_qvec"),
-            F.explode(_ivf_probes_expr(F.col("embedding"))).alias("probe"),
+            F.explode(
+                _ivf_probes_expr(F.col("embedding"), centroids=self.centroids)
+            ).alias("probe"),
         )
         cond = F.col("cluster_id") == F.col("probe")
         if exclude_self:

@@ -391,12 +391,14 @@ def ivf_centroids() -> list[list[float]]:
 N_PROBES = 2
 
 
-def _ivf_dist_structs(emb) -> list[F.Column]:
+def _ivf_dist_structs(emb, centroids=None) -> list[F.Column]:
     """(squared_dist, cid) structs, one per centroid — in-order float64
     folds on identical centroid literals, so distances (and therefore any
-    argmin/sort over them) are bit-identical across engines."""
+    argmin/sort over them) are bit-identical across engines. ``centroids``
+    defaults to the module's shared trained set; a per-index trained set
+    (``IvfVectorIndex.build``) is passed explicitly."""
     pairs = []
-    for cid, cent in enumerate(ivf_centroids()):
+    for cid, cent in enumerate(centroids if centroids is not None else ivf_centroids()):
         carr = F.array(*[F.lit(v) for v in cent])
         d = F.aggregate(
             F.zip_with(
@@ -409,17 +411,17 @@ def _ivf_dist_structs(emb) -> list[F.Column]:
     return pairs
 
 
-def _ivf_cluster_expr(emb) -> F.Column:
+def _ivf_cluster_expr(emb, centroids=None) -> F.Column:
     """argmin-over-centroids cluster id: min of (squared_dist, cid) structs
     — lexicographic struct ordering gives min distance, ties to lowest cid."""
-    return F.array_min(F.array(*_ivf_dist_structs(emb))).getField("c")
+    return F.array_min(F.array(*_ivf_dist_structs(emb, centroids))).getField("c")
 
 
-def _ivf_probes_expr(emb, n_probes: int = N_PROBES) -> F.Column:
+def _ivf_probes_expr(emb, n_probes: int = N_PROBES, centroids=None) -> F.Column:
     """The ``n_probes`` nearest cluster ids, nearest first: sort the
     (dist, cid) structs (lexicographic = by distance, ties to lowest cid)
     and take the head. probes[0] == the single-probe assignment."""
-    ordered = F.array_sort(F.array(*_ivf_dist_structs(emb)))
+    ordered = F.array_sort(F.array(*_ivf_dist_structs(emb, centroids)))
     return F.transform(
         F.slice(ordered, 1, n_probes), lambda s: s.getField("c")
     )

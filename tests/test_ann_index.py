@@ -75,7 +75,7 @@ def test_updated_vector_reassigns_last_wins(spark, sf_dir, tmp_path):
     after = idx.read(spark)
     assert after.count() == n
     row_new = after.filter(F.col("vec_id") == 0).first()
-    expect = IvfVectorIndex._index_rows(moved).first()
+    expect = idx._index_rows(moved).first()
     assert row_new.cluster_id == expect.cluster_id
     assert list(row_new.qvec) == list(expect.qvec)
 
@@ -202,3 +202,67 @@ def test_concurrent_index_writers_lose_no_vectors(spark, sf_dir, tmp_path):
     assert _canon_index(IvfVectorIndex(root).read(spark)) == _canon_index(
         full.read(spark)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-quantizer build path (VERDICT r9 #4): IvfVectorIndex.build trains
+# centroids from the corpus itself — no hand-supplied quantizer.
+
+
+def test_build_trains_persists_and_reloads_centroids(spark, sf_dir, tmp_path):
+    """build() must train a k-centroid quantizer from the corpus, persist
+    it beside the table, and hand every FRESH handle on the root the
+    identical quantizer (JSON round-trips float64 exactly via repr
+    semantics), so later appends assign consistently."""
+    from datawarehouse_project_spark.operators.similarity import DIM, K_IVF
+
+    emb = table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "trained")
+    idx = IvfVectorIndex.build(spark, emb, root)
+    assert idx.centroids is not None
+    assert len(idx.centroids) == K_IVF
+    assert all(len(c) == DIM for c in idx.centroids)
+    fresh = IvfVectorIndex(root)
+    assert fresh.centroids == idx.centroids
+    assert _canon_index(fresh._index_rows(emb)) == _canon_index(
+        idx._index_rows(emb)
+    )
+    # the built index holds the whole corpus, assigned with the trained set
+    assert _canon_index(idx.read(spark)) == _canon_index(idx._index_rows(emb))
+
+
+def test_trained_build_is_input_order_independent(spark, sf_dir, tmp_path):
+    """The hash-sample is keyed on vec_id, not on partitioning or row
+    order — re-building from an arbitrarily repartitioned/reordered frame
+    must yield the identical quantizer and identical index rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = IvfVectorIndex.build(spark, emb, str(tmp_path / "a"))
+    shuffled = emb.repartition(7).sortWithinPartitions(F.desc("vec_id"))
+    b = IvfVectorIndex.build(spark, shuffled, str(tmp_path / "b"))
+    assert a.centroids == b.centroids
+    assert _canon_index(a.read(spark)) == _canon_index(b.read(spark))
+
+
+def test_trained_index_recall_at_10_vs_brute_force(spark, sf_correct_dir, tmp_path):
+    """Recall@10 of the trained-quantizer index against the exact
+    brute-force cosine ground truth (the registered baseline operator).
+    The floor is deliberately conservative — multi-probe P=2 of K=8
+    trained cells; measured ~0.9+ on this corpus."""
+    from datawarehouse_project_spark.operators.similarity import (
+        similarity_ann_cosine_topk,
+    )
+
+    emb = table(spark, sf_correct_dir, "embeddings")
+    idx = IvfVectorIndex.build(spark, emb, str(tmp_path / "rec"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in idx.query_topk(spark, queries).collect()
+    }
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ann_cosine_topk(spark, sf_correct_dir).collect()
+    }
+    assert truth, "ground truth should be non-empty"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall
