@@ -318,3 +318,114 @@ def test_audio_pipeline_end_to_end(spark, sf_dir):
             assert r.sample_rate == 8000 and r.n_channels == 1
             assert r.n_samples >= 1 and r.peak <= 32768
             assert r.sum_sq >= 0 and r.rms is not None
+
+
+def _png_bytes(w: int, h: int, gray=None, ctype: int = 0, filters=None) -> bytes:
+    """Minimal PNG writer (test-only): 8-bit, non-interlaced, color type
+    0/2/6, forward-filtering each scanline with the given filter types so
+    the decoder's unfilter paths are all exercised. Pixels default to the
+    P5 golden gradient."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    if gray is None:
+        gray = [i % 256 for i in range(w * h)]
+    if ctype == 0:
+        px = [[g] for g in gray]
+    elif ctype == 2:
+        px = [[g, g, g] for g in gray]
+    else:
+        px = [[g, g, g, 255] for g in gray]
+    filters = filters or [0] * h
+    stride = w * nch
+    raw = bytearray()
+    prev = bytearray(stride)
+    for r in range(h):
+        line = bytearray(v for c in range(w) for v in px[r * w + c])
+        ftype = filters[r % len(filters)]
+        out = bytearray(stride)
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ftype == 0:
+                out[i] = line[i]
+            elif ftype == 1:
+                out[i] = (line[i] - a) & 0xFF
+            elif ftype == 2:
+                out[i] = (line[i] - b) & 0xFF
+            elif ftype == 3:
+                out[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (line[i] - pr) & 0xFF
+        raw += bytes([ftype]) + out
+        prev = line
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_match_netpbm_golden():
+    """The pure-python PNG path (stdlib zlib) must reproduce the SAME
+    dims + histogram feature as the P5 golden of identical pixels, for
+    every scanline filter type — grayscale, truecolor, and RGBA."""
+    from datawarehouse_project_spark.operators.multimodal import netpbm_decoder
+
+    want = netpbm_decoder(_pgm_bytes(13, 7), "image")
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        for ctype in (0, 2, 6):
+            png = _png_bytes(13, 7, ctype=ctype, filters=filters)
+            d = netpbm_decoder(png, "image")
+            assert (d["width"], d["height"], d["n_frames"]) == (13, 7, 1), (
+                filters,
+                ctype,
+            )
+            assert d["feature"] == want["feature"], (filters, ctype)
+
+
+def test_png_decode_pil_crosscheck_or_fallback():
+    """With PIL importable, the zlib path and PIL must agree bit-for-bit
+    on the feature; without PIL this documents the env gate. Unsupported
+    PNG variants (16-bit) and truncated streams fall to the stub, never
+    crash."""
+    from datawarehouse_project_spark.operators.multimodal import (
+        _parse_png,
+        netpbm_decoder,
+        pil_decoder,
+    )
+
+    png = _png_bytes(13, 7, ctype=2, filters=[4])
+    try:
+        import PIL  # noqa: F401
+
+        assert pil_decoder(png, "image") == netpbm_decoder(png, "image")
+    except ImportError:
+        pass
+    # 16-bit depth: IHDR says depth 16 -> unsupported -> None
+    import struct
+
+    deep = bytearray(_png_bytes(4, 3))
+    assert deep[8 + 4 + 4 + 8] == 8  # depth byte in IHDR
+    deep[8 + 4 + 4 + 8] = 16
+    assert _parse_png(bytes(deep)) is None
+    # truncated IDAT -> zlib error -> None -> stub fallback keeps schema
+    trunc = png[: len(png) - 20]
+    d = netpbm_decoder(trunc, "image")
+    assert d["n_bytes"] == len(trunc)  # stub path, not a crash
