@@ -156,3 +156,84 @@ def test_bpe_tokenize_matches_reference_segmentation(spark, sf_dir):
     assert total_bpe < total_chars  # the merges actually compress
     for r in counts:
         assert r.n_words <= r.n_bpe_tokens <= r.n_char_tokens
+
+
+def _py_bpe_batched(word_counts: dict[str, int], n_merges: int, m: int):
+    """Independent reference for the BATCHED trainer: per pass, rank all
+    pairs by (count DESC, pair ASC), greedily keep up to m pairwise
+    symbol-disjoint pairs, apply them (order within a pass is immaterial
+    for disjoint pairs), repeat."""
+    vocab = {tuple(list(w) + [EOW]): n for w, n in word_counts.items()}
+    rules = []
+    while len(rules) < n_merges:
+        want = min(m, n_merges - len(rules))
+        counts = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += n
+        if not counts:
+            break
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        used, batch = set(), []
+        for (left, right), c in ranked:
+            if left in used or right in used:
+                continue
+            used.update((left, right))
+            batch.append((left, right, c))
+            if len(batch) == want:
+                break
+        rules.extend(batch)
+        for left, right, _ in batch:
+            merged = left + right
+            new_vocab = {}
+            for syms, n in vocab.items():
+                out, pend = [], None
+                for s in syms:
+                    if pend is None:
+                        pend = s
+                    elif pend == left and s == right:
+                        out.append(merged)
+                        pend = None
+                    else:
+                        out.append(pend)
+                        pend = s
+                if pend is not None:
+                    out.append(pend)
+                key = tuple(out)
+                new_vocab[key] = new_vocab.get(key, 0) + n
+            vocab = new_vocab
+    return rules
+
+
+def test_bpe_batched_matches_batched_reference(spark, sf_dir):
+    """The rules_per_pass=M trainer must equal the independent pure-Python
+    implementation of the same batched selection, bit-for-bit — the same
+    golden-differential gate the sequential form has."""
+    docs = table(spark, sf_dir, "documents")
+    wc = _word_counts(spark, sf_dir)
+    for m in (2, 4):
+        got = train_bpe_merges(spark, docs, N_MERGES, rules_per_pass=m)
+        want = _py_bpe_batched(wc, N_MERGES, m)
+        assert got == want, m
+
+
+def test_bpe_batched_m1_is_sequential(spark, sf_dir):
+    """rules_per_pass=1 IS the sequential trainer (the default path the
+    registered queries use): identical to the textbook reference."""
+    docs = table(spark, sf_dir, "documents")
+    got = train_bpe_merges(spark, docs, N_MERGES, rules_per_pass=1)
+    assert got == _py_bpe(_word_counts(spark, sf_dir), N_MERGES)
+
+
+def test_bpe_batched_k48_in_quarter_rounds(spark, sf_dir):
+    """The VERDICT r9 #6 acceptance: K=48 rules in <= K/4 Spark passes
+    with rules_per_pass=4, valid counts, no duplicate merged symbol."""
+    docs = table(spark, sf_dir, "documents")
+    stats: dict = {}
+    rules = train_bpe_merges(
+        spark, docs, 48, rules_per_pass=4, stats=stats
+    )
+    assert len(rules) == 48
+    assert stats["passes"] <= 12, stats
+    assert len({left + right for left, right, _ in rules}) == 48
+    assert all(c > 0 for _, _, c in rules)
