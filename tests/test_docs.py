@@ -46,6 +46,12 @@ def test_performance_bench_prose_fresh():
         text,
     )
     assert m, "PERFORMANCE.md latest-bench sentence missing or reworded"
+    # The current-state summary (VERDICT r9 #7) must lead the doc: a new
+    # reader finds the latest numbers — including this sentence — in the
+    # first 40 lines, with history demoted below.
+    head = "\n".join(text.splitlines()[:40])
+    assert "## Current state" in head, "summary section missing from top"
+    assert m.start() < len(head), "latest-bench sentence not in the summary"
     cited_round = int(m.group(1))
 
     bench_files = sorted(glob.glob("/root/repo/BENCH_r*.json"))
