@@ -18,6 +18,7 @@ from .plans import olap as _olap  # noqa: F401
 from .plans import olap_extra as _olap_extra  # noqa: F401
 from .plans.registry import REGISTRY, resolve_oracle
 from .operators import bpe as _bpe  # noqa: F401
+from .operators import cms as _cms  # noqa: F401
 from .operators import dedup as _dedup  # noqa: F401
 from .operators import dedup_incremental as _dedup_incremental  # noqa: F401
 from .operators import events as _events  # noqa: F401

@@ -1,0 +1,121 @@
+"""Count-min sketch: CMS guarantees, merge algebra, store contract, and
+the exact DuckDB oracle of the registered query."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.catalog import all_oracle_sql, all_queries
+from datawarehouse_project_spark.functions.text import words
+from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.operators.cms import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    CmsCounterStore,
+    cms_counters,
+    cms_estimates,
+)
+
+from tests.oracle_check import compare
+
+
+def _tokens(spark, sf_dir):
+    return table(spark, sf_dir, "documents").select(
+        F.explode(words("text")).alias("word")
+    )
+
+
+def test_cms_never_underestimates_and_respects_error_bound(spark, sf_dir):
+    """The two CMS guarantees on this (deterministic) corpus: est >= true
+    for EVERY token, and est <= true + e*N/w for every probed token —
+    the hashes are fixed md5 salts, so this is a golden check, not a
+    probabilistic one."""
+    toks = _tokens(spark, sf_dir).localCheckpoint(eager=True)
+    n_total = toks.count()
+    counters = cms_counters(toks)
+    true = toks.groupBy("word").agg(F.count("*").alias("true_n"))
+    est = cms_estimates(counters, true.select("word"))
+    joined = est.join(true, "word").select("word", "est_count", "true_n")
+    bad_under = joined.filter(F.col("est_count") < F.col("true_n")).count()
+    assert bad_under == 0
+    bound = math.e * n_total / CMS_WIDTH
+    worst = joined.select(
+        F.max(F.col("est_count") - F.col("true_n")).alias("w")
+    ).first()["w"]
+    assert worst <= bound, (worst, bound)
+
+
+def test_cms_counter_table_is_bounded_and_mass_preserving(spark, sf_dir):
+    """Structure: at most d*w rows, exactly d buckets per depth sum to
+    the full token mass (every occurrence lands once per depth)."""
+    toks = _tokens(spark, sf_dir).localCheckpoint(eager=True)
+    n_total = toks.count()
+    counters = cms_counters(toks).localCheckpoint(eager=True)
+    assert counters.count() <= CMS_DEPTH * CMS_WIDTH
+    per_depth = counters.groupBy("i").agg(F.sum("count").alias("mass")).collect()
+    assert len(per_depth) == CMS_DEPTH
+    assert all(r.mass == n_total for r in per_depth)
+
+
+def test_cms_merge_is_sum_incremental_equals_one_shot(spark, sf_dir, tmp_path):
+    """Counters ADD: feeding the corpus in three batches through the
+    durable store equals the one-shot sketch bit-for-bit, and replaying
+    an applied batch changes nothing."""
+    docs = table(spark, sf_dir, "documents")
+    store = CmsCounterStore(str(tmp_path / "cms"))
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b).select(
+            F.explode(words("text")).alias("word")
+        )
+        store.apply_batch(spark, batch, batch_id=b)
+    one_shot = cms_counters(_tokens(spark, sf_dir))
+
+    def canon(df):
+        return sorted((r.i, r.bucket, r["count"]) for r in df.collect())
+
+    assert canon(store.read(spark)) == canon(one_shot)
+    v = store.table.current_version()
+    store.apply_batch(
+        spark,
+        docs.filter(F.col("doc_id") % 3 == 1).select(
+            F.explode(words("text")).alias("word")
+        ),
+        batch_id=1,
+    )  # replay
+    assert store.table.current_version() == v
+    # point estimates through the store match the inline path
+    probes = _tokens(spark, sf_dir).select("word").distinct().limit(50)
+    got = sorted(
+        (r.word, r.est_count)
+        for r in store.estimates(spark, probes).collect()
+    )
+    want = sorted(
+        (r.word, r.est_count)
+        for r in cms_estimates(one_shot, probes).collect()
+    )
+    assert got == want
+
+
+def test_cms_unseen_token_estimates_from_counters_not_crash(spark, sf_dir):
+    """A probe the sketch never saw gets whatever its buckets hold
+    (possibly 0 — missing counters coalesce); never an error, never a
+    negative."""
+    counters = cms_counters(_tokens(spark, sf_dir))
+    probes = spark.createDataFrame(
+        [("zzz-never-in-corpus-0123456789",)], "word string"
+    )
+    row = cms_estimates(counters, probes).first()
+    assert row.est_count >= 0
+
+
+def test_cms_registered_query_matches_duckdb_exactly(spark, sf_correct_dir):
+    """The full dual-surface gate: Spark CMS estimates == DuckDB CMS
+    estimates value-for-value (portable md5 buckets)."""
+    name = "cms_word_count_estimates"
+    compare(
+        all_queries()[name](spark, sf_correct_dir),
+        all_oracle_sql()[name],
+        sf_correct_dir,
+    )
