@@ -34,14 +34,22 @@ def asof_join(
     right_cols: list[str],
     prune_right: bool = True,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.right_ts <= left.left_ts`` within the same ``key`` (as-of /
     point-in-time join). Left rows with no prior right row keep NULLs.
+    ``direction="forward"`` mirrors the inequality: the NEAREST right row
+    with ``right.right_ts >= left.left_ts`` (the "next event after"
+    lookup — time-to-next-purchase, next-maintenance-window, etc.), the
+    same semantics DuckDB's ASOF gives for a ``>=`` condition.
 
     Implementation: union-merge. right rows sort before left rows at equal
     timestamps (side ordinal 0 < 1) so a right row AT the left timestamp
-    matches, mirroring ASOF's <= semantics.
+    matches, mirroring ASOF's <= semantics; the forward form runs the
+    identical window over a DESCENDING timestamp order, so "most recent
+    seen so far" becomes "nearest future" — same single keyed exchange,
+    no second code path.
 
     ``prune_right`` semi-joins the right side down to keys that actually
     appear on the left before the merge — when the left is a sparse probe
@@ -86,7 +94,10 @@ def asof_join(
     merged = lt.unionByName(
         rt.withColumn("_l", F.lit(None).cast(lt.schema["_l"].dataType))
     )
-    order_cols: list = [F.col("_ts"), F.col("_side")]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
+    order_cols: list = [ts_order, F.col("_side")]
     if right_tiebreak is not None:
         # ascending => the LAST right row at a given (key, ts) carries the
         # greatest tiebreak; left rows sort on NULL here, which is
@@ -182,6 +193,71 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
             "last_order_ts_us"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "asof_forward_next_purchase",
+    # New r10 operator (pytest-oracle-gated; r11 rotation candidate):
+    # the forward direction of the as-of family.
+    driver_facing=False,
+    oracle="""
+WITH ev AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0
+),
+pur AS (
+    SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       epoch_us(e.ts) AS event_ts_us,
+       p.event_id AS next_purchase_id,
+       epoch_us(p.ts) AS next_purchase_ts_us
+FROM ev e
+ASOF LEFT JOIN pur p ON e.user_id = p.user_id AND p.ts >= e.ts
+""",
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-next-conversion building block: each (sampled) event gets
+    the same user's NEAREST purchase at-or-after it —
+    ``asof_join(direction="forward")``, the mirror of the backward
+    point-in-time lookup (a purchase event in the sample matches
+    itself, per ASOF's inclusive inequality). Right-side (user, ts)
+    ties dedup to the greatest event_id via the merge-window tiebreak,
+    matching the oracle's ROW_NUMBER dedup with no extra shuffle."""
+    prepare(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+    joined = asof_join(
+        ev,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["p_id", "p_ts"],
+        right_tiebreak="p_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("event_ts_us"),
+        F.col("p_id").alias("next_purchase_id"),
+        F.unix_micros(F.col("p_ts").cast("timestamp")).alias(
+            "next_purchase_ts_us"
         ),
     )
 

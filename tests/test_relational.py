@@ -89,3 +89,42 @@ def test_asof_join_semantics(spark):
     assert out[(1, "2024-01-01 10:00:00")] == "a"  # <= includes equal ts
     assert out[(1, "2024-01-01 12:00:00")] == "b"  # latest prior
     assert out[(2, "2024-01-01 09:00:00")] is None  # no prior row -> NULL
+
+
+def test_asof_forward_semantics(spark):
+    """direction='forward': nearest right row AT-or-AFTER each left ts;
+    no future row -> NULL; equal ts matches (inclusive, like DuckDB's
+    ASOF with >=)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:30:00"),
+         (1, "2024-01-01 12:00:00"), (2, "2024-01-01 09:00:00")],
+        ["k", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 11:00:00", "b"),
+         (2, "2024-01-01 08:00:00", "c")],
+        ["k", "rts", "v"],
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = {
+        (r.k, str(r.ts)): r.v
+        for r in asof_join(
+            left, right, "k", "ts", "rts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out[(1, "2024-01-01 10:00:00")] == "a"  # equal ts matches
+    assert out[(1, "2024-01-01 10:30:00")] == "b"  # nearest FUTURE, not past
+    assert out[(1, "2024-01-01 12:00:00")] is None  # nothing after -> NULL
+    assert out[(2, "2024-01-01 09:00:00")] is None  # only a PAST row -> NULL
+
+
+def test_asof_forward_next_purchase_matches_duckdb(spark, sf_correct_dir):
+    """Dual-surface gate for the registered forward as-of query."""
+    from datawarehouse_project_spark.catalog import all_oracle_sql, all_queries
+    from tests.oracle_check import compare
+
+    name = "asof_forward_next_purchase"
+    compare(
+        all_queries()[name](spark, sf_correct_dir),
+        all_oracle_sql()[name],
+        sf_correct_dir,
+    )
