@@ -203,3 +203,38 @@ def test_concurrent_sketch_writers_lose_no_days(spark, sf_dir, tmp_path):
     est = store.range_estimate(spark, days[0], days[-1])
     exact = ev.select("user_id").distinct().count()
     assert abs(est - exact) <= max(2, REL_TOL * exact)
+
+
+def test_range_overlap_inclusion_exclusion(spark, tmp_path):
+    """Overlap between two ranges from sketches only: controlled
+    synthetic overlap (users 0-99 on day A, 50-149 on day B -> exact
+    overlap 50). Inclusion-exclusion compounds three per-term HLL
+    errors; at lgK=12 each is ~1.6% typical, so a 10% tolerance on the
+    150-user union is generous and the check is deterministic (fixed
+    hash seeds)."""
+    from datawarehouse_project_spark.operators.sketches import (
+        DailySketchStore,
+        range_overlap_users,
+    )
+
+    rows = [(u, "2024-01-01 10:00:00") for u in range(100)] + [
+        (u, "2024-01-02 10:00:00") for u in range(50, 150)
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    store = DailySketchStore(str(tmp_path / "ovl"))
+    store.apply_batch(spark, ev, batch_id=0)
+    got = store.overlap_estimate(
+        spark, "2024-01-01", "2024-01-01", "2024-01-02", "2024-01-02"
+    )
+    assert abs(got.approx_a - 100) <= 15
+    assert abs(got.approx_b - 100) <= 15
+    assert abs(got.approx_union - 150) <= 15
+    assert abs(got.approx_overlap - 50) <= 15
+    # disjoint ranges: overlap clamps at >= 0, never negative
+    disjoint = range_overlap_users(
+        store.read(spark), "2024-01-01", "2024-01-01", "2099-01-01", "2099-01-02"
+    ).first()
+    assert disjoint.approx_overlap >= 0
+    assert disjoint.approx_b == 0
