@@ -1,0 +1,117 @@
+"""Incremental maintenance of the materialized enriched fact.
+
+``catalog_ddl.materialize_fact`` writes the enriched fact once — the
+reference's own warehouse posture (metro.sql:64-86 INSERT INTO
+FACT_TRANSACTIONS) and the methodology under the matfact bench numbers
+(PERFORMANCE.md). What that leaves open is DAY TWO: at 100 TB you do
+not rebuild the fact when orders change — a nightly rebuild rescans
+every source table. This module maintains it incrementally:
+
+* changes arrive as a set of AFFECTED ORDER KEYS (whatever CDC,
+  upstream ledger, or file-arrival listing produces them);
+* the delta re-runs the IDENTICAL enrichment (``plans.star.fact_from``
+  — same joins, same casts, so maintained == rebuilt bit-for-bit) over
+  lineitem/orders SEMI-JOIN-pruned to the affected keys. The semi-join
+  reaches the parquet scans as a runtime filter, so per-batch cost
+  scales with the batch, not the table; dims stay whole (lookups);
+* the commit is ONE atomic ``replace_by_key`` on ``order_id``: all of
+  an affected order's old fact lines drop, its re-enriched lines land,
+  and orders deleted at the source (zero re-enriched lines) disappear —
+  updates, inserts and deletes in one snapshot, no rows-missing
+  intermediate state;
+* the txn ledger makes replay exactly-once (foreachBatch-ready), the
+  same contract as every other incremental store in the repo
+  (IncrementalRollup, SignatureStore, DailySketchStore, IvfVectorIndex,
+  CmsCounterStore).
+
+The maintained table reads back through ``materialized_fact``'s column
+contract, so ``use_materialized_fact`` can point every OLAP builder at
+it — the incremental path plugs into the exact serving surface the
+one-shot materialization uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..plans.star import fact_from
+from .sinks import VersionedParquetTable
+
+#: Fact-side key an order's lines replace under.
+FACT_KEY = ["order_id"]
+
+
+def enrich_orders(
+    spark: SparkSession, sf_dir: str, order_keys: DataFrame
+) -> DataFrame:
+    """The enrichment delta for a set of (o_orderkey) rows: identical
+    ``fact_from`` join tree over semi-join-pruned fact-sized inputs."""
+    keys = order_keys.select(F.col("o_orderkey").cast("bigint")).distinct()
+    li = table(spark, sf_dir, "lineitem").join(
+        keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    orders = table(spark, sf_dir, "orders").join(keys, "o_orderkey", "left_semi")
+    return fact_from(
+        li,
+        orders,
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+class IncrementalFactTable:
+    """Durable enriched-fact table maintained order-batch by order-batch
+    (see module doc)."""
+
+    def __init__(self, root: str):
+        self.table = VersionedParquetTable(root)
+        self.root = root
+
+    def init_full(
+        self, spark: SparkSession, sf_dir: str, app_id: str = "fact-maint"
+    ) -> int:
+        """Bootstrap: the full enrichment committed as batch 0 of the
+        same ledger the incremental batches append to."""
+        from ..plans.star import fact
+
+        return self.table.replace_by_key(
+            spark, fact(spark, sf_dir), FACT_KEY, txn=(app_id, 0)
+        )
+
+    def apply_order_changes(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        order_keys: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "fact-maint",
+    ) -> int:
+        """Fold one batch of affected order keys into the fact: changed
+        orders get their lines replaced, new orders appear, orders gone
+        from the source disappear (they re-enrich to zero lines but stay
+        in the replace key set). Replay-safe via the ledger."""
+        from ..io import release_checkpoint
+
+        # pin the key set once: it feeds the delta enrichment, the
+        # replace key frame, and every CAS retry
+        keys = order_keys.select(
+            F.col("o_orderkey").cast("bigint")
+        ).distinct().localCheckpoint(eager=True)
+        try:
+            delta = enrich_orders(spark, sf_dir, keys)
+            txn = (app_id, batch_id) if batch_id is not None else None
+            return self.table.replace_by_key(
+                spark,
+                delta,
+                FACT_KEY,
+                keys=keys.select(F.col("o_orderkey").alias("order_id")),
+                txn=txn,
+            )
+        finally:
+            release_checkpoint(keys)
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return self.table.read(spark)

@@ -554,6 +554,69 @@ class VersionedParquetTable:
             "writer contention on this table exceeds the retry budget"
         )
 
+    def replace_by_key(
+        self,
+        spark: SparkSession,
+        incoming: DataFrame,
+        pk: list[str],
+        keys: DataFrame | None = None,
+        max_retries: int = 10,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """REPLACE WHERE key IN (keys): ONE atomic commit that drops every
+        incumbent row whose ``pk`` appears in ``keys`` and appends
+        ``incoming`` — the maintenance primitive for tables with MULTIPLE
+        rows per key (a changed parent entity replaces ALL its child
+        rows: an order's fact lines, a document's chunks). ``keys``
+        defaults to ``incoming``'s distinct keys; pass it explicitly when
+        the replacement must also DELETE keys that produce no new rows
+        (an order removed at the source re-enriches to zero lines — its
+        key must still be in ``keys`` for the old rows to go away).
+        Row-level ``upsert`` cannot express this (it is 1-row-per-pk
+        last-wins); delete-then-upsert as two commits can, but exposes a
+        rows-missing intermediate snapshot and splits the ledger entry.
+        Same txn-ledger idempotence and commit/retry protocol as the
+        rest of the CRUD surface."""
+        key_frame = (keys if keys is not None else incoming).select(*pk).distinct()
+        for _ in range(max_retries):
+            base_version = self.current_version()
+            base_path = self.current_path()
+            ledger = {} if base_path is None else self._read_txns(base_path)
+            if txn is not None:
+                app_id, txn_version = txn
+                if not re.fullmatch(r"[A-Za-z0-9._-]+", app_id):
+                    raise ValueError(
+                        f"txn app_id {app_id!r} must match [A-Za-z0-9._-]+ "
+                        "(it becomes a ledger filename)"
+                    )
+                last = ledger.get(app_id)
+                if last is not None and txn_version <= last:
+                    return base_version  # already applied
+                ledger = {**ledger, app_id: txn_version}
+            if base_path is None:
+                merged = incoming
+            else:
+                incumbent = spark.read.parquet(base_path)
+                if set(incumbent.columns) != set(incoming.columns):
+                    raise ValueError(
+                        "replace_by_key requires identical columns: "
+                        f"table has {sorted(incumbent.columns)}, batch has "
+                        f"{sorted(incoming.columns)} — migrate explicitly"
+                    )
+                cond = None
+                for k in pk:
+                    c = incumbent[k].eqNullSafe(key_frame[k])
+                    cond = c if cond is None else cond & c
+                remaining = incumbent.join(key_frame, cond, "left_anti")
+                merged = remaining.unionByName(incoming)
+            committed = self._try_commit(merged, ledger, base_version)
+            if committed is not None:
+                return committed
+        raise RuntimeError(
+            f"replace_by_key lost the commit race {max_retries} times in a "
+            "row — writer contention on this table exceeds the retry budget"
+        )
+
     def _advance_current(self, version: int) -> None:
         """Monotonic best-effort pointer update (atomic rename; readers
         fall back to the commit log, so a race here is self-healing)."""
