@@ -49,9 +49,15 @@ def test_init_full_equals_computed_fact(spark, sf_dir, tmp_path):
     from datawarehouse_project_spark.plans.star import fact
 
     ift = IncrementalFactTable(str(tmp_path / "fact"))
-    ift.init_full(spark, sf_dir)
-    got = ift.read(spark).select(*fact(spark, sf_dir).columns)
-    assert _canon(got) == _canon(fact(spark, sf_dir))
+    try:
+        ift.init_full(spark, sf_dir)
+        got = ift.read(spark).select(*fact(spark, sf_dir).columns)
+        assert _canon(got) == _canon(fact(spark, sf_dir))
+    finally:
+        # executing the shared memoized fact handle pins its adaptive
+        # plan; drop the cache entry so plan-shape tests (which assert on
+        # the PRE-execution plan) rebuild a fresh handle
+        spark._dw_fact_cache.pop(sf_dir, None)
 
 
 def test_incremental_maintenance_matches_full_rebuild(spark, sf_dir, tmp_path):

@@ -89,7 +89,7 @@ def test_jdbc_scan_is_partitioned(spark, sf_dir):
     full-table pull."""
     from datawarehouse_project_spark.sources.jdbc_scan import N_PARTITIONS
 
-    p = plan_of(queries()["jdbc_nation_dim_agg"](spark, sf_dir))
+    p = plan_of(all_queries()["jdbc_nation_dim_agg"](spark, sf_dir))
     assert f"JDBCRelation(nation) [numPartitions={N_PARTITIONS}]" in p
 
 
@@ -107,7 +107,7 @@ def test_ivf_multiprobe_is_cluster_equi_join(spark, sf_dir):
     """Multi-probe IVF must stay a (cluster_id = probe) EQUI-join after
     the query-side probe explode — probing widens the candidate set, not
     the join strategy."""
-    p = plan_of(queries()["similarity_ivf_multiprobe_topk"](spark, sf_dir))
+    p = plan_of(all_queries()["similarity_ivf_multiprobe_topk"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
