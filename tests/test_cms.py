@@ -119,3 +119,45 @@ def test_cms_registered_query_matches_duckdb_exactly(spark, sf_correct_dir):
         all_oracle_sql()[name],
         sf_correct_dir,
     )
+
+
+def test_cms_streaming_ingest_foreachbatch(spark, sf_dir, tmp_path):
+    """foreachBatch contract parity with the other stores: micro-batched
+    document ingest converges to the one-shot counter matrix bit-for-bit
+    (counters ADD, so convergence is exact, not approximate), and a full
+    no-checkpoint replay leaves the version and every counter unchanged."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.withColumn("part", (F.col("doc_id") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    store = CmsCounterStore(str(tmp_path / "stream"))
+
+    def run_stream():
+        (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: store.apply_batch(
+                    spark,
+                    bdf.select(F.explode(words("text")).alias("word")),
+                    batch_id=bid,
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_stream()
+    one_shot = cms_counters(_tokens(spark, sf_dir))
+
+    def canon(df):
+        return sorted((r.i, r.bucket, r["count"]) for r in df.collect())
+
+    assert canon(store.read(spark)) == canon(one_shot)
+    v = store.table.current_version()
+    run_stream()  # full replay, no checkpoint
+    assert store.table.current_version() == v
+    assert canon(store.read(spark)) == canon(one_shot)
