@@ -90,3 +90,82 @@ def skew_salted_store_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "store_name", F.col("total").cast("double").alias("total_sales")
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-driven differentiated join: CMS-detected hot keys take a
+# broadcast path, everything else shuffles.
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    row_id: str,
+    min_frac: float = 0.05,
+    sample_mod: int = 64,
+) -> DataFrame:
+    """Hot-key detection WITHOUT an exact per-key count: one CMS pass
+    over the key column (shuffle bounded by d×w counter rows per task —
+    see operators/cms.py) plus a deterministic hash-sample of rows for
+    the CANDIDATE set (a key carrying ≥ min_frac of N rows appears in a
+    1/sample_mod row sample with probability ~1 once N ≳ 10³; sampling
+    ROWS by ``row_id`` — never by key — is what makes that hold).
+    Returns a DataFrame of hot key values (string-typed probe column
+    ``word`` renamed back to ``key``). CMS only OVER-estimates, so the
+    result is a SUPERSET of the truly-hot keys — the safe direction
+    here: a falsely-hot key merely rides the broadcast path. One
+    ``count()`` job sizes N (the S6 pattern); everything else is
+    sketch-sized."""
+    from ..functions.text import portable_hash
+    from .cms import cms_counters, cms_estimates
+
+    n_total = df.count()
+    keys_as_tokens = df.select(F.col(key).cast("string").alias("word"))
+    counters = cms_counters(keys_as_tokens)
+    candidates = (
+        df.filter(
+            portable_hash(
+                F.concat(F.lit("hotkey:"), F.col(row_id).cast("string"))
+            )
+            % sample_mod
+            == 0
+        )
+        .select(F.col(key), F.col(key).cast("string").alias("word"))
+        .distinct()
+    )
+    hot_words = cms_estimates(counters, candidates.select("word")).filter(
+        F.col("est_count") >= F.lit(float(min_frac) * n_total)
+    )
+    # map the string probe back to the ORIGINAL key type so callers can
+    # semi/anti-join without implicit casts
+    return candidates.join(hot_words, "word", "left_semi").select(key)
+
+
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """Differentiated equi-join: left rows whose key is in ``hot_keys``
+    join against a BROADCAST of the right side's (tiny) hot-key slice;
+    the rest take the normal shuffle join. The two paths partition the
+    left exactly (semi vs anti on the same broadcast key set — NULL keys
+    fall to the cold path, where the join itself decides their fate), so
+    the union is row-identical to the plain join while no reducer ever
+    owns a hot key's full row set. This is the manual form of AQE's
+    skew-join split for engines/plans AQE does not cover (e.g. a
+    deliberately co-partitioned pipeline), driven by the CMS detector
+    instead of runtime statistics. ``how`` covers the left-preserving
+    joins (inner/left/left_outer); right-preserving forms would need the
+    dual split on the right side."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"skew_split_join supports inner/left joins, got {how!r}")
+    hk = F.broadcast(hot_keys.select(F.col(key)).distinct())
+    left_hot = left.join(hk, key, "left_semi")
+    left_cold = left.join(hk, key, "left_anti")
+    right_hot = right.join(hk, key, "left_semi")
+    hot = left_hot.join(F.broadcast(right_hot), key, how)
+    cold = left_cold.join(right, key, how)
+    return hot.unionByName(cold)

@@ -203,3 +203,87 @@ def test_lsh_hot_bucket_clique_pairs(spark, tmp_path):
     rows_out = got.collect()
     assert len(rows_out) == clique * (clique - 1) // 2
     assert all(r["n_matching_minhash"] == 8 for r in rows_out)
+
+
+# --------------------------------------------------------------------------
+# Sketch-driven differentiated join (r10): CMS hot-key detection + split.
+
+
+def _skewed_frames(spark):
+    """Left: one hot key carrying ~75% of rows + 100 cold keys; right: one
+    payload row per key."""
+    rows = [(7, i) for i in range(30_000)] + [
+        (1000 + k, i) for k in range(100) for i in range(100)
+    ]
+    # deterministic row ids: derive from the data, not monotonic ids
+    left = spark.createDataFrame(
+        [(k, j) for j, (k, _) in enumerate(rows)], "k bigint, row_id bigint"
+    )
+    right = spark.createDataFrame(
+        [(7, "hot-payload")] + [(1000 + k, f"cold-{k}") for k in range(100)],
+        "k bigint, payload string",
+    )
+    return left, right
+
+
+def test_detect_hot_keys_finds_planted_key_and_no_cold_ones(spark):
+    from datawarehouse_project_spark.operators.skew import detect_hot_keys
+
+    left, _ = _skewed_frames(spark)
+    hot = [r.k for r in detect_hot_keys(left, "k", "row_id").collect()]
+    assert hot == [7], hot  # the superset guarantee still excludes cold
+    # keys here: CMS overestimate of a 100-row key is << 5% of 40k rows
+
+
+def test_skew_split_join_equals_plain_join(spark):
+    from datawarehouse_project_spark.operators.skew import (
+        detect_hot_keys,
+        skew_split_join,
+    )
+
+    left, right = _skewed_frames(spark)
+    hot = detect_hot_keys(left, "k", "row_id")
+
+    def canon(df):
+        return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+    for how in ("inner", "left"):
+        got = skew_split_join(left, right, "k", hot, how=how)
+        want = left.join(right, "k", how)
+        assert canon(got) == canon(want), how
+    # the hot path actually broadcasts
+    plan = (
+        skew_split_join(left, right, "k", hot)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skew_split_join_left_rows_with_unmatched_and_null_keys(spark):
+    """Left rows whose key matches nothing survive a left join through
+    the cold path; NULL keys never match (standard equi-join semantics)
+    on either path."""
+    from datawarehouse_project_spark.operators.skew import skew_split_join
+
+    left = spark.createDataFrame(
+        [(7, 1), (None, 2), (999999, 3)], "k bigint, row_id bigint"
+    )
+    right = spark.createDataFrame([(7, "x")], "k bigint, payload string")
+    hot = spark.createDataFrame([(7,)], "k bigint")
+    got = sorted(
+        (
+            (r.k, r.row_id, r.payload)
+            for r in skew_split_join(left, right, "k", hot, how="left").collect()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (r.k, r.row_id, r.payload)
+            for r in left.join(right, "k", "left").collect()
+        ),
+        key=repr,
+    )
+    assert got == want
