@@ -1026,6 +1026,91 @@ def dedup_ngram_jaccard_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+#: Containment threshold for the registered query: src shares >= 60% of
+#: its (capped) shingles with dst. Lower than a near-dup jaccard bar on
+#: purpose — containment catches ASYMMETRIC duplication jaccard misses.
+CONTAINMENT_T = 0.6
+
+
+def ngram_containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = CONTAINMENT_T,
+    df_cap: int = DF_CAP,
+) -> DataFrame:
+    """DIRECTED near-dup: containment(src→dst) = |src ∩ dst| / |src| over
+    the df-capped shingle universe — the asymmetric signal Jaccard
+    dilutes away (a paragraph quoted inside a much longer document has
+    tiny Jaccard but containment ≈ 1; the training-data failure mode is
+    a benchmark question embedded in a web page). Same inverted-index /
+    posting-list machinery and scale bound as the capped Jaccard: pair
+    fan-out ≤ df_cap(df_cap−1)/2 per shingle at any corpus size; emits
+    BOTH directions of each sharing pair so the consumer filters per
+    side. Integer/integer division keeps the score bit-identical
+    cross-engine."""
+    sh = doc_shingle_frame(spark, sf_dir)
+    inv = (
+        sh.select("doc_id", F.explode("sgs").alias("sg"))
+        .withColumn("sgh", F.xxhash64("sg"))
+        .drop("sg")
+    )
+    posting = (
+        inv.groupBy("sgh")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= df_cap)
+    )
+    shared = (
+        posting.select(F.explode("docs").alias("d1"), "docs")
+        .select("d1", F.explode("docs").alias("d2"))
+        .filter(F.col("d1") != F.col("d2"))  # directed: both orders kept
+        .groupBy(F.col("d1").alias("src_doc"), F.col("d2").alias("dst_doc"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sg"))
+    )
+    ssz = sizes.select(
+        F.col("doc_id").alias("src_doc"), F.col("n_sg").alias("n_src")
+    )
+    cont = F.col("shared").cast("double") / F.col("n_src")
+    return (
+        shared.join(ssz.hint("SHUFFLE_HASH"), "src_doc")
+        .select("src_doc", "dst_doc", "n_src", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    # New r10 operator (pytest-oracle-gated; r11 rotation candidate).
+    driver_facing=False,
+    oracle=f"""
+WITH {DUCK_DOCWORDS},
+inv AS (SELECT doc_id, unnest(sgs) AS sg FROM docshingles),
+freq AS (
+    SELECT sg FROM (SELECT sg, COUNT(*) AS df FROM inv GROUP BY 1)
+    WHERE df <= {DF_CAP}
+),
+invc AS (SELECT i.doc_id, i.sg FROM inv i JOIN freq f USING (sg)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sg FROM invc GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, COUNT(*) AS shared
+    FROM invc a JOIN invc b ON a.sg = b.sg AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.src_doc, s.dst_doc, CAST(sz.n_sg AS BIGINT) AS n_src,
+       CAST(s.shared AS DOUBLE) / sz.n_sg AS containment
+FROM shared s JOIN sizes sz ON s.src_doc = sz.doc_id
+WHERE CAST(s.shared AS DOUBLE) / sz.n_sg >= {CONTAINMENT_T}
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_pairs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 def _duck_quality_scored() -> str:
     """The quality-scoring CTE chain (per_doc, scored) from textstats —
     shared so the keep-best oracle scores documents with the EXACT same

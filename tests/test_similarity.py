@@ -359,3 +359,46 @@ def test_ivf_quantized_recall_vs_exact_multiprobe(spark, sf_correct_dir):
         ).collect()
     }
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_containment_pairs_match_duckdb_and_find_planted_quote(spark, sf_correct_dir, tmp_path):
+    """Directed containment (r10): dual-surface value parity on the real
+    corpus, plus the semantic point — a short doc quoted verbatim inside
+    a much longer one has containment ~1 while its Jaccard is diluted
+    below the near-dup bar."""
+    from datawarehouse_project_spark.catalog import all_oracle_sql, all_queries
+    from datawarehouse_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from tests.oracle_check import compare
+
+    name = "dedup_containment_pairs"
+    compare(
+        all_queries()[name](spark, sf_correct_dir),
+        all_oracle_sql()[name],
+        sf_correct_dir,
+    )
+
+    # planted asymmetric duplication on a tiny synthetic corpus
+    quote = "the quick brown fox jumps over the lazy dog every day"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, quote, "en", "syn", len(quote)),
+            (2, filler + " " + quote + " " + filler[::-1], "en", "syn", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "plant")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    cont = {
+        (r.src_doc, r.dst_doc): r.containment
+        for r in ngram_containment_pairs(spark, sf, threshold=0.5).collect()
+    }
+    assert cont.get((1, 2), 0.0) >= 0.9  # the quote is contained
+    jac = ngram_jaccard_pairs(spark, sf, threshold=0.5, df_cap=10).collect()
+    assert not jac  # symmetric jaccard misses the asymmetric duplicate
