@@ -64,6 +64,7 @@ NEUTRAL_AS_IS = [
     "q02_quarterly_growth_store",
     "q02j_growth_by_store_id",
     "q03_supplier_contribution",
+    "q03_supplier_contribution_ordered",
     "q04_seasonal_product_sales",
     "q04j_quarter_seasons",
     "q05_monthly_volatility",
@@ -1334,3 +1335,89 @@ FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
 # last ulp (measured: 8.2873914575032 vs ...3201). Its gate is the
 # tolerance-based DuckDB differential in tests/test_docs_pipeline.py —
 # the same reason the engine keeps integer cores for hash-gated scores.
+
+
+def _spark_cms_sql() -> str:
+    from ..operators.cms import CMS_DEPTH, CMS_WIDTH, _PROBE_MIN_LEN
+
+    depths = ", ".join(str(i) for i in range(CMS_DEPTH))
+    h = (
+        "CAST(CONV(SUBSTRING(MD5(CONCAT('cms', CAST(d.i AS STRING), ':', "
+        "{w})), 1, 15), 16, 10) AS BIGINT) % " + str(CMS_WIDTH)
+    )
+    return f"""
+WITH {SPARK_DOCWORDS},
+tokens AS (SELECT explode(ws) AS word FROM docwords),
+depths AS (SELECT explode(array({depths})) AS i),
+counters AS (
+    SELECT d.i AS i, {h.format(w="t.word")} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tokens t CROSS JOIN depths d
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT DISTINCT word FROM tokens WHERE length(word) >= {_PROBE_MIN_LEN}
+),
+pairs AS (
+    SELECT p.word, d.i AS i, {h.format(w="p.word")} AS bucket
+    FROM probes p CROSS JOIN depths d
+)
+SELECT pr.word AS word,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+FROM pairs pr LEFT JOIN counters c ON pr.i = c.i AND pr.bucket = c.bucket
+GROUP BY 1
+"""
+
+
+SPARK_SQL["cms_word_count_estimates"] = _spark_cms_sql()
+
+SPARK_SQL["dedup_containment_pairs"] = f"""
+WITH {SPARK_DOCWORDS},
+inv AS (SELECT doc_id, explode(sgs) AS sg FROM docshingles),
+freq AS (
+    SELECT sg FROM (SELECT sg, COUNT(*) AS df FROM inv GROUP BY 1)
+    WHERE df <= {DF_CAP}
+),
+invc AS (SELECT i.doc_id, i.sg FROM inv i JOIN freq f USING (sg)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sg FROM invc GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, COUNT(*) AS shared
+    FROM invc a JOIN invc b ON a.sg = b.sg AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.src_doc, s.dst_doc, CAST(sz.n_sg AS BIGINT) AS n_src,
+       CAST(s.shared AS DOUBLE) / sz.n_sg AS containment
+FROM shared s JOIN sizes sz ON s.src_doc = sz.doc_id
+WHERE CAST(s.shared AS DOUBLE) / sz.n_sg >= 0.6
+"""
+
+# Spark has no forward ASOF either: nearest FUTURE purchase = MIN over the
+# >= side, then join back on the exact (key, ts) — the mirror of the
+# asof_join_last_order twin above.
+SPARK_SQL["asof_forward_next_purchase"] = """
+WITH ev AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0
+),
+pur AS (
+    SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+),
+best AS (
+    SELECT e.event_id, MIN(p.ts) AS best_ts
+    FROM ev e
+    LEFT JOIN pur p ON e.user_id = p.user_id AND p.ts >= e.ts
+    GROUP BY e.event_id
+)
+SELECT e.event_id, e.user_id,
+       unix_micros(e.ts) AS event_ts_us,
+       p.event_id AS next_purchase_id,
+       unix_micros(CAST(p.ts AS TIMESTAMP)) AS next_purchase_ts_us
+FROM ev e
+JOIN best b ON e.event_id = b.event_id
+LEFT JOIN pur p ON b.best_ts = p.ts AND e.user_id = p.user_id
+"""
