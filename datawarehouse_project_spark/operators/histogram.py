@@ -1,0 +1,237 @@
+"""Mergeable fixed-width histogram rollups: percentiles from counters.
+
+Third member of the sketch-store family (distinct → HLL
+:mod:`.sketches`; frequency → CMS :mod:`.cms`; here: DISTRIBUTION).
+The warehouse question is "p50/p90/p99 of event value last week" asked
+over a pre-aggregate, without rescanning raw events and without an
+exact per-value count table. A fixed-width histogram is the simplest
+mergeable answer: counters add (union of ranges = sum of bins), any
+range percentile reads the stored bins, and the estimate is off by at
+most one bin width — an explicit, test-pinned bound.
+
+Spark-first representation, same as the CMS: bins as ROWS
+``(key..., bin, count)`` —
+
+* the build is one hash aggregate with map-side partial combine
+  (``floor(value / width)`` needs no sketch library and, being IEEE
+  double arithmetic on identical operands, bins IDENTICALLY in DuckDB —
+  so unlike t-digest/KLL registers the whole histogram AND the derived
+  percentiles carry an EXACT cross-engine oracle);
+* a merge is ``groupBy(bin).sum`` — the incremental-store algebra;
+* a percentile probe is a cumulative window over ≤ (range/width) bin
+  rows: per key, the first bin whose running count reaches q·total.
+  Returned as the bin's LOWER BOUND (an integer multiple of width) —
+  deterministic, no interpolation, error ≤ width by construction.
+
+Versus ``approxQuantile``/``percentile_approx``: those answer one query
+over one scan with a non-mergeable-across-queries driver result and
+engine-specific internals; the histogram is a durable pre-aggregate any
+range query reuses, at the cost of choosing ``width`` up front (the
+classic trade — see the memory note on GK summaries at relativeError=0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..plans.registry import register
+from ..session import prepare
+
+#: Bin width for the registered exemplar over events.value.
+HIST_WIDTH = 1.0
+
+#: The percentile probes the registered query answers.
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def value_histogram(
+    df: DataFrame,
+    keys: list[str],
+    value: str = "value",
+    width: float = HIST_WIDTH,
+) -> DataFrame:
+    """(keys..., bin, count) rows: ``bin = floor(value / width)`` —
+    negative values bin correctly (floor, not truncate), NULL values are
+    dropped (no bin). One map-side-combining hash aggregate."""
+    return (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(
+            *keys,
+            F.floor(F.col(value) / F.lit(float(width)))
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(F.count("*").cast("bigint").alias("count"))
+    )
+
+
+def percentiles_from_bins(
+    hist: DataFrame,
+    keys: list[str],
+    qs: tuple[float, ...] = HIST_QS,
+    width: float = HIST_WIDTH,
+) -> DataFrame:
+    """Per key, for each q in ``qs``: the LOWER BOUND of the first bin
+    whose cumulative count reaches q·total — i.e. a value v with
+    P[X ≤ v + width] ≥ q and P[X < v] < q. Integer-deterministic given
+    the bins; columns are ``p50_lo, p90_lo, ...`` (q rendered without
+    the '0.')."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("count").over(w)).withColumn(
+        "total", F.sum("count").over(Window.partitionBy(*keys))
+    )
+
+    def col_name(q: float) -> str:
+        return f"p{round(q * 100)}_lo"
+
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.lit(float(q)) * F.col("total"), F.col("bin")
+            )
+        ).alias("_b_" + col_name(q))
+        for q in qs
+    ]
+    out = cum.groupBy(*keys).agg(*aggs)
+    for q in qs:
+        name = col_name(q)
+        out = out.withColumn(
+            name,
+            (F.col("_b_" + name) * F.lit(float(width))).cast("double"),
+        ).drop("_b_" + name)
+    return out
+
+
+class HistogramStore:
+    """Durable (keys, bin, count) store with the repo's standard
+    incremental contract (ledgered foreachBatch, CAS retry): counters
+    ADD, so incremental == one-shot bit-for-bit, and any range
+    percentile reads bins only."""
+
+    def __init__(
+        self,
+        root: str,
+        keys: list[str],
+        width: float = HIST_WIDTH,
+    ):
+        from ..sources.sinks import VersionedParquetTable
+
+        self.table = VersionedParquetTable(root)
+        self.keys = list(keys)
+        self.width = width
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        value: str = "value",
+        batch_id: int | None = None,
+        app_id: str = "hist",
+    ) -> int:
+        from ..io import release_checkpoint
+        from ..sources.sinks import ConcurrentWriteError
+
+        part = value_histogram(
+            batch, self.keys, value, self.width
+        ).localCheckpoint(eager=True)
+        txn = (app_id, batch_id) if batch_id is not None else None
+        group = [*self.keys, "bin"]
+        try:
+            for _ in range(10):
+                if batch_id is not None:
+                    last = self.table.last_txn(app_id)
+                    if last is not None and batch_id <= last:
+                        return self.table.current_version()
+                base_version = self.table.current_version()
+                state = self.table.read(spark)
+                merged = part
+                if state is not None:
+                    affected = state.join(
+                        part.select(*group).distinct(), group, "left_semi"
+                    )
+                    merged = (
+                        affected.unionByName(part)
+                        .groupBy(*group)
+                        .agg(F.sum("count").cast("bigint").alias("count"))
+                    )
+                try:
+                    return self.table.upsert(
+                        spark,
+                        merged,
+                        group,
+                        txn=txn,
+                        expected_base=base_version,
+                    )
+                except ConcurrentWriteError:
+                    continue
+            raise RuntimeError(
+                "HistogramStore.apply_batch lost the commit race 10 times"
+            )
+        finally:
+            release_checkpoint(part)
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return self.table.read(spark)
+
+    def percentiles(
+        self, spark: SparkSession, qs: tuple[float, ...] = HIST_QS
+    ) -> DataFrame:
+        state = self.read(spark)
+        if state is None:
+            raise ValueError(
+                f"histogram store at {self.table.root} is empty"
+            )
+        return percentiles_from_bins(state, self.keys, qs, self.width)
+
+
+def _hist_oracle() -> str:
+    q_cols = ", ".join(
+        "CAST(MIN(CASE WHEN cum >= {q} * total THEN bin END) * {w} AS DOUBLE)"
+        " AS p{n}_lo".format(q=q, w=float(HIST_WIDTH), n=round(q * 100))
+        for q in HIST_QS
+    )
+    return f"""
+WITH hist AS (
+    SELECT event_type, CAST(FLOOR(value / {float(HIST_WIDTH)}) AS BIGINT) AS bin,
+           COUNT(*)::BIGINT AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS total
+    FROM hist
+)
+SELECT event_type, {q_cols}
+FROM cum
+GROUP BY 1
+"""
+
+
+@register(
+    "events_value_histogram_percentiles",
+    # New r10 operator (pytest-oracle-gated; r11 rotation candidate).
+    # EXACT oracle: floor-binning is IEEE-identical cross-engine, the
+    # derived percentile bins are integer arithmetic.
+    driver_facing=False,
+    oracle=_hist_oracle,
+)
+def events_value_histogram_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p50/p90/p99 of event value per event_type, answered from the
+    histogram pre-aggregate (bin lower bounds; error ≤ HIST_WIDTH).
+    Columns: event_type, p50_lo, p90_lo, p99_lo."""
+    prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    hist = value_histogram(ev, ["event_type"])
+    return percentiles_from_bins(hist, ["event_type"])

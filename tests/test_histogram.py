@@ -1,0 +1,93 @@
+"""Mergeable fixed-width histogram store: bound guarantees, merge
+algebra, store contract, exact DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.catalog import all_oracle_sql, all_queries
+from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.operators.histogram import (
+    HIST_QS,
+    HIST_WIDTH,
+    HistogramStore,
+    percentiles_from_bins,
+    value_histogram,
+)
+
+from tests.oracle_check import compare
+
+
+def test_histogram_percentiles_satisfy_the_defining_inequalities(spark, sf_dir):
+    """For every key and q: P[X < p_lo] < q and P[X <= p_lo + width] >= q
+    — the bound the bin lower-bound estimate promises, checked against
+    the raw values."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    got = all_queries()["events_value_histogram_percentiles"](
+        spark, sf_dir
+    ).collect()
+    assert got
+    for row in got:
+        vals = ev.filter(F.col("event_type") == row.event_type)
+        total = vals.count()
+        for q in HIST_QS:
+            p_lo = row[f"p{round(q * 100)}_lo"]
+            below = vals.filter(F.col("value") < p_lo).count()
+            upto = vals.filter(F.col("value") <= p_lo + HIST_WIDTH).count()
+            assert below < q * total or below == 0, (row.event_type, q)
+            assert upto >= q * total, (row.event_type, q)
+
+
+def test_histogram_bins_negative_values_and_merge_is_sum(spark, tmp_path):
+    """floor (not truncate) for negatives; incremental store == one-shot
+    bins bit-for-bit; replay absorbed; store percentiles == inline."""
+    rows = [("a", -2.5), ("a", -0.1), ("a", 0.4), ("a", 3.7), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    bins = {
+        (r.k, r.bin): r["count"]
+        for r in value_histogram(df, ["k"]).collect()
+    }
+    assert bins[("a", -3)] == 1  # -2.5 floors DOWN
+    assert bins[("a", -1)] == 1
+    assert bins[("a", 0)] == 1
+    assert bins[("a", 3)] == 1
+    assert bins[("b", 10)] == 1
+
+    store = HistogramStore(str(tmp_path / "hist"), ["k"])
+    for i, half in enumerate((rows[:2], rows[2:])):
+        store.apply_batch(
+            spark,
+            spark.createDataFrame(half, "k string, value double"),
+            batch_id=i,
+        )
+
+    def canon(df):
+        return sorted((r.k, r.bin, r["count"]) for r in df.collect())
+
+    assert canon(store.read(spark)) == canon(value_histogram(df, ["k"]))
+    v = store.table.current_version()
+    store.apply_batch(
+        spark,
+        spark.createDataFrame(rows[:2], "k string, value double"),
+        batch_id=0,
+    )  # replay
+    assert store.table.current_version() == v
+    got = sorted(
+        tuple(r) for r in store.percentiles(spark).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in percentiles_from_bins(
+            value_histogram(df, ["k"]), ["k"]
+        ).collect()
+    )
+    assert got == want
+
+
+def test_histogram_registered_query_matches_duckdb_exactly(spark, sf_correct_dir):
+    name = "events_value_histogram_percentiles"
+    compare(
+        all_queries()[name](spark, sf_correct_dir),
+        all_oracle_sql()[name],
+        sf_correct_dir,
+    )
