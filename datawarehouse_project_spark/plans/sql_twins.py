@@ -1421,3 +1421,34 @@ FROM ev e
 JOIN best b ON e.event_id = b.event_id
 LEFT JOIN pur p ON b.best_ts = p.ts AND e.user_id = p.user_id
 """
+
+
+def _spark_hist_sql() -> str:
+    from ..operators.histogram import HIST_QS, HIST_WIDTH
+
+    q_cols = ", ".join(
+        "CAST(MIN(CASE WHEN cum >= {q} * total THEN bin END) * {w} AS DOUBLE)"
+        " AS p{n}_lo".format(q=q, w=float(HIST_WIDTH), n=round(q * 100))
+        for q in HIST_QS
+    )
+    return f"""
+WITH hist AS (
+    SELECT event_type, CAST(FLOOR(value / {float(HIST_WIDTH)}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS total
+    FROM hist
+)
+SELECT event_type, {q_cols}
+FROM cum
+GROUP BY 1
+"""
+
+
+SPARK_SQL["events_value_histogram_percentiles"] = _spark_hist_sql()

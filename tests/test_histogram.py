@@ -91,3 +91,41 @@ def test_histogram_registered_query_matches_duckdb_exactly(spark, sf_correct_dir
         all_oracle_sql()[name],
         sf_correct_dir,
     )
+
+
+def test_histogram_streaming_ingest_foreachbatch(spark, sf_dir, tmp_path):
+    """foreachBatch parity with the other sketch stores: micro-batched
+    event ingest converges to the one-shot bins bit-for-bit; full
+    no-checkpoint replay absorbed."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    ev.withColumn("part", (F.col("event_id") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    store = HistogramStore(str(tmp_path / "stream"), ["event_type"])
+
+    def run_stream():
+        (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: store.apply_batch(
+                    spark, bdf.select("event_type", "value"), batch_id=bid
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_stream()
+    one_shot = value_histogram(ev, ["event_type"])
+
+    def canon(df):
+        return sorted((r.event_type, r.bin, r["count"]) for r in df.collect())
+
+    assert canon(store.read(spark)) == canon(one_shot)
+    v = store.table.current_version()
+    run_stream()
+    assert store.table.current_version() == v
