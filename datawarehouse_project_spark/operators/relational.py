@@ -263,6 +263,113 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_days: int = 7,
+    self_pairs: bool = False,
+) -> DataFrame:
+    """Pure interval-overlap join WITHOUT an equi key — the join
+    ``range_join_ship_lag``'s docstring promises a scale pattern for:
+    each side's ``(id, start, end)`` interval explodes into the coarse
+    time buckets it covers (fan-out = length/bucket_days + 1 per row,
+    bounded by choosing the bucket near the median interval length), the
+    sides EQUI-join on bucket — partition-local, shuffle-bounded, never
+    the quadratic theta join — and the exact overlap predicate filters
+    the bucket-collisions. A pair sharing several buckets would emit
+    duplicates; the standard first-shared-bucket guard
+    (``bucket == greatest(a_blo, b_blo)``) keeps exactly one, with NO
+    dedup shuffle. ``self_pairs=True`` additionally keeps ``a_id <
+    b_id`` (unordered self-join pairs). Output: a_id, b_id,
+    overlap_days (inclusive-end day count, integer-exact)."""
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def bucketed(df: DataFrame, pfx: str) -> DataFrame:
+        lo = F.floor(F.datediff(F.col("start"), epoch) / bucket_days).cast(
+            "bigint"
+        )
+        hi = F.floor(F.datediff(F.col("end"), epoch) / bucket_days).cast(
+            "bigint"
+        )
+        return df.select(
+            F.col("id").alias(f"{pfx}_id"),
+            F.col("start").alias(f"{pfx}_start"),
+            F.col("end").alias(f"{pfx}_end"),
+            lo.alias(f"{pfx}_blo"),
+            F.explode(F.sequence(lo, hi)).alias("bucket"),
+        )
+
+    a = bucketed(left, "a")
+    b = bucketed(right, "b")
+    cond = (
+        (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end"))
+        & (F.col("bucket") == F.greatest("a_blo", "b_blo"))
+    )
+    if self_pairs:
+        cond = cond & (F.col("a_id") < F.col("b_id"))
+    return (
+        a.join(b, "bucket")
+        .filter(cond)
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.datediff(
+                    F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+    )
+
+
+@register(
+    "overlap_shipping_windows",
+    # New r10 operator (pytest-oracle-gated; r11 rotation candidate):
+    # the pure range join without an equi key, bucketized.
+    driver_facing=False,
+    oracle="""
+WITH win AS (
+    SELECT l_orderkey * 10 + l_linenumber AS id,
+           CAST(l_shipdate AS DATE) AS start_d,
+           CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS end_d
+    FROM lineitem WHERE l_orderkey % 100 = 0
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(date_diff('day', GREATEST(a.start_d, b.start_d),
+                      LEAST(a.end_d, b.end_d)) + 1 AS BIGINT) AS overlap_days
+FROM win a JOIN win b
+  ON a.id < b.id
+ AND a.start_d <= b.end_d AND b.start_d <= a.end_d
+""",
+)
+def overlap_shipping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent shipping windows among sampled lineitems: interval =
+    [shipdate, shipdate + quantity days] (synthetic-but-deterministic
+    width — this dataset carries no receiptdate), all overlapping
+    unordered pairs with their overlap length. The oracle is the naive
+    quadratic theta join — correct at sample scale; the engine runs the
+    bucketized plan that survives the unsampled table."""
+    prepare(spark)
+    win = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+            F.col("l_shipdate").cast("date").alias("start"),
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                F.col("l_quantity").cast("int"),
+            ).alias("end"),
+        )
+    )
+    return interval_overlap_join(win, win, bucket_days=7, self_pairs=True)
+
+
+# --------------------------------------------------------------------------
 @register(
     "range_join_ship_lag",
     driver_facing=False,  # rotated out r9 (driver-green since r3):

@@ -1452,3 +1452,19 @@ GROUP BY 1
 
 
 SPARK_SQL["events_value_histogram_percentiles"] = _spark_hist_sql()
+
+SPARK_SQL["overlap_shipping_windows"] = """
+WITH win AS (
+    SELECT l_orderkey * 10 + l_linenumber AS id,
+           CAST(l_shipdate AS DATE) AS start_d,
+           date_add(CAST(l_shipdate AS DATE), CAST(l_quantity AS INT)) AS end_d
+    FROM lineitem WHERE l_orderkey % 100 = 0
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(datediff(LEAST(a.end_d, b.end_d),
+                     GREATEST(a.start_d, b.start_d)) + 1 AS BIGINT)
+           AS overlap_days
+FROM win a JOIN win b
+  ON a.id < b.id
+ AND a.start_d <= b.end_d AND b.start_d <= a.end_d
+"""

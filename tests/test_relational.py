@@ -128,3 +128,47 @@ def test_asof_forward_next_purchase_matches_duckdb(spark, sf_correct_dir):
         all_oracle_sql()[name],
         sf_correct_dir,
     )
+
+
+def test_interval_overlap_join_semantics_and_dedup(spark):
+    """Inclusive endpoint touch counts as overlap (1 day); disjoint pairs
+    drop; nested containment reports the inner length; a pair sharing
+    MANY buckets emits exactly once (first-shared-bucket guard, no
+    distinct)."""
+    from datawarehouse_project_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (1, "2024-01-01", "2024-01-10"),
+        (2, "2024-01-10", "2024-01-20"),  # touches 1 on the 10th
+        (3, "2024-02-01", "2024-02-05"),  # disjoint from 1,2
+        (4, "2024-01-03", "2024-01-04"),  # nested in 1
+        (5, "2023-12-01", "2024-03-01"),  # spans MANY buckets, overlaps all
+    ]
+    df = spark.createDataFrame(rows, ["id", "start", "end"]).select(
+        "id", F.col("start").cast("date"), F.col("end").cast("date")
+    )
+    out = interval_overlap_join(df, df, bucket_days=7, self_pairs=True)
+    got = {(r.a_id, r.b_id): r.overlap_days for r in out.collect()}
+    assert got[(1, 2)] == 1  # endpoint touch
+    assert (1, 3) not in got and (2, 3) not in got
+    assert got[(1, 4)] == 2  # nested: inner [03..04]
+    assert got[(1, 5)] == 10 and got[(2, 5)] == 11 and got[(3, 5)] == 5
+    # exactly once per pair despite 5 spanning ~13 buckets
+    assert len([k for k in got if 5 in k]) == 4
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overlap_shipping_windows_matches_duckdb(spark, sf_correct_dir):
+    from datawarehouse_project_spark.catalog import all_oracle_sql, all_queries
+    from tests.oracle_check import compare
+
+    name = "overlap_shipping_windows"
+    compare(
+        all_queries()[name](spark, sf_correct_dir),
+        all_oracle_sql()[name],
+        sf_correct_dir,
+    )
