@@ -139,6 +139,18 @@ class IvfVectorIndex:
     def read(self, spark: SparkSession) -> DataFrame | None:
         return self.table.read(spark)
 
+    def compact(self, spark: SparkSession, target_files: int | None = None):
+        """OPTIMIZE the index table, range-clustered by ``cluster_id`` —
+        after many streaming append batches the index is scattered over
+        per-batch small files; compaction restores few files whose
+        DISJOINT cluster_id ranges let the probe equi-join's scan skip
+        non-probed cells at the row-group level. Same rows, same ledger
+        (replay stays idempotent across the compaction), same query
+        answers — parity pytest-pinned."""
+        return self.table.compact(
+            spark, target_files=target_files, cluster_keys=["cluster_id"]
+        )
+
     def remove(
         self,
         spark: SparkSession,

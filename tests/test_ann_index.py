@@ -266,3 +266,29 @@ def test_trained_index_recall_at_10_vs_brute_force(spark, sf_correct_dir, tmp_pa
     assert truth, "ground truth should be non-empty"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5, recall
+
+
+def test_compact_preserves_answers_and_replay(spark, sf_dir, tmp_path):
+    """OPTIMIZE after scattered appends: same index rows, same query
+    answers bit-for-bit, ledger intact (replaying a pre-compaction batch
+    is still absorbed), fewer data files."""
+    import glob
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = IvfVectorIndex(str(tmp_path / "cmp"))
+    for b in range(4):
+        idx.add_batch(spark, emb.filter(F.col("vec_id") % 4 == b), batch_id=b)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    before_rows = _canon_index(idx.read(spark))
+    before_ans = _canon_topk(idx.query_topk(spark, queries))
+    files_before = len(glob.glob(f"{idx.table.current_path()}/*.parquet"))
+    v = idx.compact(spark, target_files=1)
+    assert v is not None
+    files_after = len(glob.glob(f"{idx.table.current_path()}/*.parquet"))
+    assert files_after <= files_before
+    assert files_after == 1
+    assert _canon_index(idx.read(spark)) == before_rows
+    assert _canon_topk(idx.query_topk(spark, queries)) == before_ans
+    vv = idx.table.current_version()
+    idx.add_batch(spark, emb.filter(F.col("vec_id") % 4 == 2), batch_id=2)
+    assert idx.table.current_version() == vv  # replay absorbed post-compaction
