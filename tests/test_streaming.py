@@ -203,3 +203,109 @@ def test_stream_stream_join_observes_late_drops(spark, tmp_path):
     ev = spark.read.schema(schema).parquet(src)
     batch_pairs = click_attribution(*split_clicks_purchases(ev)).count()
     assert batch_pairs > sum(got)
+
+
+# --------------------------------------------------------------------------
+# Late-event dead-letter routing (r10): allowed-lateness with evidence.
+
+
+def test_late_dlq_routes_and_conserves_rows(spark, tmp_path):
+    from datawarehouse_project_spark.streaming.late_dlq import LateEventRouter
+
+    router = LateEventRouter(
+        str(tmp_path / "main"),
+        str(tmp_path / "late"),
+        str(tmp_path / "state"),
+        allowed_lateness_s=3600,
+    )
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    router.apply_batch(spark, b0, ["event_id"], batch_id=0)
+    # first batch: no prior watermark, nothing can be late
+    assert router.late.read(spark).count() == 0
+    assert router.watermark_us(spark) is not None
+
+    b1 = spark.createDataFrame(
+        [
+            (3, "2024-01-01 12:30:00"),  # fresh
+            (4, "2024-01-01 11:30:00"),  # within lateness (wm 12:00 - 1h)
+            (5, "2024-01-01 09:00:00"),  # LATE: 2h before the 12:00 wm
+        ],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    router.apply_batch(spark, b1, ["event_id"], batch_id=1)
+    late = {r.event_id: r for r in router.late.read(spark).collect()}
+    assert set(late) == {5}
+    assert late[5].late_batch_id == 1
+    assert late[5].late_by_s == 7200.0
+    main_ids = {r.event_id for r in router.main.read(spark).collect()}
+    assert main_ids == {1, 2, 3, 4}
+    # conservation: main ∪ late == every input row exactly once
+    assert router.main.read(spark).count() + router.late.read(spark).count() == 5
+    # watermark advanced to b1's max
+    assert router.watermark_us(spark) == int(
+        b1.agg(F.max(F.unix_micros(F.col("ts")))).first()[0]
+    )
+
+    # replay of the whole batch: all three ledgers absorb it
+    versions = (
+        router.main.current_version(),
+        router.late.current_version(),
+        router.state.current_version(),
+    )
+    router.apply_batch(spark, b1, ["event_id"], batch_id=1)
+    assert versions == (
+        router.main.current_version(),
+        router.late.current_version(),
+        router.state.current_version(),
+    )
+
+
+def test_late_dlq_streaming_foreachbatch(spark, tmp_path):
+    """The router as a writeStream sink: chunked replayed input still
+    yields exactly-once routing (ledger), and the watermark only ever
+    advances."""
+    from datawarehouse_project_spark.streaming.late_dlq import LateEventRouter
+
+    rows = [
+        (i, f"2024-01-01 {8 + i:02d}:00:00", i % 3) for i in range(6)
+    ]
+    src_df = spark.createDataFrame(
+        rows, "event_id long, ts string, part int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "src")
+    src_df.write.partitionBy("part").mode("overwrite").parquet(src)
+    router = LateEventRouter(
+        str(tmp_path / "m"),
+        str(tmp_path / "l"),
+        str(tmp_path / "s"),
+        allowed_lateness_s=1800,
+    )
+
+    def run():
+        (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: router.apply_batch(
+                    spark, bdf.drop("part"), ["event_id"], batch_id=bid
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    total = router.main.read(spark).count() + (
+        router.late.read(spark) or spark.createDataFrame([], "x int")
+    ).count()
+    assert total == 6
+    wm1 = router.watermark_us(spark)
+    vs = (router.main.current_version(), router.late.current_version())
+    run()  # full replay
+    assert (router.main.current_version(), router.late.current_version()) == vs
+    assert router.watermark_us(spark) == wm1
