@@ -115,3 +115,18 @@ class IncrementalFactTable:
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         return self.table.read(spark)
+
+    def serve(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Point every registered OLAP builder for ``sf_dir`` at the
+        maintained fact's CURRENT snapshot (the ``use_materialized_fact``
+        repoint — no builder changes), closing the loop: bootstrap →
+        incremental maintenance → the exact serving surface the one-shot
+        materialization uses. Re-call after each applied batch to serve
+        the newest snapshot; clear ``spark._dw_fact_cache[sf_dir]`` to
+        revert to the computed plan."""
+        from .catalog_ddl import use_materialized_fact
+
+        path = self.table.current_path()
+        if path is None:
+            raise ValueError(f"fact table at {self.root} is empty — init_full first")
+        return use_materialized_fact(spark, sf_dir, path)

@@ -141,3 +141,95 @@ def test_unaffected_orders_never_reenriched(spark, sf_dir, tmp_path):
     assert delta.count() == want
     plan = delta._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_maintained_fact_serves_registered_olap_queries(spark, sf_dir, tmp_path):
+    """The loop closed: after incremental maintenance over a mutated
+    source, pointing the OLAP catalog at the maintained snapshot
+    (serve()) answers the registered queries exactly as the computed
+    plan over that source does."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    src = _copy_sf(sf_dir, tmp_path / "sfdata")
+    ift = IncrementalFactTable(str(tmp_path / "fact"))
+    ift.init_full(spark, src)
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet").localCheckpoint(eager=True)
+    k_upd = li.select("l_orderkey").distinct().orderBy("l_orderkey").first()[0]
+    li2 = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") == k_upd, F.col("l_quantity") + 5).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    _replace_table(spark, src, "lineitem", li2)
+    ift.apply_order_changes(
+        spark,
+        src,
+        spark.createDataFrame([(int(k_upd),)], "o_orderkey bigint"),
+        batch_id=1,
+    )
+
+    q03 = all_queries()["q03_supplier_contribution"]
+    try:
+        ift.serve(spark, src)
+        served = sorted(map(repr, (tuple(r) for r in q03(spark, src).collect())))
+        spark._dw_fact_cache.pop(src, None)
+        computed = sorted(map(repr, (tuple(r) for r in q03(spark, src).collect())))
+        assert served == computed
+    finally:
+        spark._dw_fact_cache.pop(src, None)
+
+
+def test_fact_maintenance_streaming_foreachbatch(spark, sf_dir, tmp_path):
+    """Affected-order keys arriving as a stream: foreachBatch maintenance
+    converges to the full rebuild, full no-checkpoint replay absorbed."""
+    src = _copy_sf(sf_dir, tmp_path / "sfdata")
+    ift = IncrementalFactTable(str(tmp_path / "fact"))
+    ift.init_full(spark, src)
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet").localCheckpoint(eager=True)
+    keys = [
+        r.l_orderkey
+        for r in li.select("l_orderkey").distinct().orderBy("l_orderkey").limit(4).collect()
+    ]
+    li2 = li.withColumn(
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey").isin(*[int(k) for k in keys]),
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    _replace_table(spark, src, "lineitem", li2)
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(int(k), int(i % 2)) for i, k in enumerate(keys)],
+        "o_orderkey bigint, part int",
+    ).write.partitionBy("part").mode("overwrite").parquet(feed)
+
+    def run():
+        (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: ift.apply_order_changes(
+                    spark, src, bdf.select("o_orderkey"), batch_id=bid + 1
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    spark._dw_fact_cache.pop(src, None)
+    from datawarehouse_project_spark.plans.star import fact
+
+    rebuilt = fact(spark, src)
+    assert _canon(ift.read(spark).select(*rebuilt.columns)) == _canon(rebuilt)
+    v = ift.table.current_version()
+    run()  # replay
+    assert ift.table.current_version() == v
+    spark._dw_fact_cache.pop(src, None)
