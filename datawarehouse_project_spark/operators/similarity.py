@@ -1283,3 +1283,221 @@ def similarity_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Binary (sign) quantization: 64-dim float vector -> 64 BITS, packed into
+# two 32-bit words carried as BIGINTs. The cheapest ANN representation
+# there is — hamming distance over packed words is a couple of xor+popcount
+# instructions per candidate, ~100x cheaper than a float dot product, and
+# the linear scan over bit-packed words IS the production fast path
+# (binary pre-filter, exact re-rank of survivors). Both engines compute
+# identical INTEGER words (same sign predicate, same power-of-two
+# literals), so the whole top-k — distances, ranks — is hash-exact.
+
+
+def _sign_word_expr(emb, lo_bit: int, width: int = 32) -> F.Column:
+    """Σ 2^j over dimensions [lo_bit, lo_bit+width) with value >= 0 —
+    static unrolled CASE sum (no dynamic shifts; the HYPERPLANES
+    unrolling precedent), fits comfortably in a BIGINT for width<=32."""
+    from functools import reduce
+
+    terms = [
+        F.when(
+            F.element_at(emb, lo_bit + j + 1).cast("double") >= 0.0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(width)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def sign_quantize(emb_df: DataFrame) -> DataFrame:
+    """(vec_id, w_lo, w_hi): the 64 sign bits of ``embedding`` packed into
+    two 32-bit words (BIGINT-carried — no sign-bit overflow games)."""
+    return emb_df.select(
+        "vec_id",
+        _sign_word_expr(F.col("embedding"), 0).alias("w_lo"),
+        _sign_word_expr(F.col("embedding"), 32).alias("w_hi"),
+    )
+
+
+def _duck_sign_word(e: str, lo_bit: int, width: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {e}[{lo_bit + j + 1}]::DOUBLE >= 0.0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(width)
+    )
+    return f"({terms})"
+
+
+def _binary_hamming_oracle() -> str:
+    return f"""
+WITH words AS (
+    SELECT vec_id,
+           {_duck_sign_word("embedding", 0)} AS w_lo,
+           {_duck_sign_word("embedding", 32)} AS w_hi
+    FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(c.w_lo, q.w_lo))
+                + bit_count(xor(c.w_hi, q.w_hi)) AS INT) AS hamming
+    FROM words c JOIN words q
+      ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, hamming,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY hamming, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, hamming, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_binary_hamming_topk",
+    # New r10 operator (pytest-oracle-gated; r11 rotation candidate).
+    driver_facing=False,
+    oracle=_binary_hamming_oracle,
+)
+def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by hamming distance over sign-quantized embeddings: the
+    bit-packed linear scan (broadcast query words, xor+popcount per
+    candidate — integer-exact cross-engine, ties to the lower
+    neighbor_id). Recall vs the exact cosine baseline is pytest-pinned;
+    the production composition re-ranks these survivors with exact
+    scores, which is ``similarity_ann_cosine_topk``'s machinery applied
+    to a candidate set instead of the corpus."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    words = sign_quantize(emb)
+    q = words.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    pairs = words.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ham = (
+        F.bit_count(F.col("w_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("int")
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+#: Binary-prefilter width: survivors re-ranked exactly. 64 of ~500 at
+#: sf0.01; at scale candidate_k stays constant while the corpus grows.
+BINARY_CANDIDATE_K = 64
+
+
+def _binary_rerank_oracle() -> str:
+    cos = (
+        _DUCK_DOT.format(a="q.embedding", b="c.embedding", dim=DIM)
+        + f" / ({_DUCK_NORM.format(e='q.embedding')} * {_DUCK_NORM.format(e='c.embedding')})"
+    )
+    return f"""
+WITH words AS (
+    SELECT vec_id,
+           {_duck_sign_word("embedding", 0)} AS w_lo,
+           {_duck_sign_word("embedding", 32)} AS w_hi
+    FROM embeddings
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(c.w_lo, q.w_lo))
+                            + bit_count(xor(c.w_hi, q.w_hi)), c.vec_id
+               ) AS hrank
+        FROM words c JOIN words q
+          ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ) WHERE hrank <= {BINARY_CANDIDATE_K}
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+    FROM cand
+    JOIN embeddings q ON q.vec_id = cand.query_id
+    JOIN embeddings c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_binary_rerank_topk",
+    # New r10 operator (pytest-oracle-gated; r11 rotation candidate).
+    driver_facing=False,
+    oracle=_binary_rerank_oracle,
+)
+def similarity_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production binary-ANN composition: hamming prefilter over the
+    packed sign words keeps BINARY_CANDIDATE_K survivors per query
+    (xor+popcount linear scan — the cheap pass), exact cosine re-ranks
+    only the survivors (the expensive pass runs on candidate_k rows per
+    query, never the corpus). Same deterministic folds as the exact
+    baseline, so scores and ranks are bit-identical cross-engine;
+    recall recovery over the raw hamming top-k is pytest-pinned."""
+    prepare(spark)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    words = sign_quantize(emb)
+    q = words.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    ham = (
+        F.bit_count(F.col("w_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+    )
+    hw = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = (
+        words.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+        )
+        .withColumn("hrank", F.row_number().over(hw))
+        .filter(F.col("hrank") <= BINARY_CANDIDATE_K)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = cand.join(F.broadcast(qe), "query_id").join(ce, "neighbor_id")
+    cos = (
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )

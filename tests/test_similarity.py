@@ -402,3 +402,48 @@ def test_containment_pairs_match_duckdb_and_find_planted_quote(spark, sf_correct
     assert cont.get((1, 2), 0.0) >= 0.9  # the quote is contained
     jac = ngram_jaccard_pairs(spark, sf, threshold=0.5, df_cap=10).collect()
     assert not jac  # symmetric jaccard misses the asymmetric duplicate
+
+
+def test_binary_hamming_and_rerank_parity_and_recall(spark, sf_correct_dir):
+    """Binary sign quantization (r10): both registered forms value-match
+    DuckDB exactly (integer words, deterministic folds), raw hamming
+    top-k clears a conservative recall floor vs the exact baseline, and
+    the prefilter+exact-re-rank composition recovers recall over the raw
+    hamming ranking."""
+    from datawarehouse_project_spark.catalog import all_oracle_sql, all_queries
+    from tests.oracle_check import compare
+
+    for name in (
+        "similarity_binary_hamming_topk",
+        "similarity_binary_rerank_topk",
+    ):
+        compare(
+            all_queries()[name](spark, sf_correct_dir),
+            all_oracle_sql()[name],
+            sf_correct_dir,
+        )
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in all_queries()["similarity_ann_cosine_topk"](
+            spark, sf_correct_dir
+        ).collect()
+    }
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in all_queries()["similarity_binary_hamming_topk"](
+            spark, sf_correct_dir
+        ).collect()
+    }
+    rer = {
+        (r.query_id, r.neighbor_id)
+        for r in all_queries()["similarity_binary_rerank_topk"](
+            spark, sf_correct_dir
+        ).collect()
+    }
+    assert truth
+    recall_raw = len(raw & truth) / len(truth)
+    recall_rerank = len(rer & truth) / len(truth)
+    assert recall_raw >= 0.2, recall_raw  # 64-bit codes, k=10: measured 0.32
+    assert recall_rerank >= recall_raw, (recall_rerank, recall_raw)
+    assert recall_rerank >= 0.5, recall_rerank
