@@ -356,16 +356,44 @@ def decode_media(
     )
 
 
+def netpbm_resampler(
+    payload: bytes, kind: str, new_w: int, new_h: int
+) -> bytes | None:
+    """REAL pixel resample for every format the pure-python codec
+    decodes (netpbm/BMP/PNG): parse to grayscale, nearest-neighbor
+    sample, emit binary P5 — so the resized output is itself decodable
+    by the same codec (decode → resize → re-decode closes). Returns
+    None for undecodable payloads or non-image kinds; the caller falls
+    back to the digest stand-in, keeping the plumbing contract."""
+    if kind != "image":
+        return None
+    data = bytes(payload)
+    parsed = _parse_netpbm(data) or _parse_bmp(data) or _parse_png(data)
+    if parsed is None:
+        return None
+    w, h, gray = parsed
+    out = bytearray()
+    for y in range(new_h):
+        sy = min(h - 1, (y * h) // new_h)
+        row_base = sy * w
+        for x in range(new_w):
+            out.append(gray[row_base + min(w - 1, (x * w) // new_w)])
+    return b"P5\n%d %d\n255\n" % (new_w, new_h) + bytes(out)
+
+
 def resize_media(
     media: DataFrame,
     target_width: int,
     target_height: int,
     decoder: Callable[[bytes, str], dict] = stub_decoder,
+    resampler: Callable[[bytes, str, int, int], bytes | None] | None = None,
 ) -> DataFrame:
-    """Resize plumbing: decode -> scale metadata -> re-encoded payload
-    stand-in. The pixel resample itself is the decoder/codec's job
-    (stubbed: the output payload is a deterministic digest of the input
-    plus target dims); aspect-ratio math, schema, and batching are real."""
+    """Resize plumbing: decode -> scale metadata -> re-encoded payload.
+    With ``resampler`` (e.g. :func:`netpbm_resampler`) the output payload
+    carries REAL resampled pixels for decodable formats; without it — or
+    for payloads the resampler declines — the payload is a deterministic
+    digest stand-in. Aspect-ratio math, schema, and Arrow batching are
+    identical on both paths."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -381,12 +409,21 @@ def resize_media(
                     )
                     new_w = max(1, int(d["width"] * scale))
                     new_h = max(1, int(d["height"] * scale))
-                    fake = hashlib.md5(
-                        bytes(payload) + f"{new_w}x{new_h}".encode()
-                    ).digest()
+                    real = (
+                        resampler(bytes(payload), kind, new_w, new_h)
+                        if resampler is not None
+                        else None
+                    )
+                    body = (
+                        real
+                        if real is not None
+                        else hashlib.md5(
+                            bytes(payload) + f"{new_w}x{new_h}".encode()
+                        ).digest()
+                    )
                     out.append(
                         {"media_id": media_id, "kind": kind, "width": new_w,
-                         "height": new_h, "payload": fake}
+                         "height": new_h, "payload": body}
                     )
                 except Exception:
                     out.append(
