@@ -742,3 +742,83 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(ingest, schema=ingest_schema)
     return decode_audio(media)
+
+
+# --------------------------------------------------------------------------
+# Frame-level audio energy (r10): the VAD / silence-trim building block.
+
+
+def audio_frame_energy(
+    payload: bytes, frame_len: int = 256
+) -> list[int] | None:
+    """Per-frame energy of the FIRST channel: sum of squared samples over
+    consecutive ``frame_len``-sample windows (the last, partial frame
+    included). Pure integers — |s| <= 32768 keeps even an hour of audio
+    far inside int64 — so the profile is exactly reproducible anywhere.
+    None for payloads the WAV codec cannot parse."""
+    parsed = _parse_wav(bytes(payload))
+    if parsed is None:
+        return None
+    ch0 = parsed["samples"][:: parsed["n_channels"]]
+    return [
+        sum(s * s for s in ch0[i : i + frame_len])
+        for i in range(0, len(ch0), frame_len)
+    ]
+
+
+def active_span(energies: list[int], threshold: int) -> tuple[int, int] | None:
+    """[first, last] frame index with energy > threshold — the trim
+    window a pipeline cuts silence outside of. None when every frame is
+    at or under the threshold (all-silence clip)."""
+    idx = [i for i, e in enumerate(energies) if e > threshold]
+    return (idx[0], idx[-1]) if idx else None
+
+
+def frame_energies(
+    media: DataFrame,
+    frame_len: int = 256,
+    silence_threshold: int = 0,
+) -> DataFrame:
+    """Arrow-batched frame-energy extraction over audio payloads:
+    (media_id, n_frames, energies array<long>, active_start, active_end)
+    — undecodable payloads yield NULLs (quarantine contract). The
+    energy profile is what VAD, silence trimming, and loudness
+    normalization consume; the trim span is computed inline so a
+    downstream cut needs no second decode."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("energies", T.ArrayType(T.LongType())),
+            T.StructField("active_start", T.IntegerType()),
+            T.StructField("active_end", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {
+                    "media_id": media_id,
+                    "n_frames": None,
+                    "energies": None,
+                    "active_start": None,
+                    "active_end": None,
+                }
+                try:
+                    en = audio_frame_energy(bytes(payload), frame_len)
+                    if en is not None:
+                        row["n_frames"] = len(en)
+                        row["energies"] = en
+                        span = active_span(en, silence_threshold)
+                        if span is not None:
+                            row["active_start"], row["active_end"] = span
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return media.repartition(
+        media.sparkSession.sparkContext.defaultParallelism, "media_id"
+    ).mapInPandas(run, schema)

@@ -479,3 +479,50 @@ def test_real_resample_closes_the_decode_loop(spark):
     # resampler declines, so the payload is the digest stand-in
     assert rows[3].payload is not None
     assert _parse_netpbm(bytes(rows[3].payload)) is None  # digest, not P5
+
+
+def test_audio_frame_energy_golden_and_trim(spark):
+    """r10 frame-level energy: a synthesized quiet-loud-quiet WAV yields
+    the exact per-frame integer profile a pure-python reference computes,
+    and the active span trims to the loud middle; undecodable payloads
+    yield NULLs through the plumbing."""
+    import struct
+
+    from datawarehouse_project_spark.operators.multimodal import (
+        active_span,
+        audio_frame_energy,
+        frame_energies,
+    )
+
+    frame = 64
+    quiet = [0] * (2 * frame)
+    loud = [1000 if i % 2 == 0 else -1000 for i in range(3 * frame)]
+    samples = quiet + loud + quiet
+    raw = struct.pack(f"<{len(samples)}h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+
+    en = audio_frame_energy(wav, frame_len=frame)
+    want = [
+        sum(s * s for s in samples[i : i + frame])
+        for i in range(0, len(samples), frame)
+    ]
+    assert en == want
+    assert active_span(en, 0) == (2, 4)  # frames 2..4 are the loud burst
+    assert active_span([0, 0], 0) is None
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav), None),
+            (2, "audio", bytearray(b"not audio"), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in frame_energies(media, frame_len=frame).collect()}
+    assert list(rows[1].energies) == want
+    assert (rows[1].active_start, rows[1].active_end) == (2, 4)
+    assert rows[1].n_frames == len(want)
+    assert rows[2].energies is None and rows[2].active_start is None
