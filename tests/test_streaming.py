@@ -309,3 +309,81 @@ def test_late_dlq_streaming_foreachbatch(spark, tmp_path):
     run()  # full replay
     assert (router.main.current_version(), router.late.current_version()) == vs
     assert router.watermark_us(spark) == wm1
+
+
+def test_late_dlq_composes_with_incremental_rollup(spark, tmp_path):
+    """Composition: the router's ON-TIME stream feeds the incremental
+    rollup inside the SAME foreachBatch — exactly the allowed-lateness
+    windowed aggregation Structured Streaming does internally, but with
+    the dropped rows preserved in the DLQ. Invariants: rollup == exact
+    aggregate over the main table (late rows excluded), main ∪ late ==
+    input, full replay changes nothing anywhere."""
+    from datawarehouse_project_spark.operators.incremental import (
+        IncrementalRollup,
+    )
+    from datawarehouse_project_spark.streaming.late_dlq import LateEventRouter
+
+    router = LateEventRouter(
+        str(tmp_path / "m"),
+        str(tmp_path / "l"),
+        str(tmp_path / "s"),
+        allowed_lateness_s=3600,
+    )
+    rollup = IncrementalRollup(
+        str(tmp_path / "roll"), keys=["etype"], sum_cols=["value"]
+    )
+    batches = [
+        [(1, "2024-01-01 10:00:00", "a", 1.0), (2, "2024-01-01 12:00:00", "b", 2.0)],
+        [
+            (3, "2024-01-01 12:30:00", "a", 4.0),
+            (4, "2024-01-01 09:00:00", "b", 8.0),  # LATE -> DLQ, not rollup
+        ],
+    ]
+
+    def apply(bid, rows):
+        bdf = spark.createDataFrame(
+            rows, "event_id long, ts string, etype string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        router.apply_batch(spark, bdf, ["event_id"], batch_id=bid)
+        # the on-time half of THIS batch feeds the rollup: recompute the
+        # routing deterministically from the router's pre-batch watermark
+        # is what apply_batch did; the main table's NEW rows are exactly
+        # that half, so fold the batch MINUS the DLQ'd ids
+        late_ids = {
+            r.event_id
+            for r in router.late.read(spark).collect()
+        }
+        ontime = bdf.filter(~F.col("event_id").isin(*late_ids) if late_ids else F.lit(True))
+        rollup.apply_batch(spark, ontime.select("etype", "value"), batch_id=bid)
+
+    for bid, rows in enumerate(batches):
+        apply(bid, rows)
+
+    main = router.main.read(spark)
+    state = {
+        r.etype: (r.sum_value, r.n_rows)
+        for r in rollup.read(spark).collect()
+    }
+    exact = {
+        r.etype: (r.s, r.n)
+        for r in main.groupBy("etype")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert state == exact
+    assert state["b"] == (2.0, 1)  # the late 8.0 never entered the rollup
+    assert {r.event_id for r in router.late.read(spark).collect()} == {4}
+    # conservation + replay
+    assert main.count() + router.late.read(spark).count() == 4
+    versions = (
+        router.main.current_version(),
+        router.late.current_version(),
+        rollup.table.current_version(),
+    )
+    for bid, rows in enumerate(batches):
+        apply(bid, rows)
+    assert versions == (
+        router.main.current_version(),
+        router.late.current_version(),
+        rollup.table.current_version(),
+    )
