@@ -467,3 +467,101 @@ def test_cdc_replica_parity_on_generated_histories(spark, tmp_path_factory, ops)
             else []
         )
         assert got == want, f"diverged at source v{v_to} for ops={ops}"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+        min_size=5,
+        max_size=200,
+    )
+)
+def test_cms_never_underestimates_property(spark, tokens):
+    """CMS guarantee over GENERATED token multisets: est >= true for
+    every token, and per-depth mass conservation."""
+    from datawarehouse_project_spark.operators.cms import (
+        CMS_DEPTH,
+        cms_counters,
+        cms_estimates,
+    )
+
+    df = spark.createDataFrame([(t,) for t in tokens], "word string")
+    counters = cms_counters(df).localCheckpoint(eager=True)
+    masses = {r.i: r.mass for r in counters.groupBy("i").agg(F.sum("count").alias("mass")).collect()}
+    assert set(masses) == set(range(CMS_DEPTH))
+    assert all(m == len(tokens) for m in masses.values())
+    true = df.groupBy("word").agg(F.count("*").alias("n"))
+    est = cms_estimates(counters, true.select("word"))
+    for r in est.join(true, "word").collect():
+        assert r.est_count >= r.n, (r.word, r.est_count, r.n)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 30)),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_interval_overlap_join_matches_brute_force_property(spark, spans):
+    """Bucketized overlap join == the quadratic reference on GENERATED
+    intervals (random starts/lengths spanning several buckets), for more
+    than one bucket width."""
+    import datetime as _dt
+
+    from datawarehouse_project_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    base = _dt.date(2024, 1, 1)
+    rows = [
+        (i, base + _dt.timedelta(days=s), base + _dt.timedelta(days=s + ln))
+        for i, (s, ln) in enumerate(spans)
+    ]
+    df = spark.createDataFrame(rows, ["id", "start", "end"])
+    want = {}
+    for i, s, e in rows:
+        for j, s2, e2 in rows:
+            if i < j and s <= e2 and s2 <= e:
+                want[(i, j)] = (min(e, e2) - max(s, s2)).days + 1
+    for width in (3, 7, 45):
+        got = {
+            (r.a_id, r.b_id): r.overlap_days
+            for r in interval_overlap_join(
+                df, df, bucket_days=width, self_pairs=True
+            ).collect()
+        }
+        assert got == want, width
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+        min_size=3,
+        max_size=80,
+    )
+)
+def test_histogram_percentile_inequalities_property(spark, values):
+    """Histogram percentile bound over GENERATED values: for every q,
+    P[X < p_lo] < q (or the mass at the floor) and
+    P[X <= p_lo + width] >= q."""
+    from datawarehouse_project_spark.operators.histogram import (
+        HIST_QS,
+        HIST_WIDTH,
+        percentiles_from_bins,
+        value_histogram,
+    )
+
+    df = spark.createDataFrame([("k", float(v)) for v in values], "k string, value double")
+    hist = value_histogram(df, ["k"])
+    row = percentiles_from_bins(hist, ["k"]).first()
+    n = len(values)
+    for q in HIST_QS:
+        p_lo = row[f"p{round(q * 100)}_lo"]
+        below = sum(1 for v in values if v < p_lo)
+        upto = sum(1 for v in values if v <= p_lo + HIST_WIDTH)
+        assert below < q * n or below == 0, (q, p_lo)
+        assert upto >= q * n, (q, p_lo)
