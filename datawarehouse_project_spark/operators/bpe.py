@@ -97,6 +97,29 @@ def _merge_expr(left: str, right: str) -> F.Column:
     return F.aggregate(F.col("syms"), init, step, finish)
 
 
+def select_disjoint_batch(
+    candidates: list[tuple[str, str, int]], want: int
+) -> list[tuple[str, str, int]]:
+    """Greedily keep up to ``want`` pairwise-independent pairs from the
+    (count DESC, pair ASC)-ordered candidate head. Independence means no
+    kept pair's LEFT, RIGHT, **or CONCATENATION** collides with another
+    kept pair's left/right/concatenation: if ('a','b') and ('ab','c')
+    were both kept when symbol 'ab' already exists in the vocab,
+    applying ('a','b') first would create NEW 'ab' occurrences that the
+    ('ab','c') fold would then merge — so its recorded count would no
+    longer be the exact pre-pass count (advisor finding, round 10)."""
+    used: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    for left, right, c in candidates:
+        if left in used or right in used or (left + right) in used:
+            continue
+        used.update((left, right, left + right))
+        batch.append((left, right, c))
+        if len(batch) == want:
+            break
+    return batch
+
+
 def train_bpe_merges(
     spark: SparkSession,
     docs: DataFrame,
@@ -111,11 +134,12 @@ def train_bpe_merges(
     ``rules_per_pass=M`` batches the driver round-trips (the standard
     batched-BPE trick, VERDICT r9 #6): each Spark pass counts pairs
     ONCE, fetches the top candidates in (count DESC, pair ASC) order,
-    and greedily keeps up to M that are pairwise SYMBOL-DISJOINT (no
-    symbol occurs in two kept pairs). Disjoint merges cannot change each
-    other's occurrence counts, so every recorded count is the exact
-    pre-pass count and the kept rules apply in one composed fold —
-    K merges cost ~K/M driver round-trips instead of K.
+    and greedily keeps up to M that are pairwise INDEPENDENT (no kept
+    pair's left, right, or concatenation collides with another kept
+    pair's — see :func:`select_disjoint_batch`). Independent merges
+    cannot change each other's occurrence counts, so every recorded
+    count is the exact pre-pass count and the kept rules apply in one
+    composed fold — K merges cost ~K/M driver round-trips instead of K.
 
     Greedy-semantics caveat (documented, inherent to ALL batched BPE):
     merging a pair creates NEW pairs involving the merged symbol (e.g.
@@ -162,16 +186,13 @@ def train_bpe_merges(
             )
             if not top:
                 break
-            used: set[str] = set()
-            batch: list[tuple[str, str, int]] = []
-            for row in top:
-                left, right, c = row["p"]["l"], row["p"]["r"], int(row["c"])
-                if left in used or right in used:
-                    continue
-                used.update((left, right))
-                batch.append((left, right, c))
-                if len(batch) == want:
-                    break
+            batch = select_disjoint_batch(
+                [
+                    (row["p"]["l"], row["p"]["r"], int(row["c"]))
+                    for row in top
+                ],
+                want,
+            )
             rules.extend(batch)
             sel = vocab
             for left, right, _ in batch:

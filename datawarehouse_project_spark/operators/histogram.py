@@ -46,6 +46,23 @@ HIST_WIDTH = 1.0
 #: The percentile probes the registered query answers.
 HIST_QS = (0.5, 0.9, 0.99)
 
+#: Percentile fractions are interpreted as exact rationals num/_Q_DEN
+#: (q=0.99 → 9900/10000). The boundary test "cum ≥ q·total" is then pure
+#: INTEGER arithmetic — cum*_Q_DEN >= num*total — identical in Spark and
+#: DuckDB. A DOUBLE product like 0.99*100 = 99.000000000000014 would make
+#: the engines pick DIFFERENT bins when q·total lands exactly on a
+#: cumulative-count boundary (advisor finding, round 10). BIGINT headroom:
+#: cum*10000 overflows only past ~9e14 rows per key.
+_Q_DEN = 10_000
+
+
+def _q_num(q: float) -> int:
+    """The exact integer numerator of q over ``_Q_DEN``."""
+    num = round(q * _Q_DEN)
+    if not (0 < num <= _Q_DEN):
+        raise ValueError(f"quantile {q} out of (0, 1]")
+    return num
+
 
 def value_histogram(
     df: DataFrame,
@@ -76,9 +93,10 @@ def percentiles_from_bins(
 ) -> DataFrame:
     """Per key, for each q in ``qs``: the LOWER BOUND of the first bin
     whose cumulative count reaches q·total — i.e. a value v with
-    P[X ≤ v + width] ≥ q and P[X < v] < q. Integer-deterministic given
-    the bins; columns are ``p50_lo, p90_lo, ...`` (q rendered without
-    the '0.')."""
+    P[X ≤ v + width] ≥ q and P[X < v] < q. The reach test is exact
+    integer arithmetic (``cum·_Q_DEN ≥ num·total`` with q = num/_Q_DEN),
+    so boundary cases bin identically across engines; columns are
+    ``p50_lo, p90_lo, ...`` (q rendered without the '0.')."""
     w = (
         Window.partitionBy(*keys)
         .orderBy("bin")
@@ -94,7 +112,9 @@ def percentiles_from_bins(
     aggs = [
         F.min(
             F.when(
-                F.col("cum") >= F.lit(float(q)) * F.col("total"), F.col("bin")
+                F.col("cum") * F.lit(_Q_DEN)
+                >= F.lit(_q_num(q)) * F.col("total"),
+                F.col("bin"),
             )
         ).alias("_b_" + col_name(q))
         for q in qs
@@ -192,9 +212,13 @@ class HistogramStore:
 
 
 def _hist_oracle() -> str:
+    # Integer boundary test (cum*_Q_DEN >= num*total) — DuckDB's windowed
+    # SUM(BIGINT) is HUGEINT, so the products stay exact there too.
     q_cols = ", ".join(
-        "CAST(MIN(CASE WHEN cum >= {q} * total THEN bin END) * {w} AS DOUBLE)"
-        " AS p{n}_lo".format(q=q, w=float(HIST_WIDTH), n=round(q * 100))
+        "CAST(MIN(CASE WHEN cum * {den} >= {num} * total THEN bin END)"
+        " * {w} AS DOUBLE) AS p{n}_lo".format(
+            den=_Q_DEN, num=_q_num(q), w=float(HIST_WIDTH), n=round(q * 100)
+        )
         for q in HIST_QS
     )
     return f"""

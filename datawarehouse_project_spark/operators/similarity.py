@@ -372,6 +372,15 @@ def train_centroids_from_df(
         .collect()
     )
     rows.sort(key=lambda r: r["vec_id"])  # deterministic init order
+    if len(rows) < k:
+        # Fail loudly, not with an opaque numpy indexing error: an index
+        # trained on fewer vectors than clusters would disagree with the
+        # module's K_IVF/N_PROBES assumptions (advisor finding, round 10).
+        raise ValueError(
+            f"IVF training needs >= k={k} sample vectors, got {len(rows)} "
+            f"(corpus too small or sample_n={sample_n} < k); "
+            "pass a smaller k explicitly for tiny corpora"
+        )
     mat = np.array([list(map(float, r["embedding"])) for r in rows], dtype=np.float64)
     return _lloyd_kmeans(mat, k, iters)
 

@@ -1424,11 +1424,15 @@ LEFT JOIN pur p ON b.best_ts = p.ts AND e.user_id = p.user_id
 
 
 def _spark_hist_sql() -> str:
-    from ..operators.histogram import HIST_QS, HIST_WIDTH
+    from ..operators.histogram import _Q_DEN, _q_num, HIST_QS, HIST_WIDTH
 
+    # Same exact-integer boundary test as the builder and the DuckDB
+    # oracle: cum*_Q_DEN >= num*total (no DOUBLE q·total product).
     q_cols = ", ".join(
-        "CAST(MIN(CASE WHEN cum >= {q} * total THEN bin END) * {w} AS DOUBLE)"
-        " AS p{n}_lo".format(q=q, w=float(HIST_WIDTH), n=round(q * 100))
+        "CAST(MIN(CASE WHEN cum * {den} >= {num} * total THEN bin END)"
+        " * {w} AS DOUBLE) AS p{n}_lo".format(
+            den=_Q_DEN, num=_q_num(q), w=float(HIST_WIDTH), n=round(q * 100)
+        )
         for q in HIST_QS
     )
     return f"""

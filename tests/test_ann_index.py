@@ -292,3 +292,30 @@ def test_compact_preserves_answers_and_replay(spark, sf_dir, tmp_path):
     vv = idx.table.current_version()
     idx.add_batch(spark, emb.filter(F.col("vec_id") % 4 == 2), batch_id=2)
     assert idx.table.current_version() == vv  # replay absorbed post-compaction
+
+
+def test_train_centroids_rejects_sample_smaller_than_k(spark):
+    """Advisor r10: an empty or tiny embeddings frame must fail with a
+    clear ValueError, not an opaque numpy indexing error (0 rows) or a
+    silent sub-K centroid set (0 < n < k) that disagrees with the
+    module's K_IVF/N_PROBES assumptions."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.similarity import (
+        train_centroids_from_df,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="IVF training needs >= k"):
+        train_centroids_from_df(empty, k=8)
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="got 3"):
+        train_centroids_from_df(tiny, k=8)
+
+    # Explicitly-clamped k still trains (the documented tiny-corpus path).
+    cents = train_centroids_from_df(tiny, k=3)
+    assert len(cents) == 3

@@ -237,3 +237,36 @@ def test_bpe_batched_k48_in_quarter_rounds(spark, sf_dir):
     assert stats["passes"] <= 12, stats
     assert len({left + right for left, right, _ in rules}) == 48
     assert all(c > 0 for _, _, c in rules)
+
+
+def test_bpe_batch_selection_rejects_concatenation_collisions():
+    """Advisor r10: a kept pair's MERGED symbol must also be treated as
+    occupied. ('a','b') admitted => ('ab','c') and ('c','ab') must be
+    rejected even though their operand symbols are disjoint from
+    {'a','b'}, because applying ('a','b') first creates new 'ab'
+    occurrences the later fold would merge (counts would no longer be
+    exact pre-pass counts). Plain collisions still rejected; independent
+    pairs still admitted; `want` still caps the batch."""
+    from datawarehouse_project_spark.operators.bpe import select_disjoint_batch
+
+    cands = [
+        ("a", "b", 100),   # kept
+        ("ab", "c", 90),   # rejected: left == 'a'+'b' of kept pair
+        ("c", "ab", 85),   # rejected: right == 'a'+'b' of kept pair
+        ("b", "d", 80),    # rejected: operand 'b' used
+        ("x", "y", 70),    # kept (independent)
+        ("w", "xy", 60),   # rejected: right == 'x'+'y'
+        ("p", "q", 50),    # kept
+        ("r", "s", 40),    # would be kept, but want=3 caps first
+    ]
+    assert select_disjoint_batch(cands, 3) == [
+        ("a", "b", 100),
+        ("x", "y", 70),
+        ("p", "q", 50),
+    ]
+    # The concatenation itself occupies: a later pair whose operand IS a
+    # kept pair's concatenation string from either side is rejected.
+    assert select_disjoint_batch([("a", "b", 10), ("ab", "ab", 9)], 5) == [
+        ("a", "b", 10)
+    ]
+    assert select_disjoint_batch([], 4) == []

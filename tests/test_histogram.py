@@ -84,6 +84,60 @@ def test_histogram_bins_negative_values_and_merge_is_sum(spark, tmp_path):
     assert got == want
 
 
+def test_histogram_percentile_boundary_is_exact_across_engines(spark, tmp_path):
+    """Advisor r10: q·total evaluated in DOUBLE disagrees with DECIMAL on
+    exact boundaries (0.9*10 → 9.000000000000002 rejects cum=9; DuckDB's
+    DECIMAL product accepts it). Plant both boundary fixtures — cum=9 of
+    total=10 at p90, cum=99 of total=100 at p99 — and pin the builder,
+    the DuckDB oracle, and the Spark SQL twin to the SAME (correct) bin."""
+    import duckdb
+
+    from datawarehouse_project_spark.plans.sql_twins import SPARK_SQL
+
+    # 10 values: bins 0..9 one each → at p90 the boundary bin is 8
+    # (cum=9 ≥ 0.9·10); 100 values: bins 0..99 → at p99 bin 98 (cum=99).
+    rows10 = [("t10", float(i) + 0.5) for i in range(10)]
+    rows100 = [("t100", float(i) + 0.5) for i in range(100)]
+    df = spark.createDataFrame(rows10 + rows100, "event_type string, value double")
+    got = {
+        r.event_type: r.asDict()
+        for r in percentiles_from_bins(
+            value_histogram(df, ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    assert got["t10"]["p90_lo"] == 8.0
+    assert got["t100"]["p99_lo"] == 98.0
+
+    # Same fixture through both SQL surfaces.
+    pq = str(tmp_path / "events.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    from datawarehouse_project_spark.catalog import all_oracle_sql
+
+    sql = all_oracle_sql()["events_value_histogram_percentiles"]
+    duck = {
+        r[0]: r for r in con.execute(sql).fetchall()
+    }
+    assert duck["t10"][1 + 1] == 8.0  # (event_type, p50, p90, p99)
+    assert duck["t100"][3] == 98.0
+
+    df.createOrReplaceTempView("events")
+    try:
+        twin = {
+            r.event_type: r.asDict()
+            for r in spark.sql(
+                SPARK_SQL["events_value_histogram_percentiles"]
+            ).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("events")
+    assert twin["t10"]["p90_lo"] == 8.0
+    assert twin["t100"]["p99_lo"] == 98.0
+
+
 def test_histogram_registered_query_matches_duckdb_exactly(spark, sf_correct_dir):
     name = "events_value_histogram_percentiles"
     compare(
