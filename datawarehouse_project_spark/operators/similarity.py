@@ -1367,12 +1367,15 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 @register(
-    "similarity_binary_hamming_topk",
-    # New r10 operator (pytest-oracle-gated; r11 rotation candidate).
+    "similarity_binary_hamming_inline",
+    # Self-contained inline twin of the stored serving form below —
+    # quantizes the corpus inside the query plan. Kept as the pytest
+    # cross-check (stored == inline bit-for-bit) and the one-shot
+    # analytical shape; the driver-facing row serves from the index.
     driver_facing=False,
     oracle=_binary_hamming_oracle,
 )
-def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_binary_hamming_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by hamming distance over sign-quantized embeddings: the
     bit-packed linear scan (broadcast query words, xor+popcount per
     candidate — integer-exact cross-engine, ties to the lower
@@ -1455,19 +1458,20 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 @register(
-    "similarity_binary_rerank_topk",
-    # New r10 operator (pytest-oracle-gated; r11 rotation candidate).
+    "similarity_binary_rerank_inline",
+    # Inline twin of the stored serving form (see hamming twin above).
     driver_facing=False,
     oracle=_binary_rerank_oracle,
 )
-def similarity_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production binary-ANN composition: hamming prefilter over the
-    packed sign words keeps BINARY_CANDIDATE_K survivors per query
-    (xor+popcount linear scan — the cheap pass), exact cosine re-ranks
-    only the survivors (the expensive pass runs on candidate_k rows per
-    query, never the corpus). Same deterministic folds as the exact
-    baseline, so scores and ranks are bit-identical cross-engine;
-    recall recovery over the raw hamming top-k is pytest-pinned."""
+def similarity_binary_rerank_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production binary-ANN composition, inline form: hamming
+    prefilter over the packed sign words keeps BINARY_CANDIDATE_K
+    survivors per query (xor+popcount linear scan — the cheap pass),
+    exact cosine re-ranks only the survivors (the expensive pass runs on
+    candidate_k rows per query, never the corpus). Same deterministic
+    folds as the exact baseline, so scores and ranks are bit-identical
+    cross-engine; recall recovery over the raw hamming top-k is
+    pytest-pinned."""
     prepare(spark)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
     words = sign_quantize(emb)
@@ -1509,4 +1513,83 @@ def similarity_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         scored.select("query_id", "neighbor_id", cos)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Stored-form binary ANN (VERDICT r10 #2): the driver-facing rows serve
+# from a PERSISTED index — packed sign words written once per vector by
+# IvfVectorIndex._index_rows — instead of re-quantizing the corpus inside
+# every query plan. PERFORMANCE.md measured the stored-words scan at 1.7×
+# the inline speed and 15× smaller than the float table; the inline twins
+# above remain registered (same oracles) as the self-contained pytest
+# cross-check, and stored == inline is pinned bit-for-bit in
+# tests/test_ann_index.py.
+
+#: Memoized served-index roots per sf_dir: the index is built ONCE per
+#: process (batch 0 ingest into a temp-dir VersionedParquetTable) and
+#: every stored-form query in the same session reads it — the serving
+#: lifecycle in miniature. Keyed by sf_dir; the driver's fresh process
+#: builds on first touch (sub-second at its sf0.01 gate).
+_SERVED_INDEX_ROOTS: dict[str, str] = {}
+
+
+def served_vector_index(spark: SparkSession, sf_dir: str):
+    """The session's stored vector index over ``sf_dir``'s embeddings
+    (build-on-first-use, then reads only)."""
+    from .ann_index import IvfVectorIndex
+
+    root = _SERVED_INDEX_ROOTS.get(sf_dir)
+    if root is not None and os.path.isdir(root):
+        return IvfVectorIndex(root)
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dw-vector-index-")
+    idx = IvfVectorIndex(root)
+    idx.add_batch(
+        spark,
+        spread(spark, table(spark, sf_dir, "embeddings")),
+        batch_id=0,
+        app_id="served-index",
+    )
+    _SERVED_INDEX_ROOTS[sf_dir] = root
+    return idx
+
+
+@register(
+    "similarity_binary_hamming_topk",
+    # Stored serving form — reads packed words from the persisted index;
+    # no sign arithmetic over the corpus in the query plan (plan-pinned).
+    # Integer-exact, so the inline twin's oracle applies verbatim.
+    oracle=_binary_hamming_oracle,
+)
+def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by hamming distance served from STORED packed sign words
+    (the index scan reads 2 BIGINTs per corpus row; only the broadcast
+    query side touches float embeddings). Bit-identical to
+    ``similarity_binary_hamming_inline`` — same oracle."""
+    prepare(spark)
+    idx = served_vector_index(spark, sf_dir)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    return idx.query_hamming_topk(
+        spark, emb.filter(F.col("vec_id") < N_QUERIES)
+    )
+
+
+@register(
+    "similarity_binary_rerank_topk",
+    # Stored serving form of the hamming-prefilter + exact-re-rank
+    # composition (see the inline twin's docstring for the algorithm).
+    oracle=_binary_rerank_oracle,
+)
+def similarity_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary prefilter from the STORED index + exact cosine re-rank of
+    the survivors against the float table (candidate_k × |Q| point
+    lookups, never a corpus float scan). Bit-identical to
+    ``similarity_binary_rerank_inline`` — same oracle."""
+    prepare(spark)
+    idx = served_vector_index(spark, sf_dir)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    return idx.query_binary_rerank_topk(
+        spark, emb.filter(F.col("vec_id") < N_QUERIES), emb
     )
