@@ -207,7 +207,7 @@ def train_bpe_merges(
     return rules
 
 
-@register("bpe_merge_rules", driver_facing=False)  # no oracle: the loop
+@register("bpe_merge_rules")  # r12: promoted (rows-only gate). No oracle: the loop
 # is genuinely iterative (round N consumes round N-1's argmax), which SQL
 # cannot state — golden-differential-gated against a pure-Python BPE in
 # tests/test_bpe.py instead

@@ -53,8 +53,11 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 #: Probe predicate for the registered exemplar: deterministic, corpus-
-#: independent (no collected state feeds the plan).
-_PROBE_MIN_LEN = 9
+#: independent (no collected state feeds the plan). 5 yields a non-trivial
+#: probe set on the synthetic documents vocabulary (max word length 8;
+#: the original 9 selected ZERO words, so the driver row compared empty
+#: sets — caught in the r12 promotion dress rehearsal).
+_PROBE_MIN_LEN = 5
 
 
 def cms_bucket(token, i: int, width: int = CMS_WIDTH) -> F.Column:
@@ -241,11 +244,9 @@ GROUP BY 1
 
 @register(
     "cms_word_count_estimates",
-    # New r10 operator: pytest-oracle-gated this round (the 50-slot
-    # driver window is full); rotation candidate for r11. The oracle is
-    # EXACT — portable md5 buckets make the whole counter matrix, and
-    # therefore every min-estimate, bit-identical cross-engine.
-    driver_facing=False,
+    # r12 rotation: promoted to the driver window (VERDICT r11 #1). The
+    # oracle is EXACT — portable md5 buckets make the whole counter matrix,
+    # and therefore every min-estimate, bit-identical cross-engine.
     oracle=_cms_oracle,
 )
 def cms_word_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:

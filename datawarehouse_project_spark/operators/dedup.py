@@ -1084,8 +1084,7 @@ def ngram_containment_pairs(
 
 @register(
     "dedup_containment_pairs",
-    # New r10 operator (pytest-oracle-gated; r11 rotation candidate).
-    driver_facing=False,
+    # r12 rotation: promoted to the driver window (VERDICT r11 next-round #1).
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 inv AS (SELECT doc_id, unnest(sgs) AS sg FROM docshingles),
@@ -1122,6 +1121,8 @@ def _duck_quality_scored() -> str:
 
 @register(
     "dedup_keep_best_quality",
+    driver_facing=False,  # r12 rotation: driver-green r≤11; dedup family
+    # keeps five other driver rows. Slot ceded to the r10-crop promotions.
     oracle=lambda: f"""
 WITH RECURSIVE {_DUCK_SIG},
 bands AS ({_duck_bands()}),

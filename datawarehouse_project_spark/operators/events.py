@@ -242,7 +242,8 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_gapfill_hourly",
-    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
+    driver_facing=False,  # r12 rotation: driver-green r10+r11; slot ceded
+    # to the r10-crop promotions (VERDICT r11 next-round #1).
     oracle="""
 WITH spans AS (
     SELECT event_type,
@@ -394,6 +395,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_weekly_retention",
+    driver_facing=False,  # r12 rotation: driver-green r≤11; slot ceded to
+    # the r10-crop promotions. Pytest oracle kept at both scale factors.
     oracle="""
 WITH first_seen AS (
     SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
@@ -497,6 +500,9 @@ EWMA_ALPHA = 0.125
 
 @register(
     "events_ewma_by_user",
+    driver_facing=False,  # r12 rotation: driver-green r9–r11; the EWMA fold
+    # stays pinned by the pytest oracle, the SQL twin, and the grouped-map
+    # Pandas twin equality test. Slot ceded to the r10-crop promotions.
     oracle=f"""
 WITH ordered AS (
     SELECT user_id,

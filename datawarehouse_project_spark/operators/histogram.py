@@ -57,10 +57,19 @@ _Q_DEN = 10_000
 
 
 def _q_num(q: float) -> int:
-    """The exact integer numerator of q over ``_Q_DEN``."""
+    """The exact integer numerator of q over ``_Q_DEN``.
+
+    Raises when q is not exactly n/_Q_DEN (advisor finding, round 11):
+    silently rounding q=0.12345 to 1234/10000 would answer a slightly
+    DIFFERENT quantile than the caller asked for with no error."""
     num = round(q * _Q_DEN)
     if not (0 < num <= _Q_DEN):
         raise ValueError(f"quantile {q} out of (0, 1]")
+    if num / _Q_DEN != q:
+        raise ValueError(
+            f"quantile {q} is not representable as n/{_Q_DEN}; pass a "
+            f"fraction with at most 4 decimal digits"
+        )
     return num
 
 
@@ -243,10 +252,9 @@ GROUP BY 1
 
 @register(
     "events_value_histogram_percentiles",
-    # New r10 operator (pytest-oracle-gated; r11 rotation candidate).
+    # r12 rotation: promoted to the driver window (VERDICT r11 #1).
     # EXACT oracle: floor-binning is IEEE-identical cross-engine, the
     # derived percentile bins are integer arithmetic.
-    driver_facing=False,
     oracle=_hist_oracle,
 )
 def events_value_histogram_percentiles(

@@ -200,9 +200,8 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "asof_forward_next_purchase",
-    # New r10 operator (pytest-oracle-gated; r11 rotation candidate):
+    # r12 rotation: promoted to the driver window (VERDICT r11 #1) —
     # the forward direction of the as-of family.
-    driver_facing=False,
     oracle="""
 WITH ev AS (
     SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0
@@ -328,9 +327,8 @@ def interval_overlap_join(
 
 @register(
     "overlap_shipping_windows",
-    # New r10 operator (pytest-oracle-gated; r11 rotation candidate):
+    # r12 rotation: promoted to the driver window (VERDICT r11 #1) —
     # the pure range join without an equi key, bucketized.
-    driver_facing=False,
     oracle="""
 WITH win AS (
     SELECT l_orderkey * 10 + l_linenumber AS id,

@@ -139,7 +139,8 @@ _SHARD_SALT = "shard:"
 
 @register(
     "corpus_shard_assignments",
-    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
+    driver_facing=False,  # r12 rotation: driver-green r10+r11; sampling
+    # family keeps sample_train_val_test + sample_lang_temperature rows.
     oracle=f"""
 WITH h AS (
     SELECT doc_id,

@@ -25,8 +25,10 @@ plans/registry.py).
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import threading
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1530,30 +1532,55 @@ def similarity_binary_rerank_inline(spark: SparkSession, sf_dir: str) -> DataFra
 #: process (batch 0 ingest into a temp-dir VersionedParquetTable) and
 #: every stored-form query in the same session reads it — the serving
 #: lifecycle in miniature. Keyed by sf_dir; the driver's fresh process
-#: builds on first touch (sub-second at its sf0.01 gate).
+#: builds on first touch (sub-second at its sf0.01 gate). Roots are
+#: removed at interpreter exit (atexit) and on demand via
+#: :func:`reset_served_indexes`; a lock serializes first-touch builds so
+#: concurrent callers share one root instead of each building and
+#: leaking their own (advisor finding, r11).
 _SERVED_INDEX_ROOTS: dict[str, str] = {}
+_SERVED_INDEX_LOCK = threading.Lock()
+
+
+def reset_served_indexes() -> None:
+    """Drop (and delete) every memoized served index. Call this if the
+    embeddings under a previously-served sf_dir were rewritten in-process
+    — the memo assumes sf_dir contents are immutable, so without a reset
+    the stored forms would keep serving the stale index while the inline
+    twins read fresh data."""
+    import shutil
+
+    with _SERVED_INDEX_LOCK:
+        for root in _SERVED_INDEX_ROOTS.values():
+            shutil.rmtree(root, ignore_errors=True)
+        _SERVED_INDEX_ROOTS.clear()
+
+
+atexit.register(reset_served_indexes)
 
 
 def served_vector_index(spark: SparkSession, sf_dir: str):
     """The session's stored vector index over ``sf_dir``'s embeddings
-    (build-on-first-use, then reads only)."""
+    (build-on-first-use, then reads only). Assumes ``sf_dir`` is
+    immutable for the process lifetime — see :func:`reset_served_indexes`
+    for the rewrite escape hatch."""
     from .ann_index import IvfVectorIndex
 
-    root = _SERVED_INDEX_ROOTS.get(sf_dir)
-    if root is not None and os.path.isdir(root):
-        return IvfVectorIndex(root)
-    import tempfile
+    with _SERVED_INDEX_LOCK:
+        root = _SERVED_INDEX_ROOTS.get(sf_dir)
+        if root is not None and os.path.isdir(root):
+            return IvfVectorIndex(root)
+        import tempfile
 
-    root = tempfile.mkdtemp(prefix="dw-vector-index-")
-    idx = IvfVectorIndex(root)
-    idx.add_batch(
-        spark,
-        spread(spark, table(spark, sf_dir, "embeddings")),
-        batch_id=0,
-        app_id="served-index",
-    )
-    _SERVED_INDEX_ROOTS[sf_dir] = root
-    return idx
+        root = tempfile.mkdtemp(prefix="dw-vector-index-")
+        idx = IvfVectorIndex(root)
+        idx.add_batch(
+            spark,
+            spread(spark, table(spark, sf_dir, "embeddings")),
+            batch_id=0,
+            app_id="served-index",
+        )
+        _SERVED_INDEX_ROOTS[sf_dir] = root
+        return idx
 
 
 @register(
@@ -1561,6 +1588,9 @@ def served_vector_index(spark: SparkSession, sf_dir: str):
     # Stored serving form — reads packed words from the persisted index;
     # no sign arithmetic over the corpus in the query plan (plan-pinned).
     # Integer-exact, so the inline twin's oracle applies verbatim.
+    driver_facing=False,  # r12 rotation: driver-green r11; the binary path
+    # stays driver-checked via similarity_binary_rerank_topk and the
+    # composed IVF+binary funnel row. Slot ceded to the r10-crop promotions.
     oracle=_binary_hamming_oracle,
 )
 def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

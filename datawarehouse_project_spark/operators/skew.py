@@ -122,7 +122,16 @@ def detect_hot_keys(
     everything else is sketch-sized."""
     from ..functions.text import portable_hash
     from .cms import cms_counters, cms_estimates
+    from .histogram import _Q_DEN as _FRAC_DEN
+    from .histogram import _q_num as _frac_num
 
+    # min_frac as an exact rational num/_FRAC_DEN so the threshold test
+    # below is pure INTEGER arithmetic — the DOUBLE product
+    # float(min_frac)*n_total can exceed the exact rational for some
+    # (min_frac, N) pairs and drop a key sitting exactly on the boundary,
+    # weakening the documented superset guarantee (advisor finding, r11;
+    # same boundary class histogram.py fixed in r10).
+    frac_num = _frac_num(min_frac)
     if n_total is None:
         n_total = df.count()
     keys_as_tokens = df.select(F.col(key).cast("string").alias("word"))
@@ -139,7 +148,9 @@ def detect_hot_keys(
         .distinct()
     )
     hot_words = cms_estimates(counters, candidates.select("word")).filter(
-        F.col("est_count") >= F.lit(float(min_frac) * n_total)
+        # est_count·DEN ≥ num·N, exact in BIGINT (headroom to ~9e14 rows)
+        F.col("est_count") * F.lit(_FRAC_DEN)
+        >= F.lit(frac_num * int(n_total))
     )
     # map the string probe back to the ORIGINAL key type so callers can
     # semi/anti-join without implicit casts
@@ -210,8 +221,10 @@ GROUP BY 1, 2
 def skew_split_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier revenue through the CMS-driven differentiated join:
     ``detect_hot_keys`` flags suppliers above HOT_FRAC of the fact (one
-    sketch pass + a row sample; N passed in from the dim-sized count,
-    not recounted), ``skew_split_join`` routes their rows through a
+    sketch pass + a row sample; N sized by ONE explicit count over the
+    pruned 3-column projection below — the S6 job — and handed to the
+    detector via ``n_total`` so the detector itself never recounts),
+    ``skew_split_join`` routes their rows through a
     broadcast of the supplier slice while the long tail shuffles, and
     the union aggregates exactly like the plain join — which is the
     oracle. At 100 TB this is the manual skew-split for pipelines AQE

@@ -153,6 +153,8 @@ def q03_supplier_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that the output is actually sorted (tests/test_oracle_parity.py).
 @register(
     "q03_supplier_contribution_ordered",
+    driver_facing=False,  # r12 rotation: O2 surface driver-proven r10+r11;
+    # slot ceded to the r10-crop promotions (VERDICT r11 next-round #1).
     oracle=f"""
 WITH {FACT_CTE}
 SELECT store_name, supplier_name, product_name,

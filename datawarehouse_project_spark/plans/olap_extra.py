@@ -280,6 +280,8 @@ MIN_PAIR_COUNT = 3
 
 @register(
     "affinity_lift_rules",
+    driver_facing=False,  # r12 rotation: driver-green r≤11; slot ceded to
+    # the r10-crop promotions (VERDICT r11 next-round #1). Pytest oracle kept.
     oracle=f"""
 WITH {FACT_CTE},
 op AS (SELECT DISTINCT order_id, product_name FROM fact),
@@ -531,6 +533,8 @@ def rfm_quantile_scores(
 
 @register(
     "rfm_customer_segments_scaled",
+    driver_facing=False,  # r12 rotation: rows-only slot driver-green r10+r11;
+    # ceded to the r10-crop promotions. Value gate stays the pytest suite.
     # r10 rotation: driver-facing as a rows-only row (no oracle — the
     # Spark-native quantile sketch has no DuckDB twin stating the identical
     # rank convention); the value gate remains the pytest calibration +

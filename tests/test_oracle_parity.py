@@ -44,36 +44,37 @@ def test_driver_catalog_fits_sweep_window():
     assert len(facing) <= DRIVER_WINDOW, sorted(facing)[DRIVER_WINDOW:]
     assert set(oracle_sql()) <= set(facing)
     # The window's must-keep set: the reference's 10 OLAP queries (the
-    # parity core, kept continuously driver-green) plus the round-10
-    # rotation — the round-9 crop the r9 verdict told us to rotate IN so
-    # every registered operator family earns a driver CORRECTNESS row at
-    # least once (r10: topn/skew/langid/pandas_linear and eight others
-    # ceded their long-green slots; pytest oracles still run on all).
+    # parity core, kept continuously driver-green) plus the round-12
+    # rotation — the r10-crop rows VERDICT r11 #1 told us to promote
+    # (ten long-green donors ceded their slots; pytest oracles still run
+    # on every demoted row via all_queries()).
     for name in [
         *[f"q0{i}" for i in range(1, 10)],
         "q10",
-        # r9-crop rows kept from the round-9 window
+        # long-standing family anchors kept across rotations
         "scd2_dim_asof_orders",
-        "events_ewma_by_user",
         "similarity_ivf_quantized_topk",
         "dedup_incremental_lsh_pairs",
         "dq_audit_orders_lineitem",
         "corpus_select_token_budget",
-        # round-10 rotation: the round-9 pytest-only crop + the ordered
-        # O2 surface row
         "text_idf_quality_scores",
-        "rfm_customer_segments_scaled",
-        "events_gapfill_hourly",
-        "unpivot_store_priority",
-        "events_value_median_cont",
-        "fullouter_yearly_customer_recon",
-        "corpus_shard_assignments",
         "sample_train_val_test",
         "dedup_verified_near_dup",
         "bpe_token_counts",
         "events_daily_sketch_rollup",
         "multimodal_audio_features",
-        "q03_supplier_contribution_ordered",
+        # the three rows the r11 oversubscription silently truncated out —
+        # restored to the gate this round (VERDICT r11 what's-wrong #1)
+        "text_top_bigrams",
+        "text_word_rarity_scores",
+        "unpivot_store_priority",
+        # r12 rotation IN: the r10 crop, finally driver-proven
+        "dedup_containment_pairs",
+        "cms_word_count_estimates",
+        "events_value_histogram_percentiles",
+        "overlap_shipping_windows",
+        "asof_forward_next_purchase",
+        "bpe_merge_rules",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
