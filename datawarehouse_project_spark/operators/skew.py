@@ -195,7 +195,9 @@ def skew_split_join(
 #: data has no 5% supplier (hot set empty, query degenerates gracefully
 #: to the plain shuffle join); the planted-hot-key fixture in
 #: tests/test_skew_evidence.py and the skewed-scale measurement
-#: (scripts/bench_skew.py) exercise the broadcast path with real rows.
+#: (scripts/bench_skew.py) exercise the broadcast path with real rows —
+#: measured r12: 1.92× wall over the plain shuffle join at sf3 and a
+#: 13.8× reducer-balance gain (PERFORMANCE.md, r12 skew entry).
 #: Detection is superset-safe (CMS only over-estimates) and the RESULT
 #: is split-invariant by construction — the oracle is the plain join.
 HOT_FRAC = 0.05
