@@ -331,3 +331,91 @@ class IvfVectorIndex:
                 "rank",
             )
         )
+
+    def query_funnel_topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        embeddings: DataFrame,
+        candidate_k: int = BINARY_CANDIDATE_K,
+        top_k: int = TOP_K,
+    ) -> DataFrame:
+        """The FULL production serving funnel in one query (VERDICT r11
+        #8), composing every representation the index stores:
+
+        1. IVF cell restriction — each query probes its N_PROBES nearest
+           cells (index centroids), an equi-join on ``cluster_id`` that
+           prunes the corpus to ~P/K_IVF before any per-pair work;
+        2. hamming prefilter WITHIN the probed cells — xor+popcount over
+           the stored packed sign words keeps ``candidate_k`` survivors
+           per query (ties to the lower neighbor_id);
+        3. exact cosine re-rank of the survivors against the float
+           ``embeddings`` table (candidate_k × |Q| point lookups).
+
+        The corpus-side scan reads index columns only — ``cluster_id``
+        plus the two sign words, never embeddings or qvec (plan-pinned in
+        tests/test_ann_index.py); float math touches survivors only. At
+        100 TB each stage bounds the next: cells prune the scan, words
+        make the in-cell pass 2 BIGINTs/row, re-rank cost is constant per
+        query. Deterministic folds keep results engine-portable (exact
+        DuckDB oracle on the registered row)."""
+        index = self.read(spark)
+        if index is None:
+            raise ValueError(
+                f"IVF index at {self.table.root} is empty — add_batch first"
+            )
+        if "w_lo" not in index.columns:
+            raise ValueError(
+                f"index at {self.table.root} predates packed sign words — "
+                "rebuild it (add_batch re-ingest) to serve the funnel"
+            )
+        words = index.select("vec_id", "cluster_id", "w_lo", "w_hi")
+        qp = queries.select(
+            F.col("vec_id").alias("query_id"),
+            _sign_word_expr(F.col("embedding"), 0).alias("q_lo"),
+            _sign_word_expr(F.col("embedding"), 32).alias("q_hi"),
+            F.explode(
+                _ivf_probes_expr(F.col("embedding"), centroids=self.centroids)
+            ).alias("probe"),
+        )
+        pairs = words.join(
+            F.broadcast(qp),
+            (F.col("cluster_id") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        ham = (
+            F.bit_count(F.col("w_lo").bitwiseXOR(F.col("q_lo")))
+            + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+        ).cast("int")
+        hw = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+        cand = (
+            pairs.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                ham.alias("hamming"),
+            )
+            .withColumn("hrank", F.row_number().over(hw))
+            .filter(F.col("hrank") <= candidate_k)
+            .select("query_id", "neighbor_id")
+        )
+        qe = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        ce = embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        scored = cand.join(F.broadcast(qe), "query_id").join(ce, "neighbor_id")
+        cos = (
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        ).alias("cosine")
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), "neighbor_id"
+        )
+        return (
+            scored.select("query_id", "neighbor_id", cos)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top_k)
+        )

@@ -1610,6 +1610,9 @@ def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
     "similarity_binary_rerank_topk",
     # Stored serving form of the hamming-prefilter + exact-re-rank
     # composition (see the inline twin's docstring for the algorithm).
+    driver_facing=False,  # r12 rotation: driver-green r11; superseded in
+    # the window by similarity_ivf_binary_funnel_topk, which runs this
+    # row's two stages PLUS the IVF cell restriction in one query.
     oracle=_binary_rerank_oracle,
 )
 def similarity_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1621,5 +1624,82 @@ def similarity_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     idx = served_vector_index(spark, sf_dir)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
     return idx.query_binary_rerank_topk(
+        spark, emb.filter(F.col("vec_id") < N_QUERIES), emb
+    )
+
+
+def _funnel_oracle() -> str:
+    """Lazy (trained centroids interpolate at first access): the composed
+    IVF→hamming→exact funnel, stated stage-for-stage in SQL."""
+    cos = (
+        _DUCK_DOT.format(a="q.embedding", b="c.embedding", dim=DIM)
+        + f" / ({_DUCK_NORM.format(e='q.embedding')} * {_DUCK_NORM.format(e='c.embedding')})"
+    )
+    return f"""
+WITH assigned AS (
+    SELECT vec_id, {_duck_ivf_cluster("embedding")} AS cluster_id,
+           {_duck_sign_word("embedding", 0)} AS w_lo,
+           {_duck_sign_word("embedding", 32)} AS w_hi
+    FROM embeddings
+),
+qp AS (
+    SELECT vec_id, unnest({_duck_ivf_probes("embedding")}) AS probe,
+           {_duck_sign_word("embedding", 0)} AS q_lo,
+           {_duck_sign_word("embedding", 32)} AS q_hi
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qp.vec_id
+                   ORDER BY bit_count(xor(c.w_lo, qp.q_lo))
+                            + bit_count(xor(c.w_hi, qp.q_hi)), c.vec_id
+               ) AS hrank
+        FROM qp JOIN assigned c
+          ON c.cluster_id = qp.probe AND c.vec_id <> qp.vec_id
+    ) WHERE hrank <= {BINARY_CANDIDATE_K}
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+    FROM cand
+    JOIN embeddings q ON q.vec_id = cand.query_id
+    JOIN embeddings c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_ivf_binary_funnel_topk",
+    # r12 (VERDICT r11 #8): the FULL production serving funnel as one
+    # driver row — IVF cell restriction, hamming prefilter over stored
+    # words within the probed cells, exact re-rank of the survivors.
+    # All three stages read the one persisted index; the oracle states
+    # the same funnel in SQL (shared centroids => exact cross-engine).
+    oracle=_funnel_oracle,
+)
+def similarity_ivf_binary_funnel_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-k neighbors through the composed serving funnel (see
+    ``IvfVectorIndex.query_funnel_topk``): probe N_PROBES IVF cells,
+    hamming-prefilter to BINARY_CANDIDATE_K survivors inside them using
+    the index's packed sign words, exact-cosine re-rank the survivors
+    against the float table. Recall vs the brute-force and
+    ivf_quantized baselines is pytest-pinned (tests/test_ann_index.py);
+    the corpus-side scan reads index columns only (plan-pinned)."""
+    prepare(spark)
+    idx = served_vector_index(spark, sf_dir)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    return idx.query_funnel_topk(
         spark, emb.filter(F.col("vec_id") < N_QUERIES), emb
     )

@@ -398,3 +398,85 @@ def test_stored_binary_ann_matches_duckdb(spark, sf_correct_dir):
             all_oracle_sql()[name],
             sf_correct_dir,
         )
+
+
+def test_funnel_candidates_respect_probed_cells(spark, sf_dir):
+    """Every funnel result's neighbor must sit in one of its query's
+    probed IVF cells — the cell restriction actually restricts (a
+    regression here would mean the funnel silently degenerated to the
+    whole-corpus hamming scan)."""
+    from datawarehouse_project_spark.operators.similarity import (
+        _ivf_cluster_expr,
+        _ivf_probes_expr,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cells = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", _ivf_cluster_expr(F.col("embedding")).alias("cell")
+        ).collect()
+    }
+    probes = {
+        r.vec_id: set(r.probes)
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id", _ivf_probes_expr(F.col("embedding")).alias("probes")
+        )
+        .collect()
+    }
+    rows = all_queries()["similarity_ivf_binary_funnel_topk"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert cells[r.neighbor_id] in probes[r.query_id], r
+
+
+def test_funnel_recall_pinned(spark, sf_correct_dir):
+    """VERDICT r11 #8's gate: funnel recall vs the exact brute-force
+    baseline AND overlap with similarity_ivf_quantized_topk. The funnel
+    is bounded by (IVF pruning ∩ binary prefilter), so its floor sits
+    under either single-stage path; measured on this corpus: 0.52 vs
+    brute (equal to ivf_quantized's own 0.52) and 0.90 overlap with
+    ivf_quantized at sf0.01. Floors are conservative halves."""
+    aq = all_queries()
+    fun = {
+        (r.query_id, r.neighbor_id)
+        for r in aq["similarity_ivf_binary_funnel_topk"](
+            spark, sf_correct_dir
+        ).collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in aq["similarity_ann_cosine_topk"](
+            spark, sf_correct_dir
+        ).collect()
+    }
+    ivfq = {
+        (r.query_id, r.neighbor_id)
+        for r in aq["similarity_ivf_quantized_topk"](
+            spark, sf_correct_dir
+        ).collect()
+    }
+    assert brute and ivfq
+    assert len(fun & brute) / len(brute) >= 0.3
+    assert len(fun & ivfq) / len(ivfq) >= 0.7
+
+
+def test_funnel_plan_reads_index_columns_only(spark, sf_dir):
+    """The 100 TB pin for the composed funnel: the corpus-side scan
+    reads the INDEX parquet's (cluster_id, w_lo, w_hi) — never the
+    float embedding or the int8 qvec payload; float scans are the
+    pushed-filter query slice and the candidate_k point lookups. No
+    cartesian product anywhere (cluster_id == probe is an equi key)."""
+    import re
+
+    q = all_queries()["similarity_ivf_binary_funnel_topk"](spark, sf_dir)
+    p = q._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"FileScan parquet [^\n]*", p)
+    index_scans = [s for s in scans if "w_lo" in s]
+    assert index_scans, p
+    for s in index_scans:
+        assert "embedding" not in s and "qvec" not in s, s
+    assert "CartesianProduct" not in p

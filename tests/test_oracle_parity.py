@@ -75,6 +75,8 @@ def test_driver_catalog_fits_sweep_window():
         "overlap_shipping_windows",
         "asof_forward_next_purchase",
         "bpe_merge_rules",
+        # r12 new operator: the composed IVF→hamming→exact serving funnel
+        "similarity_ivf_binary_funnel_topk",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
