@@ -14,6 +14,9 @@ epoch integer (session timezone pinned to UTC by ``session.prepare``).
 
 from __future__ import annotations
 
+import atexit
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +56,104 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
             "total_value"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+#: Memoized served hourly-rollup roots per sf_dir (same serving-lifecycle
+#: pattern as similarity.served_vector_index): built ONCE per process by
+#: folding the events table into an IncrementalRollup, then every
+#: serving query reads the group-cardinality-sized state. Roots are
+#: removed at interpreter exit; the lock serializes first-touch builds.
+#: Assumes sf_dir contents are immutable for the process lifetime.
+_SERVED_HOURLY_ROOTS: dict[str, str] = {}
+_SERVED_HOURLY_LOCK = threading.Lock()
+
+
+def reset_served_hourly() -> None:
+    """Drop (and delete) every memoized served hourly rollup."""
+    import shutil
+
+    with _SERVED_HOURLY_LOCK:
+        for root in _SERVED_HOURLY_ROOTS.values():
+            shutil.rmtree(root, ignore_errors=True)
+        _SERVED_HOURLY_ROOTS.clear()
+
+
+atexit.register(reset_served_hourly)
+
+
+def served_hourly_rollup(spark: SparkSession, sf_dir: str):
+    """The session's maintained hourly rollup over ``sf_dir``'s events
+    (build-on-first-use, then reads only): keys (event_type,
+    window_start_us), measure value through DECIMAL(18,6) so the folded
+    state equals the exact full aggregation bit-for-bit."""
+    import os
+    import tempfile
+
+    from .incremental import IncrementalRollup
+
+    def handle(root: str) -> IncrementalRollup:
+        return IncrementalRollup(
+            root, keys=["event_type", "window_start_us"], sum_cols=["value_d"]
+        )
+
+    with _SERVED_HOURLY_LOCK:
+        root = _SERVED_HOURLY_ROOTS.get(sf_dir)
+        if root is not None and os.path.isdir(root):
+            return handle(root)
+        root = tempfile.mkdtemp(prefix="dw-hourly-rollup-")
+        roll = handle(root)
+        ev = table(spark, sf_dir, "events")
+        roll.apply_batch(
+            spark,
+            ev.select(
+                "event_type",
+                F.unix_micros(F.date_trunc("hour", "ts")).alias(
+                    "window_start_us"
+                ),
+                F.col("value").cast("decimal(18,6)").alias("value_d"),
+            ),
+            batch_id=0,
+            app_id="served-hourly",
+        )
+        _SERVED_HOURLY_ROOTS[sf_dir] = root
+        return roll
+
+
+@register(
+    "events_hourly_from_store",
+    # r12 (VERDICT r10 #3 / r11 #3): the SERVING twin of
+    # events_hourly_windows — reads the maintained IncrementalRollup
+    # state (group-cardinality-sized, no shuffle, no fact scan) instead
+    # of re-aggregating the events table per query. Same oracle as the
+    # batch twin: the maintained state must equal the full aggregation
+    # exactly (DECIMAL folds are order-insensitive).
+    driver_facing=False,  # window full; pytest oracle + bench evidence
+    oracle="""
+SELECT event_type,
+       epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windows served from the maintained rollup store: the plan
+    is a single column-pruned scan of ~|hours × types| state rows plus a
+    projection — the shape that closes the batch twin's task-dispatch
+    floor (PERFORMANCE.md r12 entry) and the 100 TB answer to "serve a
+    dashboard from a 100 TB fact": the fact is scanned once per ingest
+    batch (incremental fold), never per query."""
+    prepare(spark)
+    roll = served_hourly_rollup(spark, sf_dir)
+    st = roll.read(spark)
+    return st.select(
+        "event_type",
+        "window_start_us",
+        F.col("n_rows").alias("n_events"),
+        F.col("sum_value_d").cast("double").alias("total_value"),
     )
 
 

@@ -49,10 +49,36 @@ class IncrementalRollup:
         self.sum_cols = list(sum_cols)
 
     def _partial(self, batch: DataFrame) -> DataFrame:
-        return batch.groupBy(*self.keys).agg(
-            *[F.sum(c).alias(f"sum_{c}") for c in self.sum_cols],
-            F.count("*").alias("n_rows"),
+        return self._stable_sums(
+            batch.groupBy(*self.keys).agg(
+                *[F.sum(c).alias(f"sum_{c}") for c in self.sum_cols],
+                F.count("*").alias("n_rows"),
+            )
         )
+
+    @staticmethod
+    def _stable_sums(df: DataFrame) -> DataFrame:
+        """Pin DECIMAL sum columns at precision 38 (their scale kept).
+        Catalyst widens SUM(DECIMAL(p,s)) to DECIMAL(p+10,s), so an exact
+        DECIMAL measure would change type on every fold generation
+        (partial 28 → folded 38) and trip the state table's schema-
+        evolution type guard; 38 is Spark's maximum, so SUM over it is a
+        fixed point and every fold commits the same type."""
+        from pyspark.sql.types import DecimalType
+
+        cols = []
+        for f in df.schema.fields:
+            if f.name.startswith("sum_") and isinstance(
+                f.dataType, DecimalType
+            ):
+                cols.append(
+                    F.col(f.name)
+                    .cast(DecimalType(38, f.dataType.scale))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
 
     def apply_batch(
         self,

@@ -387,3 +387,192 @@ def test_late_dlq_composes_with_incremental_rollup(spark, tmp_path):
         router.late.current_version(),
         rollup.table.current_version(),
     )
+
+
+# --------------------------------------------------------------------------
+# r12 (VERDICT r11 #6): the composed pipeline as ONE class — route + fold
+# into the maintained hourly rollup + watermark, crash-anywhere replay.
+
+
+_HRR_BATCHES = [
+    [
+        (1, "2024-01-01 10:10:00", "view", 1.25),
+        (2, "2024-01-01 12:20:00", "click", 2.5),
+        (3, "2024-01-01 12:40:00", "view", 0.75),
+    ],
+    [
+        (4, "2024-01-01 13:05:00", "view", 4.0),
+        (5, "2024-01-01 09:00:00", "click", 8.0),  # LATE -> DLQ only
+        (6, "2024-01-01 12:55:00", "click", 1.0),  # within lateness
+    ],
+    [
+        (7, "2024-01-01 13:45:00", "view", 3.0),
+        (8, "2024-01-01 10:30:00", "view", 16.0),  # LATE vs 13:05 wm - 1h
+    ],
+]
+
+
+def _hrr(spark, base):
+    from datawarehouse_project_spark.streaming.late_dlq import (
+        HourlyRollupRouter,
+    )
+
+    return HourlyRollupRouter(
+        str(base / "main"),
+        str(base / "late"),
+        str(base / "state"),
+        str(base / "rollup"),
+        allowed_lateness_s=3600,
+    )
+
+
+def _hrr_batch_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def _hrr_run_all(spark, pipe):
+    for bid, rows in enumerate(_HRR_BATCHES):
+        pipe.apply_batch(
+            spark, _hrr_batch_df(spark, rows), ["event_id"], batch_id=bid
+        )
+
+
+def _hrr_state(spark, pipe):
+    main = sorted(
+        (r.event_id, r.event_type) for r in pipe.main.read(spark).collect()
+    )
+    late = sorted(r.event_id for r in pipe.late.read(spark).collect())
+    roll = sorted(
+        (r.event_type, r.window_start_us, r.n_events, r.total_value)
+        for r in pipe.serve_hourly(spark).collect()
+    )
+    return main, late, roll, pipe.watermark_us(spark)
+
+
+def test_hourly_rollup_router_composes_exactly(spark, tmp_path):
+    """One apply_batch maintains all four tables: main ∪ late == input
+    exactly once, the rollup equals the exact hourly GROUP BY over the
+    main table bit-for-bit (late rows excluded), and whole-batch replay
+    is a no-op on every ledger."""
+    pipe = _hrr(spark, tmp_path)
+    _hrr_run_all(spark, pipe)
+
+    main, late, roll, wm = _hrr_state(spark, pipe)
+    n_in = sum(len(b) for b in _HRR_BATCHES)
+    assert len(main) + len(late) == n_in
+    assert late == [5, 8]
+
+    exact = sorted(
+        (r.event_type, r.window_start_us, r.n_events, r.total_value)
+        for r in pipe.main.read(spark)
+        .groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias(
+                "window_start_us"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    )
+    assert roll == exact
+
+    versions = (
+        pipe.main.current_version(),
+        pipe.late.current_version(),
+        pipe.rollup.table.current_version(),
+        pipe.state.current_version(),
+    )
+    _hrr_run_all(spark, pipe)  # full replay: every ledger absorbs it
+    assert versions == (
+        pipe.main.current_version(),
+        pipe.late.current_version(),
+        pipe.rollup.table.current_version(),
+        pipe.state.current_version(),
+    )
+
+
+def test_hourly_rollup_router_crash_anywhere_replays_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the pipeline after EACH of its per-batch commits (late,
+    main, rollup — the watermark is last), replay the batch, finish the
+    stream: the final four-table state must equal the no-crash run's,
+    for every crash point. The watermark committing last is what makes
+    the replayed routing deterministic."""
+    from datawarehouse_project_spark.sources import sinks as sinks_mod
+
+    class Boom(RuntimeError):
+        pass
+
+    reference = _hrr(spark, tmp_path / "ref")
+    _hrr_run_all(spark, reference)
+    want = _hrr_state(spark, reference)
+
+    real_upsert = sinks_mod.VersionedParquetTable.upsert
+    for crash_after in (1, 2, 3):
+        pipe = _hrr(spark, tmp_path / f"c{crash_after}")
+        # batch 0 lands cleanly; batch 1 crashes mid-commit
+        pipe.apply_batch(
+            spark,
+            _hrr_batch_df(spark, _HRR_BATCHES[0]),
+            ["event_id"],
+            batch_id=0,
+        )
+        calls = {"n": 0}
+
+        def exploding(self, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] > crash_after:
+                raise Boom()
+            return real_upsert(self, *a, **kw)
+
+        monkeypatch.setattr(
+            sinks_mod.VersionedParquetTable, "upsert", exploding
+        )
+        try:
+            pipe.apply_batch(
+                spark,
+                _hrr_batch_df(spark, _HRR_BATCHES[1]),
+                ["event_id"],
+                batch_id=1,
+            )
+        except Boom:
+            pass
+        else:  # crash point beyond this batch's commit count
+            pass
+        finally:
+            monkeypatch.setattr(
+                sinks_mod.VersionedParquetTable, "upsert", real_upsert
+            )
+        # restart: replay the crashed batch, then the rest of the stream
+        pipe.apply_batch(
+            spark,
+            _hrr_batch_df(spark, _HRR_BATCHES[1]),
+            ["event_id"],
+            batch_id=1,
+        )
+        pipe.apply_batch(
+            spark,
+            _hrr_batch_df(spark, _HRR_BATCHES[2]),
+            ["event_id"],
+            batch_id=2,
+        )
+        assert _hrr_state(spark, pipe) == want, f"crash_after={crash_after}"
+
+
+def test_events_hourly_from_store_equals_batch_twin(spark, sf_dir):
+    """The serving twin (maintained-store read) answers exactly the
+    batch twin's rows — same grain, same DECIMAL-exact sums."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    aq = all_queries()
+    served = sorted(map(tuple, aq["events_hourly_from_store"](spark, sf_dir).collect()))
+    batch = sorted(map(tuple, aq["events_hourly_windows"](spark, sf_dir).collect()))
+    assert served == batch
