@@ -19,7 +19,7 @@ README = "/root/repo/README.md"
 def test_readme_counts_match_registry():
     text = open(README).read()
     m = re.search(
-        r"Registry: (\d+) named queries, (\d+) with DuckDB oracles, "
+        r"Registry: (\d+) named queries, (\d+) with DuckDB oracles,\s+"
         r"(\d+) with a Spark-SQL\s+text twin; (\d+) are driver-facing",
         text,
     )
@@ -28,6 +28,24 @@ def test_readme_counts_match_registry():
     assert int(m.group(2)) == len(all_oracle_sql())
     assert int(m.group(3)) == len(spark_sql_surface())
     assert int(m.group(4)) == len(queries())
+
+
+def test_readme_counts_generated():
+    """The sentence must be exactly what the generator produces — running
+    scripts/gen_readme_counts.py (conftest does, at every session start)
+    must be a no-op on a committed README."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_readme_counts",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "gen_readme_counts.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    text = open(README).read()
+    assert mod.rewrite_text(text, mod.registry_counts()) == text
 
 
 def test_performance_bench_prose_fresh():
