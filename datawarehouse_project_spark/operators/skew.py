@@ -100,30 +100,45 @@ def skew_salted_store_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def detect_hot_keys(
     df: DataFrame,
     key: str,
-    row_id: str,
+    row_id: str | None = None,
     min_frac: float = 0.05,
     sample_mod: int = 64,
     n_total: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hot-key detection WITHOUT an exact per-key count: one CMS pass
     over the key column (shuffle bounded by d×w counter rows per task —
-    see operators/cms.py) plus a deterministic hash-sample of rows for
-    the CANDIDATE set (a key carrying ≥ min_frac of N rows appears in a
-    1/sample_mod row sample with probability ~1 once N ≳ 10³; sampling
-    ROWS by ``row_id`` — never by key — is what makes that hold).
+    see operators/cms.py) plus a CANDIDATE key set to probe it with.
+    Candidates come from either
+
+    * ``candidates`` — a caller-supplied bounded key universe (the dim
+      side of the join, typically); no extra fact scan, no sampling
+      miss probability; or
+    * a deterministic hash-sample of fact rows keyed by ``row_id`` (a
+      key carrying ≥ min_frac of N rows appears in a 1/sample_mod row
+      sample with probability ~1 once N ≳ 10³; sampling ROWS by
+      ``row_id`` — never by key — is what makes that hold).
+
     Returns a DataFrame of hot key values (string-typed probe column
     ``word`` renamed back to ``key``). CMS only OVER-estimates, so the
     result is a SUPERSET of the truly-hot keys — the safe direction
-    here: a falsely-hot key merely rides the broadcast path. One
-    ``count()`` job sizes N (the S6 pattern) UNLESS the caller passes a
-    precomputed ``n_total`` — a composed pipeline invoking this per
-    batch should pass the row count its incremental store already
-    tracks instead of paying a full scan per call (VERDICT r10 #4);
-    everything else is sketch-sized."""
+    here: a falsely-hot key merely rides the broadcast path.
+
+    Sizing: the caller passes ``n_total`` when it already tracks the row
+    count (a composed pipeline's incremental store — VERDICT r10 #4) and
+    everything stays lazy. When ``n_total`` is None, N is FOLDED INTO
+    the sketch pass (VERDICT r12 #4): the ≤d×w counter rows are
+    materialized once via localCheckpoint — the single fact scan of the
+    detection — and N is read off the depth-0 counter mass, which is
+    exact (every row increments exactly one depth-0 bucket). No second
+    sizing scan, ever."""
     from ..functions.text import portable_hash
     from .cms import cms_counters, cms_estimates
     from .histogram import _Q_DEN as _FRAC_DEN
     from .histogram import _q_num as _frac_num
+
+    if candidates is None and row_id is None:
+        raise ValueError("detect_hot_keys needs a row_id to sample or a candidates key set")
 
     # min_frac as an exact rational num/_FRAC_DEN so the threshold test
     # below is pure INTEGER arithmetic — the DOUBLE product
@@ -132,29 +147,44 @@ def detect_hot_keys(
     # weakening the documented superset guarantee (advisor finding, r11;
     # same boundary class histogram.py fixed in r10).
     frac_num = _frac_num(min_frac)
-    if n_total is None:
-        n_total = df.count()
     keys_as_tokens = df.select(F.col(key).cast("string").alias("word"))
     counters = cms_counters(keys_as_tokens)
-    candidates = (
-        df.filter(
-            portable_hash(
-                F.concat(F.lit("hotkey:"), F.col(row_id).cast("string"))
-            )
-            % sample_mod
-            == 0
+    if n_total is None:
+        # One scan total: materialize the bounded counter matrix, then
+        # read N from it. The collect is over ≤ depth×width (=4096)
+        # already-checkpointed rows — bounded by construction, never by
+        # data volume (same sanctioned class as the IVF training sample).
+        counters = counters.localCheckpoint(eager=True)
+        n_total = (
+            counters.filter(F.col("i") == 0).agg(F.sum("count")).collect()[0][0]
+            or 0
         )
-        .select(F.col(key), F.col(key).cast("string").alias("word"))
-        .distinct()
-    )
-    hot_words = cms_estimates(counters, candidates.select("word")).filter(
+    if candidates is not None:
+        cand = (
+            candidates.select(F.col(key))
+            .distinct()
+            .select(F.col(key), F.col(key).cast("string").alias("word"))
+        )
+    else:
+        cand = (
+            df.filter(
+                portable_hash(
+                    F.concat(F.lit("hotkey:"), F.col(row_id).cast("string"))
+                )
+                % sample_mod
+                == 0
+            )
+            .select(F.col(key), F.col(key).cast("string").alias("word"))
+            .distinct()
+        )
+    hot_words = cms_estimates(counters, cand.select("word")).filter(
         # est_count·DEN ≥ num·N, exact in BIGINT (headroom to ~9e14 rows)
         F.col("est_count") * F.lit(_FRAC_DEN)
         >= F.lit(frac_num * int(n_total))
     )
     # map the string probe back to the ORIGINAL key type so callers can
     # semi/anti-join without implicit casts
-    return candidates.join(hot_words, "word", "left_semi").select(key)
+    return cand.join(hot_words, "word", "left_semi").select(key)
 
 
 def skew_split_join(
@@ -222,20 +252,20 @@ GROUP BY 1, 2
 )
 def skew_split_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier revenue through the CMS-driven differentiated join:
-    ``detect_hot_keys`` flags suppliers above HOT_FRAC of the fact (one
-    sketch pass + a row sample; N sized by ONE explicit count over the
-    pruned 3-column projection below — the S6 job — and handed to the
-    detector via ``n_total`` so the detector itself never recounts),
-    ``skew_split_join`` routes their rows through a
-    broadcast of the supplier slice while the long tail shuffles, and
-    the union aggregates exactly like the plain join — which is the
-    oracle. At 100 TB this is the manual skew-split for pipelines AQE
-    doesn't cover; no reducer ever owns a hot supplier's full row set."""
+    ``detect_hot_keys`` flags suppliers above HOT_FRAC of the fact with
+    ONE fact scan total for sizing+detection (VERDICT r12 #4): the CMS
+    counter pass both sizes N (depth-0 mass) and feeds the estimates,
+    and the candidate universe is the SUPPLIER key column — the bounded
+    dim side — so no fact-row sample scan either. ``skew_split_join``
+    routes hot suppliers' rows through a broadcast of the supplier
+    slice while the long tail shuffles, and the union aggregates
+    exactly like the plain join — which is the oracle. At 100 TB this
+    is the manual skew-split for pipelines AQE doesn't cover; no
+    reducer ever owns a hot supplier's full row set."""
     prepare(spark)
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("sale"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
     )
     sup = (
         table(spark, sf_dir, "supplier")
@@ -249,12 +279,11 @@ def skew_split_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("supplier_name"),
         )
     )
-    # N from a count over the already-pruned 3-column projection (the
-    # caller-supplied-N path is exercised; the projection count is the
-    # same S6 job the plain pipeline would run for sizing).
-    n_total = li.count()
     hot = detect_hot_keys(
-        li, "l_suppkey", "row_id", min_frac=HOT_FRAC, n_total=n_total
+        li,
+        "l_suppkey",
+        min_frac=HOT_FRAC,
+        candidates=sup.select("l_suppkey"),
     )
     joined = skew_split_join(li, sup, "l_suppkey", hot)
     return joined.groupBy("store_name", "supplier_name").agg(
