@@ -262,10 +262,38 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def tune_bucket_days(
+    left: DataFrame, right: DataFrame | None = None, relative_error: float = 0.01
+) -> int:
+    """Derive the overlap-join bucket width from the data: the median
+    interval length in days (inclusive), via one ``approxQuantile`` pass
+    over the pruned ``(start, end)`` projection (GK summary — bounded
+    driver state at any scale; ``relative_error=0`` is pathological, see
+    operators/histogram.py). Bucket ≈ median length keeps the per-row
+    explode fan-out at ~2 for the typical interval while buckets stay
+    narrow enough that collision candidates remain local — the fixed
+    ``bucket_days=7`` default degraded to length/7 fan-out per row on a
+    long-interval-heavy input (VERDICT r11 #7 / r12 #5). Clamped to ≥1;
+    an empty input tunes to 1 (the join is empty anyway)."""
+    lengths = left.select(
+        (F.datediff(F.col("end"), F.col("start")) + 1).cast("double").alias("len")
+    )
+    if right is not None and right is not left:
+        lengths = lengths.unionByName(
+            right.select(
+                (F.datediff(F.col("end"), F.col("start")) + 1)
+                .cast("double")
+                .alias("len")
+            )
+        )
+    q = lengths.approxQuantile("len", [0.5], relative_error)
+    return max(1, int(q[0])) if q else 1
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
-    bucket_days: int = 7,
+    bucket_days: int | str = "auto",
     self_pairs: bool = False,
 ) -> DataFrame:
     """Pure interval-overlap join WITHOUT an equi key — the join
@@ -279,8 +307,13 @@ def interval_overlap_join(
     duplicates; the standard first-shared-bucket guard
     (``bucket == greatest(a_blo, b_blo)``) keeps exactly one, with NO
     dedup shuffle. ``self_pairs=True`` additionally keeps ``a_id <
-    b_id`` (unordered self-join pairs). Output: a_id, b_id,
-    overlap_days (inclusive-end day count, integer-exact)."""
+    b_id`` (unordered self-join pairs). ``bucket_days="auto"`` (the
+    default) derives the width from the median interval length via
+    :func:`tune_bucket_days` — one bounded sizing pass, same S6 class
+    as a COUNT(*). Output: a_id, b_id, overlap_days (inclusive-end day
+    count, integer-exact)."""
+    if bucket_days == "auto":
+        bucket_days = tune_bucket_days(left, right)
     epoch = F.lit("1970-01-01").cast("date")
 
     def bucketed(df: DataFrame, pfx: str) -> DataFrame:
@@ -350,7 +383,10 @@ def overlap_shipping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     width — this dataset carries no receiptdate), all overlapping
     unordered pairs with their overlap length. The oracle is the naive
     quadratic theta join — correct at sample scale; the engine runs the
-    bucketized plan that survives the unsampled table."""
+    bucketized plan that survives the unsampled table, with the bucket
+    width auto-tuned from the median interval length (≈26d on this
+    data; r13 measurement vs the old hand-picked 7d in
+    PERFORMANCE.md)."""
     prepare(spark)
     win = (
         table(spark, sf_dir, "lineitem")
@@ -364,7 +400,7 @@ def overlap_shipping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("end"),
         )
     )
-    return interval_overlap_join(win, win, bucket_days=7, self_pairs=True)
+    return interval_overlap_join(win, win, bucket_days="auto", self_pairs=True)
 
 
 # --------------------------------------------------------------------------
