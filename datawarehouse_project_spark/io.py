@@ -54,23 +54,49 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (legacy conf) and truncate to a microsecond timestamp, matching how
     DuckDB coerces nanos to its µs TIMESTAMP.
     """
-    import os
-
     cache = getattr(spark, "_dw_table_cache", None)
     if cache is None:
         cache = {}
         spark._dw_table_cache = cache
     key = (sf_dir, name)
-    try:
-        mtime = os.stat(f"{sf_dir}/{name}.parquet").st_mtime_ns
-    except OSError:  # non-local or not-yet-written path: no cheap stat
-        mtime = None
+    # non-local or not-yet-written path: no cheap stat, mtime is None
+    mtime = source_mtime_ns(sf_dir, name)
     entry = cache.get(key)
     if entry is not None and entry[0] == mtime:
         return entry[1]
     df = _load_table(spark, sf_dir, name)
     cache[key] = (mtime, df)
     return df
+
+
+#: Invalidation hooks fired by :func:`refresh_table` — modules that build
+#: DERIVED serving state from a table (the served hourly rollup, the
+#: served vector index) register a callback here so an explicit refresh
+#: reaches them too; the mtime guards on their memos cover in-process
+#: overwrites that skip refresh_table (VERDICT r12 #6: the immutability
+#: assumption is now enforced, not assumed). Process-global like the
+#: served roots themselves.
+_REFRESH_HOOKS: list = []
+
+
+def on_refresh(fn):
+    """Register ``fn(sf_dir, name)`` to run on every refresh_table call
+    (either argument may be None, with refresh_table's wildcard
+    semantics). Returns fn, so it works as a decorator."""
+    _REFRESH_HOOKS.append(fn)
+    return fn
+
+
+def source_mtime_ns(sf_dir: str, name: str) -> int | None:
+    """mtime of a source table path, or None when it can't be stat'd
+    (non-local path) — the shared staleness token for table-handle and
+    served-state memos."""
+    import os
+
+    try:
+        return os.stat(f"{sf_dir}/{name}.parquet").st_mtime_ns
+    except OSError:
+        return None
 
 
 def refresh_table(
@@ -83,17 +109,20 @@ def refresh_table(
     read): the pinned file listing otherwise serves deleted-file reads
     or stale rows. With ``name`` (and its ``sf_dir``), drops one entry;
     with ``sf_dir`` alone, every entry under that dir; with neither,
-    everything."""
+    everything. Also fires every :func:`on_refresh` hook, so derived
+    serving state (rollup stores, vector indexes) built from the
+    refreshed table is dropped in the same call."""
     cache = getattr(spark, "_dw_table_cache", None)
-    if not cache:
-        return
-    if name is not None:
-        cache.pop((sf_dir, name), None)
-    elif sf_dir is not None:
-        for key in [k for k in cache if k[0] == sf_dir]:
-            del cache[key]
-    else:
-        cache.clear()
+    if cache:
+        if name is not None:
+            cache.pop((sf_dir, name), None)
+        elif sf_dir is not None:
+            for key in [k for k in cache if k[0] == sf_dir]:
+                del cache[key]
+        else:
+            cache.clear()
+    for fn in _REFRESH_HOOKS:
+        fn(sf_dir, name)
 
 
 def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -34,7 +34,8 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import require_small, spread, table
+from ..io import on_refresh as io_on_refresh
+from ..io import require_small, source_mtime_ns, spread, table
 from ..plans.registry import register
 from ..session import prepare
 
@@ -1536,21 +1537,22 @@ def similarity_binary_rerank_inline(spark: SparkSession, sf_dir: str) -> DataFra
 #: removed at interpreter exit (atexit) and on demand via
 #: :func:`reset_served_indexes`; a lock serializes first-touch builds so
 #: concurrent callers share one root instead of each building and
-#: leaking their own (advisor finding, r11).
-_SERVED_INDEX_ROOTS: dict[str, str] = {}
+#: leaking their own (advisor finding, r11). Staleness is ENFORCED, not
+#: assumed (VERDICT r12 #6): entries carry the source embeddings.parquet
+#: mtime and rebuild on mismatch; ``io.refresh_table`` fires the hook
+#: below for the explicit form.
+_SERVED_INDEX_ROOTS: dict[str, tuple[str, int | None]] = {}
 _SERVED_INDEX_LOCK = threading.Lock()
 
 
 def reset_served_indexes() -> None:
-    """Drop (and delete) every memoized served index. Call this if the
-    embeddings under a previously-served sf_dir were rewritten in-process
-    — the memo assumes sf_dir contents are immutable, so without a reset
-    the stored forms would keep serving the stale index while the inline
-    twins read fresh data."""
+    """Drop (and delete) every memoized served index. The in-process
+    rewrite case is handled automatically (mtime guard + refresh_table
+    hook); this remains the blanket escape hatch."""
     import shutil
 
     with _SERVED_INDEX_LOCK:
-        for root in _SERVED_INDEX_ROOTS.values():
+        for root, _ in _SERVED_INDEX_ROOTS.values():
             shutil.rmtree(root, ignore_errors=True)
         _SERVED_INDEX_ROOTS.clear()
 
@@ -1558,17 +1560,41 @@ def reset_served_indexes() -> None:
 atexit.register(reset_served_indexes)
 
 
+@io_on_refresh
+def _on_refresh_drop_served_indexes(
+    sf_dir: str | None, name: str | None
+) -> None:
+    import shutil
+
+    if name not in (None, "embeddings"):
+        return
+    with _SERVED_INDEX_LOCK:
+        keys = [sf_dir] if sf_dir is not None else list(_SERVED_INDEX_ROOTS)
+        for k in keys:
+            entry = _SERVED_INDEX_ROOTS.pop(k, None)
+            if entry is not None:
+                shutil.rmtree(entry[0], ignore_errors=True)
+
+
 def served_vector_index(spark: SparkSession, sf_dir: str):
     """The session's stored vector index over ``sf_dir``'s embeddings
-    (build-on-first-use, then reads only). Assumes ``sf_dir`` is
-    immutable for the process lifetime — see :func:`reset_served_indexes`
-    for the rewrite escape hatch."""
+    (build-on-first-use, then reads only). A changed source mtime
+    (in-process rewrite of embeddings.parquet) rebuilds the index
+    instead of serving it stale; :func:`reset_served_indexes` remains
+    the blanket escape hatch."""
+    import shutil
+
     from .ann_index import IvfVectorIndex
 
     with _SERVED_INDEX_LOCK:
-        root = _SERVED_INDEX_ROOTS.get(sf_dir)
-        if root is not None and os.path.isdir(root):
-            return IvfVectorIndex(root)
+        mtime = source_mtime_ns(sf_dir, "embeddings")
+        entry = _SERVED_INDEX_ROOTS.get(sf_dir)
+        if entry is not None:
+            root, built_mtime = entry
+            if built_mtime == mtime and os.path.isdir(root):
+                return IvfVectorIndex(root)
+            del _SERVED_INDEX_ROOTS[sf_dir]
+            shutil.rmtree(root, ignore_errors=True)
         import tempfile
 
         root = tempfile.mkdtemp(prefix="dw-vector-index-")
@@ -1579,7 +1605,7 @@ def served_vector_index(spark: SparkSession, sf_dir: str):
             batch_id=0,
             app_id="served-index",
         )
-        _SERVED_INDEX_ROOTS[sf_dir] = root
+        _SERVED_INDEX_ROOTS[sf_dir] = (root, mtime)
         return idx
 
 
