@@ -480,3 +480,86 @@ def test_funnel_plan_reads_index_columns_only(spark, sf_dir):
     for s in index_scans:
         assert "embedding" not in s and "qvec" not in s, s
     assert "CartesianProduct" not in p
+
+
+def test_frozen_centroid_drift_contract(spark, tmp_path):
+    """VERDICT r12 #7: the frozen-centroid contract, exercised. A batch
+    from a SHIFTED distribution appended against frozen centroids (1)
+    scatters across near-equidistant cells (none of the frozen centroids
+    represents the new region, so assignment rides the noise) — visible
+    in the cell-occupancy monitor as occupancy beyond probe reach; (2)
+    measurably degrades recall for shifted queries — P=2 probes can't
+    cover the scatter — but stays FAR above random (measured 0.505 vs
+    0.0017 random; bounded, not corrupted); (3) is remedied by the
+    offered retrain path (`retrained` — blue/green rebuild), whose
+    quantizer gives the drifted region coherent cells (measured recall
+    0.865)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(300, 64))
+    base[:, 32:] *= 0.05  # base mass lives in dims 0..31
+    drift = rng.normal(size=(300, 64))
+    drift[:, :32] *= 0.05  # drifted mass lives in dims 32..63
+    drift[:, 40] += 4.0  # and is displaced along one axis
+    allv = np.vstack([base, drift])
+    allv = allv / np.linalg.norm(allv, axis=1, keepdims=True)  # dot == cosine
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in allv[i]]) for i in range(lo, hi)],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    idx = IvfVectorIndex.build(spark, frame(0, 300), str(tmp_path / "frozen"))
+    idx.add_batch(spark, frame(300, 600), batch_id=1)
+
+    def drift_cell_sizes(index):
+        rows = (
+            index.read(spark)
+            .filter(F.col("vec_id") >= 300)
+            .groupBy("cluster_id")
+            .count()
+            .collect()
+        )
+        return sorted((r["count"] for r in rows), reverse=True)
+
+    from datawarehouse_project_spark.operators.similarity import N_PROBES
+
+    frozen_cells = drift_cell_sizes(idx)
+    # the degradation mechanism: drifted mass scatters over MORE cells
+    # than a query's N_PROBES can reach (measured: 7 cells vs P=2)
+    assert len(frozen_cells) > N_PROBES + 1, frozen_cells
+
+    # ground truth: exact top-10 by dot (== cosine on unit vectors)
+    sims = allv @ allv.T
+    np.fill_diagonal(sims, -np.inf)
+    queries = frame(300, 320)
+    truth = {
+        (q, int(n))
+        for q in range(300, 320)
+        for n in np.argsort(-sims[q])[:10]
+    }
+
+    def recall(index):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in index.query_topk(spark, queries, top_k=10).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    frozen_recall = recall(idx)
+    # degraded (retrained measures ~0.87) but bounded far above the
+    # random floor of top_k/corpus = 10/600
+    assert 0.3 <= frozen_recall <= 0.7, frozen_recall
+
+    retr = idx.retrained(spark, frame(0, 600), str(tmp_path / "retrained"))
+    retr_cells = drift_cell_sizes(retr)
+    # the retrained quantizer gives the drifted region coherent cells
+    # within probe reach, restoring recall
+    retr_recall = recall(retr)
+    assert retr_recall >= 0.8, retr_recall
+    assert retr_recall >= frozen_recall + 0.2, (frozen_recall, retr_recall)
+    assert len(retr_cells) <= N_PROBES + 1, retr_cells
+    # blue/green: the original index is untouched and still serves
+    assert drift_cell_sizes(idx) == frozen_cells
