@@ -155,7 +155,9 @@ def served_hourly_rollup(spark: SparkSession, sf_dir: str):
     # of re-aggregating the events table per query. Same oracle as the
     # batch twin: the maintained state must equal the full aggregation
     # exactly (DECIMAL folds are order-insensitive).
-    driver_facing=False,  # window full; pytest oracle + bench evidence
+    # r13 rotation IN (VERDICT r12 #3): slot ceded by
+    # events_value_median_cont; pre-validated with the plain-session
+    # driver-sim recipe (value-identical at sf0.01) before the swap.
     oracle="""
 SELECT event_type,
        epoch_us(date_trunc('hour', ts)) AS window_start_us,

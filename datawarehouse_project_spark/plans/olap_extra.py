@@ -249,7 +249,12 @@ def unpivot_store_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_value_median_cont",
-    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1).
+    # r13 rotation OUT (driver-green r10-r12): slot ceded to
+    # events_hourly_from_store (VERDICT r12 #3); the quantile family
+    # stays driver-checked via events_value_histogram_percentiles and
+    # this row keeps its pytest oracle.
+    driver_facing=False,
     oracle="""
 SELECT event_type,
        percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS median_value

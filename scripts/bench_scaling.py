@@ -1,15 +1,19 @@
 #!/usr/bin/env python
-"""Spark-vs-DuckDB scaling curve over the headline queries.
+"""Spark-vs-DuckDB scaling curve over the headline queries — ABAB.
 
-For each sf dir given, times every headline query end-to-end on Spark
-(noop sink, shared warmed session — bench.py conditions) AND its DuckDB
-oracle (same parquet files, results fully materialized), then prints one
-JSON line per sf plus a markdown ratio table for PERFORMANCE.md.
+For each sf dir given, runs the full headline sweep on Spark (noop sink,
+shared warmed session — bench.py conditions) and on DuckDB (same parquet
+files, results fully materialized) INTERLEAVED: one untimed warm pass
+per engine, then REPS alternating timed sweeps (S D S D S D). Medians +
+spread go in the JSON line, so a single FS-cache hiccup or background
+task can no longer swing the ratio the way the old single-rep protocol
+did twice (VERDICT r10 #4 / r11 #5 / r12 #2 — the ABAB methodology is
+bench_skew.py's, applied here).
 
-This is the evidence for the bench gate: Spark carries a ~fixed per-query
-scheduling/codegen cost that dominates at toy scale; DuckDB's runtime
-scales with data. The ratio trend across sf, not the sf0.1 point, is the
-claim to check.
+This is the evidence for the bench gate: Spark carries a ~fixed
+per-query scheduling/codegen cost that dominates at toy scale; DuckDB's
+runtime scales with data. The ratio trend across sf, not the sf0.1
+point, is the claim to check.
 
 Usage: python scripts/bench_scaling.py DIR [DIR ...]
 """
@@ -18,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -25,52 +30,91 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
-from datawarehouse_project_spark.catalog import headline_queries, oracle_sql  # noqa: E402
+from datawarehouse_project_spark.catalog import all_oracle_sql, headline_queries  # noqa: E402
 from datawarehouse_project_spark.io import TABLES  # noqa: E402
 from datawarehouse_project_spark.session import get_spark  # noqa: E402
 
-
-#: Best-of-N per query on BOTH engines: the scaling claim is about
-#: steady-state engine cost, not first-run plan-compilation noise.
-#: (bench.py dual-reports: value_cold single-shot AND value_warm
-#: best-of-3 with shared caches — see PERFORMANCE.md for the history.)
-RUNS = 2
+#: Interleaved timed sweeps per engine per sf (after one untimed warm
+#: pass each): median of 3 is robust to a single disturbed rep.
+REPS = 3
 
 
-def time_spark(spark, sf_dir: str) -> dict[str, float]:
+def sweep_spark(spark, sf_dir: str) -> dict[str, float]:
+    """One timed pass over every headline query (seconds per query)."""
     out = {}
     for name, build in headline_queries().items():
-        best = None
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
+        t0 = time.perf_counter()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = time.perf_counter() - t0
     return out
 
 
-def time_duck(sf_dir: str, names: list[str]) -> dict[str, float]:
-    oracles = oracle_sql()
+def sweep_duck(con, names: list[str]) -> dict[str, float]:
+    oracles = all_oracle_sql()
+    out = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        out[name] = time.perf_counter() - t0
+    return out
+
+
+def _stats(totals: list[float]) -> dict[str, float]:
+    return {
+        "median": round(statistics.median(totals), 3),
+        "min": round(min(totals), 3),
+        "max": round(max(totals), 3),
+    }
+
+
+def bench_dir(spark, sf_dir: str) -> dict:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    out = {}
-    for name in names:
-        sql = oracles.get(name)
-        if sql is None:
-            continue
-        best = None
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
-    return out
+    # one untimed warm pass per engine (plan compilation, FS cache)
+    warm_names = list(sweep_spark(spark, sf_dir))
+    sweep_duck(con, warm_names)
+
+    sp_reps: list[dict[str, float]] = []
+    du_reps: list[dict[str, float]] = []
+    for _ in range(REPS):  # interleaved: same machine state for both
+        sp_reps.append(sweep_spark(spark, sf_dir))
+        du_reps.append(sweep_duck(con, warm_names))
+
+    def per_query_median(reps: list[dict[str, float]]) -> dict[str, float]:
+        return {
+            n: round(statistics.median(r[n] for r in reps), 3)
+            for n in reps[0]
+        }
+
+    sp_med = per_query_median(sp_reps)
+    du_med = per_query_median(du_reps)
+    # compare totals over the ORACLE-COVERED names only, so both sums
+    # span the same query set
+    names = list(du_med)
+    sp_totals = [sum(r[n] for n in names) for r in sp_reps]
+    du_totals = [sum(r[n] for n in names) for r in du_reps]
+    return {
+        "sf_dir": sf_dir,
+        "spark_total": _stats(sp_totals),
+        "duck_total": _stats(du_totals),
+        "ratio": round(
+            statistics.median(sp_totals)
+            / max(statistics.median(du_totals), 1e-9),
+            2,
+        ),
+        "spark": sp_med,
+        "duck": du_med,
+        "reps": REPS,
+        "protocol": "ABAB interleaved, 1 untimed warm pass per engine, "
+        "median of per-rep sweep totals",
+    }
 
 
 def main() -> None:
@@ -79,28 +123,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results = []
     for sf_dir in dirs:
-        spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # warm
-        sp = time_spark(spark, sf_dir)
-        du = time_duck(sf_dir, list(sp))
-        row = {
-            "sf_dir": sf_dir,
-            "spark_total": round(sum(sp.values()), 3),
-            "duck_total": round(sum(du.values()), 3),
-            "ratio": round(sum(sp.values()) / max(sum(du.values()), 1e-9), 2),
-            "spark": sp,
-            "duck": du,
-        }
+        row = bench_dir(spark, sf_dir)
         results.append(row)
         print(json.dumps(row), flush=True)
-    print("\n| sf dir | Spark (s) | DuckDB (s) | ratio |")
+    print("\n| sf dir | Spark median (min–max) | DuckDB median (min–max) | ratio |")
     print("|---|---|---|---|")
     for r in results:
+        s, d = r["spark_total"], r["duck_total"]
         print(
-            f"| {r['sf_dir']} | {r['spark_total']} | {r['duck_total']} "
-            f"| {r['ratio']}x |"
+            f"| {r['sf_dir']} | {s['median']} ({s['min']}–{s['max']}) "
+            f"| {d['median']} ({d['min']}–{d['max']}) | {r['ratio']}x |"
         )
-    print("\nper-query ratios (spark/duck):")
-    names = sorted(results[0]["spark"])
+    print("\nper-query medians (spark/duck):")
+    names = sorted(results[0]["duck"])
     print("| query | " + " | ".join(r["sf_dir"].split("/")[-1] for r in results) + " |")
     print("|---|" + "---|" * len(results))
     for n in names:

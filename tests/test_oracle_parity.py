@@ -77,6 +77,9 @@ def test_driver_catalog_fits_sweep_window():
         "bpe_merge_rules",
         # r12 new operator: the composed IVF→hamming→exact serving funnel
         "similarity_ivf_binary_funnel_topk",
+        # r13 rotation IN: the maintained-rollup serving twin (VERDICT
+        # r12 #3; events_value_median_cont ceded the slot)
+        "events_hourly_from_store",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
