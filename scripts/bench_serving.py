@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Store-read vs re-aggregate serving comparison (VERDICT r10 #3 /
+r11 #3 / r12 #3): `events_hourly_from_store` (reads the maintained
+IncrementalRollup state — group-cardinality rows, no fact scan) against
+`events_hourly_windows` (re-aggregates the events table per query),
+interleaved ABAB with medians + spread. The one-time rollup fold (the
+ingest cost a maintained store pays once per batch, not per query) is
+timed separately, same policy as bench.py's cache_build_sec.
+
+Usage: python scripts/bench_serving.py DIR [DIR ...]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datawarehouse_project_spark.catalog import all_queries  # noqa: E402
+from datawarehouse_project_spark.io import table  # noqa: E402
+from datawarehouse_project_spark.operators.events import (  # noqa: E402
+    served_hourly_rollup,
+)
+from datawarehouse_project_spark.session import get_spark  # noqa: E402
+
+REPS = 3
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_dir(spark, sf_dir: str) -> dict:
+    qs = all_queries()
+    n_events = table(spark, sf_dir, "events").count()
+
+    t0 = time.perf_counter()
+    roll = served_hourly_rollup(spark, sf_dir)  # one-time fold
+    build_sec = time.perf_counter() - t0
+    state_rows = roll.read(spark).count()
+
+    variants = {
+        "reaggregate": qs["events_hourly_windows"],
+        "from_store": qs["events_hourly_from_store"],
+    }
+    for build in variants.values():  # untimed warm pass
+        noop(build(spark, sf_dir))
+    times: dict[str, list[float]] = {k: [] for k in variants}
+    for _ in range(REPS):  # interleaved ABAB
+        for name, build in variants.items():
+            t0 = time.perf_counter()
+            noop(build(spark, sf_dir))
+            times[name].append(time.perf_counter() - t0)
+
+    def stats(xs):
+        return {
+            "median": round(statistics.median(xs), 3),
+            "min": round(min(xs), 3),
+            "max": round(max(xs), 3),
+        }
+
+    return {
+        "sf_dir": sf_dir,
+        "events_rows": n_events,
+        "state_rows": state_rows,
+        "store_build_sec": round(build_sec, 3),
+        "timings": {k: stats(v) for k, v in times.items()},
+        "speedup_median": round(
+            statistics.median(times["reaggregate"])
+            / max(statistics.median(times["from_store"]), 1e-9),
+            2,
+        ),
+        "reps": REPS,
+        "protocol": "interleaved ABAB, 1 untimed warm pass each, noop "
+        "sink; one-time rollup fold timed separately",
+    }
+
+
+def main() -> None:
+    spark = get_spark("dwspark-bench-serving")
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf_dir in sys.argv[1:]:
+        print(json.dumps(bench_dir(spark, sf_dir)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
