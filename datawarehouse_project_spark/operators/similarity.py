@@ -388,6 +388,74 @@ def train_centroids_from_df(
     return _lloyd_kmeans(mat, k, iters)
 
 
+def kmeans_refine_distributed(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+) -> list[list[float]]:
+    """Full-corpus Lloyd refinement of a (sample-trained) quantizer —
+    Catalyst-only per iteration, so it scales where the driver-side
+    trainer's 1024-row sample stops being representative:
+
+    * **assignment** is the exact argmin expression the IVF operators
+      serve with (:func:`_ivf_cluster_expr`) — no Python in the corpus
+      pass;
+    * **update** is ``posexplode → hash aggregate``: map-side partial
+      combine caps the shuffle at K×dim partial rows per task no matter
+      the corpus size;
+    * the driver touches only the ≤ K×dim aggregated ``(cluster, pos,
+      sum, count)`` rows per iteration — the sanctioned bounded-collect
+      class (same budget as the trainer's sample).
+
+    Empty clusters keep their previous centroid (standard Lloyd guard).
+    Inertia is non-increasing in exact arithmetic; float partial-sum
+    order makes refined centroids tolerance-stable across runs, not
+    bit-stable — which is why the SERVED quantizers default to the
+    bit-reproducible sample-trained set and refinement is the opt-in
+    quality knob (``IvfVectorIndex.build(refine_iters=...)``, persisted
+    to the sidecar so serving stays deterministic after build)."""
+    k = len(centroids)
+    cur = [list(map(float, c)) for c in centroids]
+    for _ in range(iters):
+        assigned = emb.select(
+            _ivf_cluster_expr(F.col("embedding"), cur).alias("cluster_id"),
+            F.col("embedding"),
+        )
+        rows = (
+            assigned.select(
+                "cluster_id",
+                F.posexplode(F.col("embedding")).alias("pos", "val"),
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()  # ≤ K×dim rows — bounded by construction
+        )
+        sums: dict[tuple[int, int], float] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums[(r["cluster_id"], r["pos"])] = r["s"]
+            counts[r["cluster_id"]] = r["n"]
+        cur = [
+            [sums[(cid, p)] / counts[cid] for p in range(len(cur[cid]))]
+            if counts.get(cid)
+            else cur[cid]
+            for cid in range(k)
+        ]
+    return cur
+
+
+def kmeans_inertia(emb: DataFrame, centroids: list[list[float]]) -> float:
+    """The Lloyd objective — sum of squared distances to each vector's
+    assigned (nearest) centroid — in one corpus pass, all-JVM."""
+    d = F.array_min(
+        F.array(*_ivf_dist_structs(F.col("embedding"), centroids))
+    ).getField("d")
+    return float(emb.select(F.sum(d)).collect()[0][0])
+
+
 def ivf_centroids() -> list[list[float]]:
     """The trained centroids, computed once on first query build."""
     global _IVF_CACHE
