@@ -122,8 +122,9 @@ def test_refine_update_plan_partial_aggregates(spark, sf_dir):
     agg = (
         emb.select(
             _ivf_cluster_expr(F.col("embedding"), cent).alias("cluster_id"),
-            F.posexplode(F.col("embedding")).alias("pos", "val"),
+            F.col("embedding"),
         )
+        .select("cluster_id", F.posexplode(F.col("embedding")).alias("pos", "val"))
         .groupBy("cluster_id", "pos")
         .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count("*").alias("n"))
     )
