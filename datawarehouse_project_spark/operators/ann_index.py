@@ -150,14 +150,19 @@ class IvfVectorIndex:
         new_root: str,
         k: int | None = None,
         sample_n: int | None = None,
+        refine_iters: int = 0,
     ) -> "IvfVectorIndex":
         """The centroid-drift remedy: build a REPLACEMENT index under
         ``new_root`` with a quantizer trained on ``emb`` (typically the
-        current full corpus, drifted batches included). This index is
-        left untouched — blue/green cut-over is the caller's move once
-        the replacement is verified. See the class docstring for why
-        there is no in-place retrain."""
-        return type(self).build(spark, emb, new_root, k=k, sample_n=sample_n)
+        current full corpus, drifted batches included; pass
+        ``refine_iters`` to add full-corpus Lloyd passes when the
+        training sample under-represents the drifted mass). This index
+        is left untouched — blue/green cut-over is the caller's move
+        once the replacement is verified. See the class docstring for
+        why there is no in-place retrain."""
+        return type(self).build(
+            spark, emb, new_root, k=k, sample_n=sample_n, refine_iters=refine_iters
+        )
 
     def _index_rows(self, emb: DataFrame) -> DataFrame:
         """Assignment + quantization for a batch of (vec_id, embedding):
