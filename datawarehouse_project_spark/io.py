@@ -99,6 +99,72 @@ def source_mtime_ns(sf_dir: str, name: str) -> int | None:
         return None
 
 
+class ServingMemo:
+    """Per-sf_dir serving-state roots with the repo's standard lifecycle
+    (the pattern events.served_hourly_rollup and
+    similarity.served_vector_index carry inline, generalized): temp-dir
+    state built once per process, a lock serializing first-touch builds,
+    atexit cleanup, a staleness token built from the source tables'
+    mtimes (rebuild on mismatch), and an :func:`on_refresh` hook so the
+    explicit ``refresh_table`` form — the only one for non-local dirs —
+    drops derived state too."""
+
+    def __init__(self, prefix: str, source_tables: list[str]):
+        import atexit
+        import threading
+
+        self.prefix = prefix
+        self.source_tables = list(source_tables)
+        self.roots: dict[str, tuple[str, tuple]] = {}
+        self.lock = threading.Lock()
+        on_refresh(self._on_refresh)
+        atexit.register(self.reset)
+
+    def _token(self, sf_dir: str) -> tuple:
+        return tuple(source_mtime_ns(sf_dir, t) for t in self.source_tables)
+
+    def get_or_build(self, sf_dir: str, build) -> str:
+        """Return the serving root for ``sf_dir``, calling ``build(root)``
+        to populate a fresh temp dir on first touch or staleness."""
+        import os
+        import shutil
+        import tempfile
+
+        with self.lock:
+            tok = self._token(sf_dir)
+            entry = self.roots.get(sf_dir)
+            if entry is not None:
+                root, built_tok = entry
+                if built_tok == tok and os.path.isdir(root):
+                    return root
+                del self.roots[sf_dir]
+                shutil.rmtree(root, ignore_errors=True)
+            root = tempfile.mkdtemp(prefix=self.prefix)
+            build(root)
+            self.roots[sf_dir] = (root, tok)
+            return root
+
+    def _on_refresh(self, sf_dir: str | None, name: str | None) -> None:
+        import shutil
+
+        if name is not None and name not in self.source_tables:
+            return
+        with self.lock:
+            keys = [sf_dir] if sf_dir is not None else list(self.roots)
+            for k in keys:
+                entry = self.roots.pop(k, None)
+                if entry is not None:
+                    shutil.rmtree(entry[0], ignore_errors=True)
+
+    def reset(self) -> None:
+        import shutil
+
+        with self.lock:
+            for root, _ in self.roots.values():
+                shutil.rmtree(root, ignore_errors=True)
+            self.roots.clear()
+
+
 def refresh_table(
     spark: SparkSession, sf_dir: str | None = None, name: str | None = None
 ) -> None:

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from .registry import REGISTRY, register
 from .star import FACT_CTE, fact
-from ..io import table
+from ..io import ServingMemo, table
 from ..session import prepare
 
 # --------------------------------------------------------------------------
@@ -565,3 +565,86 @@ def rfm_customer_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary"),
     )
     return rfm_quantile_scores(base)
+
+
+# --------------------------------------------------------------------------
+# r13: the fact-side serving twin of q01 — the same store-read pattern
+# events_hourly_from_store proved for the events family, applied to the
+# other floor-bound headline row (PERFORMANCE.md r8 negative result: q01's
+# 3× gap is the parquet scan floor). The fact is folded ONCE per ingest
+# batch into a product-revenue IncrementalRollup (group cardinality =
+# |products|); every query then reads the state and plans a
+# TakeOrderedAndProject over it — no fact scan, no join, scale-flat.
+
+#: Serving memo for the product-revenue rollup (staleness enforced by the
+#: five fact source tables' mtimes + the refresh_table hook).
+_PRODUCT_ROLLUP_MEMO = ServingMemo(
+    "dw-product-rollup-", ["lineitem", "orders", "part", "supplier", "nation"]
+)
+_PRODUCT_ROLLUP_KEYS = ["product_id", "product_name"]
+
+
+def served_product_rollup(spark: SparkSession, sf_dir: str):
+    """The session's maintained product-revenue rollup over ``sf_dir``'s
+    fact, filtered to the catalog YEAR (build-on-first-use, then reads
+    only; DECIMAL sums make the folded state equal the full aggregation
+    bit-for-bit)."""
+    from ..operators.incremental import IncrementalRollup
+    from .olap import _in_year
+
+    def handle(root: str) -> IncrementalRollup:
+        return IncrementalRollup(
+            root, keys=_PRODUCT_ROLLUP_KEYS, sum_cols=["sale"]
+        )
+
+    def build(root: str) -> None:
+        roll = handle(root)
+        f = fact(spark, sf_dir).filter(_in_year("order_date"))
+        roll.apply_batch(
+            spark,
+            f.select("product_id", "product_name", "sale"),
+            batch_id=0,
+            app_id="served-q01",
+        )
+
+    return handle(_PRODUCT_ROLLUP_MEMO.get_or_build(sf_dir, build))
+
+
+@register(
+    "q01_from_store",
+    driver_facing=False,  # window full; pytest oracle + r13 bench evidence
+    # Same oracle as q01_top_revenue_products: the maintained state must
+    # answer the headline query exactly.
+    oracle=f"""
+WITH {FACT_CTE},
+agg AS (
+    SELECT product_id, product_name,
+           CAST(SUM(sale) AS DOUBLE) AS total_sales
+    FROM fact
+    WHERE EXTRACT(YEAR FROM order_date) = 1997
+    GROUP BY product_id, product_name
+)
+SELECT product_name, total_sales
+FROM agg
+ORDER BY total_sales DESC, product_name, product_id
+LIMIT 5
+""",
+)
+def q01_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue products served from the maintained product rollup:
+    a TakeOrderedAndProject over |products| state rows — the serving
+    answer to q01's scan-floor gap (the fact is scanned once per ingest
+    fold, never per query). Bit-identical to q01_top_revenue_products."""
+    prepare(spark)
+    roll = served_product_rollup(spark, sf_dir)
+    st = roll.read(spark)
+    return (
+        st.select(
+            "product_id",
+            "product_name",
+            F.col("sum_sale").cast("double").alias("total_sales"),
+        )
+        .orderBy(F.desc("total_sales"), "product_name", "product_id")
+        .limit(5)
+        .select("product_name", "total_sales")
+    )

@@ -53,21 +53,37 @@ def fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~40 py4j calls by each of the 8 OLAP builders. No data is cached —
     every execution re-reads the scans — and `io.refresh_table` callers
     can clear `spark._dw_fact_cache` the same way."""
+    from ..io import source_mtime_ns
+
     cache = getattr(spark, "_dw_fact_cache", None)
     if cache is None:
         cache = {}
         spark._dw_fact_cache = cache
-    if sf_dir in cache:
-        return cache[sf_dir]
+    # staleness token: a rewritten source table re-derives the plan (the
+    # same guard io.table carries — r13, closing the last memo without one).
+    # Entries written by use_materialized_fact carry token None (pinned by
+    # choice; cleared explicitly).
+    token = tuple(
+        source_mtime_ns(sf_dir, t)
+        for t in ("lineitem", "orders", "part", "supplier", "nation")
+    )
+    entry = cache.get(sf_dir)
+    if entry is not None:
+        if not (isinstance(entry, tuple) and len(entry) == 2):
+            return entry  # pre-r13 / materialized-fact pinned handle
+        built_token, df = entry
+        if built_token is None or built_token == token:
+            return df
     prepare(spark)
-    cache[sf_dir] = fact_from(
+    df = fact_from(
         table(spark, sf_dir, "lineitem"),
         table(spark, sf_dir, "orders"),
         table(spark, sf_dir, "part"),
         table(spark, sf_dir, "supplier"),
         table(spark, sf_dir, "nation"),
     )
-    return cache[sf_dir]
+    cache[sf_dir] = (token, df)
+    return df
 
 
 def fact_from(

@@ -34,19 +34,32 @@ def noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_dir(spark, sf_dir: str) -> dict:
+def bench_pair(spark, sf_dir: str, family: str) -> dict:
+    """One store-vs-recompute pair: 'hourly' (events) or 'q01' (fact)."""
     qs = all_queries()
-    n_events = table(spark, sf_dir, "events").count()
+    if family == "hourly":
+        n_source = table(spark, sf_dir, "events").count()
+        t0 = time.perf_counter()
+        roll = served_hourly_rollup(spark, sf_dir)  # one-time fold
+        build_sec = time.perf_counter() - t0
+        variants = {
+            "recompute": qs["events_hourly_windows"],
+            "from_store": qs["events_hourly_from_store"],
+        }
+    else:
+        from datawarehouse_project_spark.plans.olap_extra import (
+            served_product_rollup,
+        )
 
-    t0 = time.perf_counter()
-    roll = served_hourly_rollup(spark, sf_dir)  # one-time fold
-    build_sec = time.perf_counter() - t0
+        n_source = table(spark, sf_dir, "lineitem").count()
+        t0 = time.perf_counter()
+        roll = served_product_rollup(spark, sf_dir)
+        build_sec = time.perf_counter() - t0
+        variants = {
+            "recompute": qs["q01_top_revenue_products"],
+            "from_store": qs["q01_from_store"],
+        }
     state_rows = roll.read(spark).count()
-
-    variants = {
-        "reaggregate": qs["events_hourly_windows"],
-        "from_store": qs["events_hourly_from_store"],
-    }
     for build in variants.values():  # untimed warm pass
         noop(build(spark, sf_dir))
     times: dict[str, list[float]] = {k: [] for k in variants}
@@ -65,12 +78,13 @@ def bench_dir(spark, sf_dir: str) -> dict:
 
     return {
         "sf_dir": sf_dir,
-        "events_rows": n_events,
+        "family": family,
+        "source_rows": n_source,
         "state_rows": state_rows,
         "store_build_sec": round(build_sec, 3),
         "timings": {k: stats(v) for k, v in times.items()},
         "speedup_median": round(
-            statistics.median(times["reaggregate"])
+            statistics.median(times["recompute"])
             / max(statistics.median(times["from_store"]), 1e-9),
             2,
         ),
@@ -84,7 +98,8 @@ def main() -> None:
     spark = get_spark("dwspark-bench-serving")
     spark.sparkContext.setLogLevel("ERROR")
     for sf_dir in sys.argv[1:]:
-        print(json.dumps(bench_dir(spark, sf_dir)), flush=True)
+        for family in ("hourly", "q01"):
+            print(json.dumps(bench_pair(spark, sf_dir, family)), flush=True)
 
 
 if __name__ == "__main__":

@@ -99,3 +99,63 @@ def test_refresh_table_hook_drops_served_index(spark, tmp_path):
     assert sf in _SERVED_INDEX_ROOTS
     refresh_table(spark, sf, "embeddings")
     assert sf not in _SERVED_INDEX_ROOTS
+
+
+def _write_fact_sources(spark, sf, n_orders, price):
+    """A minimal 5-table star fixture for the fact builder."""
+    spark.range(5).select(
+        F.col("id").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
+    ).write.mode("overwrite").parquet(f"{sf}/nation.parquet")
+    spark.range(1, 11).select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.col("id")).alias("s_name"),
+        (F.col("id") % 5).alias("s_nationkey"),
+    ).write.mode("overwrite").parquet(f"{sf}/supplier.parquet")
+    spark.range(1, 21).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("Part#"), F.col("id")).alias("p_name"),
+        (F.col("id") * 1.5).alias("p_retailprice"),
+    ).write.mode("overwrite").parquet(f"{sf}/part.parquet")
+    spark.range(1, n_orders + 1).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 7).alias("o_custkey"),
+        F.lit("1997-03-01").cast("date").alias("o_orderdate"),
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    spark.range(1, n_orders + 1).select(
+        F.col("id").alias("l_orderkey"),
+        F.lit(1).alias("l_linenumber"),
+        (F.col("id") % 20 + 1).alias("l_partkey"),
+        (F.col("id") % 10 + 1).alias("l_suppkey"),
+        F.lit(2.0).alias("l_quantity"),
+        F.lit(float(price)).alias("l_extendedprice"),
+        F.lit("1997-03-05").cast("date").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+
+def test_q01_from_store_rebuilds_on_fact_source_rewrite(spark, tmp_path):
+    """The product-rollup serving memo AND the fact() plan memo both
+    carry mtime tokens: rewriting a fact source table in-process yields
+    fresh served answers with no explicit invalidation call."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    sf = str(tmp_path / "sfq")
+    q = all_queries()["q01_from_store"]
+    _write_fact_sources(spark, sf, 40, 100.0)
+    first = q(spark, sf).collect()
+    assert first and abs(first[0].total_sales - 200.0) < 1e-9  # 2 rows/part
+    _write_fact_sources(spark, sf, 40, 500.0)
+    second = q(spark, sf).collect()
+    assert second and abs(second[0].total_sales - 1000.0) < 1e-9
+
+
+def test_q01_from_store_plan_is_state_topk_no_fact_scan(spark):
+    """The serving pin: TakeOrderedAndProject over the rollup state;
+    zero scans of any fact source table in the query plan."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    df = all_queries()["q01_from_store"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for t in ("lineitem", "orders", "part.parquet", "supplier", "nation"):
+        assert t not in plan, t
