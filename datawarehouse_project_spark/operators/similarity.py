@@ -25,17 +25,14 @@ plans/registry.py).
 
 from __future__ import annotations
 
-import atexit
 import hashlib
 import os
-import threading
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import on_refresh as io_on_refresh
-from ..io import require_small, source_mtime_ns, spread, table
+from ..io import ServingMemo, require_small, spread, table
 from ..plans.registry import register
 from ..session import prepare
 
@@ -1597,51 +1594,22 @@ def similarity_binary_rerank_inline(spark: SparkSession, sf_dir: str) -> DataFra
 # cross-check, and stored == inline is pinned bit-for-bit in
 # tests/test_ann_index.py.
 
-#: Memoized served-index roots per sf_dir: the index is built ONCE per
-#: process (batch 0 ingest into a temp-dir VersionedParquetTable) and
-#: every stored-form query in the same session reads it — the serving
-#: lifecycle in miniature. Keyed by sf_dir; the driver's fresh process
-#: builds on first touch (sub-second at its sf0.01 gate). Roots are
-#: removed at interpreter exit (atexit) and on demand via
-#: :func:`reset_served_indexes`; a lock serializes first-touch builds so
-#: concurrent callers share one root instead of each building and
-#: leaking their own (advisor finding, r11). Staleness is ENFORCED, not
-#: assumed (VERDICT r12 #6): entries carry the source embeddings.parquet
-#: mtime and rebuild on mismatch; ``io.refresh_table`` fires the hook
-#: below for the explicit form.
-_SERVED_INDEX_ROOTS: dict[str, tuple[str, int | None]] = {}
-_SERVED_INDEX_LOCK = threading.Lock()
+#: Served-index state per sf_dir: the index is built ONCE per process
+#: (batch 0 ingest into a temp-dir VersionedParquetTable) and every
+#: stored-form query in the same session reads it — the serving
+#: lifecycle in miniature. The driver's fresh process builds on first
+#: touch (sub-second at its sf0.01 gate). Lifecycle (first-touch lock —
+#: advisor finding r11 — atexit cleanup, mtime staleness token,
+#: refresh_table hook — VERDICT r12 #6) is the shared
+#: :class:`~..io.ServingMemo`.
+_SERVED_INDEX_MEMO = ServingMemo("dw-vector-index-", ["embeddings"])
 
 
 def reset_served_indexes() -> None:
     """Drop (and delete) every memoized served index. The in-process
     rewrite case is handled automatically (mtime guard + refresh_table
     hook); this remains the blanket escape hatch."""
-    import shutil
-
-    with _SERVED_INDEX_LOCK:
-        for root, _ in _SERVED_INDEX_ROOTS.values():
-            shutil.rmtree(root, ignore_errors=True)
-        _SERVED_INDEX_ROOTS.clear()
-
-
-atexit.register(reset_served_indexes)
-
-
-@io_on_refresh
-def _on_refresh_drop_served_indexes(
-    sf_dir: str | None, name: str | None
-) -> None:
-    import shutil
-
-    if name not in (None, "embeddings"):
-        return
-    with _SERVED_INDEX_LOCK:
-        keys = [sf_dir] if sf_dir is not None else list(_SERVED_INDEX_ROOTS)
-        for k in keys:
-            entry = _SERVED_INDEX_ROOTS.pop(k, None)
-            if entry is not None:
-                shutil.rmtree(entry[0], ignore_errors=True)
+    _SERVED_INDEX_MEMO.reset()
 
 
 def served_vector_index(spark: SparkSession, sf_dir: str):
@@ -1650,31 +1618,17 @@ def served_vector_index(spark: SparkSession, sf_dir: str):
     (in-process rewrite of embeddings.parquet) rebuilds the index
     instead of serving it stale; :func:`reset_served_indexes` remains
     the blanket escape hatch."""
-    import shutil
-
     from .ann_index import IvfVectorIndex
 
-    with _SERVED_INDEX_LOCK:
-        mtime = source_mtime_ns(sf_dir, "embeddings")
-        entry = _SERVED_INDEX_ROOTS.get(sf_dir)
-        if entry is not None:
-            root, built_mtime = entry
-            if built_mtime == mtime and os.path.isdir(root):
-                return IvfVectorIndex(root)
-            del _SERVED_INDEX_ROOTS[sf_dir]
-            shutil.rmtree(root, ignore_errors=True)
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="dw-vector-index-")
-        idx = IvfVectorIndex(root)
-        idx.add_batch(
+    def build(root: str) -> None:
+        IvfVectorIndex(root).add_batch(
             spark,
             spread(spark, table(spark, sf_dir, "embeddings")),
             batch_id=0,
             app_id="served-index",
         )
-        _SERVED_INDEX_ROOTS[sf_dir] = (root, mtime)
-        return idx
+
+    return IvfVectorIndex(_SERVED_INDEX_MEMO.get_or_build(sf_dir, build))
 
 
 @register(

@@ -47,9 +47,11 @@ def test_served_hourly_rebuilds_on_source_rewrite(spark, tmp_path):
 def test_refresh_table_hook_drops_served_hourly(spark, tmp_path):
     from datawarehouse_project_spark.io import refresh_table
     from datawarehouse_project_spark.operators.events import (
-        _SERVED_HOURLY_ROOTS,
+        _SERVED_HOURLY_MEMO,
         served_hourly_rollup,
     )
+
+    _SERVED_HOURLY_ROOTS = _SERVED_HOURLY_MEMO.roots
 
     sf = str(tmp_path / "sfb")
     _write_events(spark, sf, 10, 1.0)
@@ -67,9 +69,11 @@ def test_refresh_table_hook_drops_served_hourly(spark, tmp_path):
 
 def test_served_vector_index_rebuilds_on_source_rewrite(spark, tmp_path):
     from datawarehouse_project_spark.operators.similarity import (
-        _SERVED_INDEX_ROOTS,
+        _SERVED_INDEX_MEMO,
         served_vector_index,
     )
+
+    _SERVED_INDEX_ROOTS = _SERVED_INDEX_MEMO.roots
 
     sf = str(tmp_path / "sfc")
     _write_embeddings(spark, sf, 40, 0)
@@ -89,9 +93,11 @@ def test_served_vector_index_rebuilds_on_source_rewrite(spark, tmp_path):
 def test_refresh_table_hook_drops_served_index(spark, tmp_path):
     from datawarehouse_project_spark.io import refresh_table
     from datawarehouse_project_spark.operators.similarity import (
-        _SERVED_INDEX_ROOTS,
+        _SERVED_INDEX_MEMO,
         served_vector_index,
     )
+
+    _SERVED_INDEX_ROOTS = _SERVED_INDEX_MEMO.roots
 
     sf = str(tmp_path / "sfd")
     _write_embeddings(spark, sf, 20, 0)
