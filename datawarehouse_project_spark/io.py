@@ -116,6 +116,13 @@ class ServingMemo:
         self.prefix = prefix
         self.source_tables = list(source_tables)
         self.roots: dict[str, tuple[str, tuple]] = {}
+        #: roots displaced by staleness/refresh: NOT deleted immediately —
+        #: a previously-returned handle may still hold lazy plans against
+        #: them (deleting out from under it turns stale-but-consistent
+        #: serving into FileNotFoundError mid-query). Reclaimed at
+        #: :meth:`reset` (atexit, or the explicit caller reset — which
+        #: asserts no live handles remain).
+        self.retired: list[str] = []
         self.lock = threading.Lock()
         on_refresh(self._on_refresh)
         atexit.register(self.reset)
@@ -127,7 +134,6 @@ class ServingMemo:
         """Return the serving root for ``sf_dir``, calling ``build(root)``
         to populate a fresh temp dir on first touch or staleness."""
         import os
-        import shutil
         import tempfile
 
         with self.lock:
@@ -138,15 +144,13 @@ class ServingMemo:
                 if built_tok == tok and os.path.isdir(root):
                     return root
                 del self.roots[sf_dir]
-                shutil.rmtree(root, ignore_errors=True)
+                self.retired.append(root)  # deferred delete; see __init__
             root = tempfile.mkdtemp(prefix=self.prefix)
             build(root)
             self.roots[sf_dir] = (root, tok)
             return root
 
     def _on_refresh(self, sf_dir: str | None, name: str | None) -> None:
-        import shutil
-
         if name is not None and name not in self.source_tables:
             return
         with self.lock:
@@ -154,7 +158,7 @@ class ServingMemo:
             for k in keys:
                 entry = self.roots.pop(k, None)
                 if entry is not None:
-                    shutil.rmtree(entry[0], ignore_errors=True)
+                    self.retired.append(entry[0])
 
     def reset(self) -> None:
         import shutil
@@ -163,6 +167,9 @@ class ServingMemo:
             for root, _ in self.roots.values():
                 shutil.rmtree(root, ignore_errors=True)
             self.roots.clear()
+            for root in self.retired:
+                shutil.rmtree(root, ignore_errors=True)
+            self.retired.clear()
 
 
 def refresh_table(
@@ -187,6 +194,21 @@ def refresh_table(
                 del cache[key]
         else:
             cache.clear()
+    # The fact() PLAN memo (plans/star.py) derives from five source
+    # tables; a refresh touching any of them (or a wildcard) drops the
+    # derived plan too — on non-stat-able dirs the memo's mtime token is
+    # all-None, so this call is its ONLY invalidation path. Bare-frame
+    # entries are use_materialized_fact pins: deliberate overrides that
+    # survive refresh and are cleared only by their owner.
+    fcache = getattr(spark, "_dw_fact_cache", None)
+    if fcache:
+        from .plans.star import FACT_SOURCE_TABLES
+
+        if name is None or name in FACT_SOURCE_TABLES:
+            keys = [sf_dir] if sf_dir is not None else list(fcache)
+            for k in keys:
+                if isinstance(fcache.get(k), tuple):
+                    del fcache[k]
     for fn in _REFRESH_HOOKS:
         fn(sf_dir, name)
 

@@ -20,9 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import source_mtime_ns, table
 from ..plans.registry import register
 from ..session import prepare
+
+#: tuned overlap-bucket widths per (sf_dir, lineitem mtime) — plan-build
+#: memo for the registered overlap query (the sizing pass is eager).
+_TUNED_BUCKET_MEMO: dict[tuple, int] = {}
 
 
 def asof_join(
@@ -274,7 +278,14 @@ def tune_bucket_days(
     narrow enough that collision candidates remain local — the fixed
     ``bucket_days=7`` default degraded to length/7 fan-out per row on a
     long-interval-heavy input (VERDICT r11 #7 / r12 #5). Clamped to ≥1;
-    an empty input tunes to 1 (the join is empty anyway)."""
+    an empty input tunes to 1 (the join is empty anyway).
+
+    The sizing pass is EAGER (runs at plan-construction time) and
+    per-call; callers that rebuild the same plan repeatedly should tune
+    once and pass the result as ``bucket_days`` — the registered
+    ``overlap_shipping_windows`` memoizes the tuned width per
+    ``(sf_dir, lineitem mtime)`` exactly like every other per-source
+    derivation (io.table, plans.star.fact, ServingMemo)."""
     lengths = left.select(
         (F.datediff(F.col("end"), F.col("start")) + 1).cast("double").alias("len")
     )
@@ -386,7 +397,9 @@ def overlap_shipping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketized plan that survives the unsampled table, with the bucket
     width auto-tuned from the median interval length (≈26d on this
     data; r13 measurement vs the old hand-picked 7d in
-    PERFORMANCE.md)."""
+    PERFORMANCE.md). The tuned width is memoized per (sf_dir, lineitem
+    mtime) so repeated plan builds (driver sweep, bench reps) pay the
+    sizing pass once per source version, not per call."""
     prepare(spark)
     win = (
         table(spark, sf_dir, "lineitem")
@@ -400,7 +413,12 @@ def overlap_shipping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("end"),
         )
     )
-    return interval_overlap_join(win, win, bucket_days="auto", self_pairs=True)
+    key = (sf_dir, source_mtime_ns(sf_dir, "lineitem"))
+    bucket = _TUNED_BUCKET_MEMO.get(key)
+    if bucket is None:
+        bucket = tune_bucket_days(win, win)
+        _TUNED_BUCKET_MEMO[key] = bucket
+    return interval_overlap_join(win, win, bucket_days=bucket, self_pairs=True)
 
 
 # --------------------------------------------------------------------------

@@ -150,15 +150,17 @@ def detect_hot_keys(
     keys_as_tokens = df.select(F.col(key).cast("string").alias("word"))
     counters = cms_counters(keys_as_tokens)
     if n_total is None:
-        # One scan total: materialize the bounded counter matrix, then
-        # read N from it. The collect is over ≤ depth×width (=4096)
-        # already-checkpointed rows — bounded by construction, never by
-        # data volume (same sanctioned class as the IVF training sample).
-        counters = counters.localCheckpoint(eager=True)
-        n_total = (
-            counters.filter(F.col("i") == 0).agg(F.sum("count")).collect()[0][0]
-            or 0
-        )
+        # One scan total: pull the bounded counter matrix to the driver
+        # (≤ depth×width = 4096 rows by construction, never data-volume
+        # bound — same sanctioned class as the IVF training sample), read
+        # N off the depth-0 counter mass locally, and rebuild the
+        # counters as a LOCAL relation so the estimate join below never
+        # rescans the fact. No localCheckpoint: its storage blocks stay
+        # resident until session end with no unpersist path, which leaks
+        # across repeated detection calls (r13 review finding).
+        rows = counters.collect()
+        n_total = sum(r["count"] for r in rows if r["i"] == 0)
+        counters = df.sparkSession.createDataFrame(rows, counters.schema)
     if candidates is not None:
         cand = (
             candidates.select(F.col(key))

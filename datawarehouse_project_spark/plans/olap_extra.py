@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .olap import YEAR, _in_year
 from .registry import REGISTRY, register
 from .star import FACT_CTE, fact
 from ..io import ServingMemo, table
@@ -590,8 +591,6 @@ def served_product_rollup(spark: SparkSession, sf_dir: str):
     only; DECIMAL sums make the folded state equal the full aggregation
     bit-for-bit)."""
     from ..operators.incremental import IncrementalRollup
-    from .olap import _in_year
-
     def handle(root: str) -> IncrementalRollup:
         return IncrementalRollup(
             root, keys=_PRODUCT_ROLLUP_KEYS, sum_cols=["sale"]
@@ -621,7 +620,7 @@ agg AS (
     SELECT product_id, product_name,
            CAST(SUM(sale) AS DOUBLE) AS total_sales
     FROM fact
-    WHERE EXTRACT(YEAR FROM order_date) = 1997
+    WHERE EXTRACT(YEAR FROM order_date) = {YEAR}
     GROUP BY product_id, product_name
 )
 SELECT product_name, total_sales

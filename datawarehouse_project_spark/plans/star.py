@@ -37,6 +37,11 @@ from ..session import prepare
 #: bit-identical to the DuckDB oracle.
 _DEC = "decimal(18,2)"
 
+#: The five source tables the fact plan derives from — the staleness-token
+#: basis for the plan memo, and the table names whose explicit
+#: ``io.refresh_table`` must drop the derived plan too.
+FACT_SOURCE_TABLES = ("lineitem", "orders", "part", "supplier", "nation")
+
 
 def fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enriched fact: one row per lineitem with dimension attributes.
@@ -60,19 +65,20 @@ def fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache = {}
         spark._dw_fact_cache = cache
     # staleness token: a rewritten source table re-derives the plan (the
-    # same guard io.table carries — r13, closing the last memo without one).
-    # Entries written by use_materialized_fact carry token None (pinned by
-    # choice; cleared explicitly).
-    token = tuple(
-        source_mtime_ns(sf_dir, t)
-        for t in ("lineitem", "orders", "part", "supplier", "nation")
-    )
+    # same guard io.table carries — r13, closing the last memo without
+    # one). On non-stat-able (non-local) dirs the token is all-None and
+    # never changes; there `io.refresh_table` is the invalidation path —
+    # it drops tuple entries from this cache directly. Entries written by
+    # use_materialized_fact are BARE DataFrames (no token): a deliberate
+    # pin that survives both the mtime guard and refresh_table, cleared
+    # only by its owner (sources/catalog_ddl.py).
+    token = tuple(source_mtime_ns(sf_dir, t) for t in FACT_SOURCE_TABLES)
     entry = cache.get(sf_dir)
     if entry is not None:
         if not (isinstance(entry, tuple) and len(entry) == 2):
-            return entry  # pre-r13 / materialized-fact pinned handle
+            return entry  # materialized-fact pinned handle (bare frame)
         built_token, df = entry
-        if built_token is None or built_token == token:
+        if built_token == token:
             return df
     prepare(spark)
     df = fact_from(

@@ -13,17 +13,26 @@ SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 SF_CORRECT = os.environ.get("SPARK_GRAFT_CORRECT_DIR", "/root/testdata/sf0.01")
 
 
+#: Did the autouse fixture below have to HEAL the committed README at
+#: session start? Healing keeps the prose correct going forward, but a
+#: registration that shipped without regenerating is still the r10-r12
+#: drift class — tests/test_docs.py asserts this stayed False, so the
+#: guard fails exactly once (on the run that heals) instead of never.
+README_WAS_STALE: bool | None = None
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _regenerate_readme_counts():
     """Self-heal README.md's registry-count sentence from the live registry
     (VERDICT r10-r12: three rounds of hand-typed count drift — the sentence
     is now generated, never typed; see scripts/gen_readme_counts.py)."""
+    global README_WAS_STALE
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
     )
     import gen_readme_counts
 
-    gen_readme_counts.regenerate()
+    README_WAS_STALE = gen_readme_counts.regenerate()
     yield
 
 

@@ -48,6 +48,21 @@ def test_readme_counts_generated():
     assert mod.rewrite_text(text, mod.registry_counts()) == text
 
 
+def test_readme_counts_were_fresh_at_session_start():
+    """The committed README must ALREADY have matched the registry before
+    conftest's autouse fixture healed it — without this, the healing makes
+    the two guards above vacuous (they'd assert against the freshly
+    rewritten file and could never fail on a stale commit; r13 review
+    finding). Fails exactly once, on the run that heals; the healed file
+    is the fix to commit."""
+    import conftest
+
+    assert conftest.README_WAS_STALE is False, (
+        "README.md registry counts were stale at session start (now "
+        "self-healed in place) — commit the regenerated README"
+    )
+
+
 def test_performance_bench_prose_fresh():
     """PERFORMANCE.md's headline bench numbers must match the BENCH file of
     the round the prose cites, and that round must not lag the newest

@@ -224,3 +224,25 @@ def test_overlap_shipping_windows_matches_duckdb(spark, sf_correct_dir):
         all_oracle_sql()[name],
         sf_correct_dir,
     )
+
+
+def test_overlap_bucket_tuning_memoized(spark, sf_dir, monkeypatch):
+    """The eager bucket-sizing pass runs once per (sf_dir, lineitem
+    mtime), not once per plan build (r13 review finding: the driver
+    sweep and bench reps rebuild the plan 4+ times)."""
+    from datawarehouse_project_spark.operators import relational as rel
+
+    rel._TUNED_BUCKET_MEMO.clear()
+    calls = []
+    real = rel.tune_bucket_days
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(rel, "tune_bucket_days", counting)
+    rel.overlap_shipping_windows(spark, sf_dir)
+    rel.overlap_shipping_windows(spark, sf_dir)
+    assert len(calls) == 1
+    key = next(iter(rel._TUNED_BUCKET_MEMO))
+    assert key[0] == sf_dir and rel._TUNED_BUCKET_MEMO[key] >= 1

@@ -165,3 +165,71 @@ def test_q01_from_store_plan_is_state_topk_no_fact_scan(spark):
     assert "TakeOrderedAndProject" in plan
     for t in ("lineitem", "orders", "part.parquet", "supplier", "nation"):
         assert t not in plan, t
+
+
+def test_refresh_table_drops_fact_plan_memo(spark, tmp_path):
+    """refresh_table must reach the fact() PLAN memo too: on non-stat-able
+    dirs the memo's mtime token never changes, so the explicit refresh is
+    its only invalidation path (r13 review finding). Materialized-fact
+    pins (bare frames) are deliberate overrides and must survive."""
+    from datawarehouse_project_spark.io import refresh_table
+    from datawarehouse_project_spark.plans.star import fact
+
+    sf = str(tmp_path / "sff")
+    _write_fact_sources(spark, sf, 10, 100.0)
+    fact(spark, sf)
+    assert isinstance(spark._dw_fact_cache[sf], tuple)
+    # unrelated table name: the fact plan stays memoized
+    refresh_table(spark, sf, "events")
+    assert sf in spark._dw_fact_cache
+    # a fact source table: the derived plan is dropped with it
+    refresh_table(spark, sf, "lineitem")
+    assert sf not in spark._dw_fact_cache
+    # wildcard refresh drops it too
+    fact(spark, sf)
+    refresh_table(spark)
+    assert sf not in spark._dw_fact_cache
+    # a materialized-fact pin (bare frame, no token) survives refresh
+    pinned = fact(spark, sf)
+    spark._dw_fact_cache[sf] = pinned
+    refresh_table(spark, sf, "lineitem")
+    assert spark._dw_fact_cache[sf] is pinned
+    del spark._dw_fact_cache[sf]
+
+
+def test_serving_memo_retires_stale_roots_without_deleting(spark, tmp_path):
+    """A root displaced by staleness must NOT be rmtree'd immediately — a
+    previously-returned handle may still hold lazy plans against it
+    (deleting turns stale-but-consistent serving into FileNotFoundError
+    mid-use; r13 review finding). Displaced roots are retired and
+    reclaimed at reset()."""
+    import os
+
+    from datawarehouse_project_spark.io import ServingMemo, refresh_table
+
+    memo = ServingMemo("dwtest-retire-", ["events"])
+    sf = str(tmp_path / "sfr")
+    _write_events(spark, sf, 10, 1.0)
+
+    built = []
+
+    def build(root):
+        with open(os.path.join(root, "state.txt"), "w") as f:
+            f.write("v%d" % len(built))
+        built.append(root)
+
+    root1 = memo.get_or_build(sf, build)
+    _write_events(spark, sf, 20, 2.0)  # stale token
+    root2 = memo.get_or_build(sf, build)
+    assert root2 != root1
+    # the displaced root is still intact for any live handle...
+    assert os.path.exists(os.path.join(root1, "state.txt"))
+    assert root1 in memo.retired
+    # ...and the explicit-refresh path retires (not deletes) the same way
+    refresh_table(spark, sf, "events")
+    assert os.path.exists(os.path.join(root2, "state.txt"))
+    assert root2 in memo.retired
+    # reset() reclaims live and retired roots alike
+    memo.reset()
+    assert not os.path.exists(root1) and not os.path.exists(root2)
+    assert memo.retired == []
