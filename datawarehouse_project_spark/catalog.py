@@ -22,10 +22,12 @@ from .operators import cms as _cms  # noqa: F401
 from .operators import dedup as _dedup  # noqa: F401
 from .operators import dedup_incremental as _dedup_incremental  # noqa: F401
 from .operators import events as _events  # noqa: F401
+from .operators import fuzzy as _fuzzy  # noqa: F401
 from .operators import histogram as _histogram  # noqa: F401
 from .operators import multimodal as _multimodal  # noqa: F401
 from .operators import quality as _quality  # noqa: F401
 from .operators import relational as _relational  # noqa: F401
+from .operators import retrieval as _retrieval  # noqa: F401
 from .operators import sampling as _sampling  # noqa: F401
 from .operators import scd as _scd  # noqa: F401
 from .operators import similarity as _similarity  # noqa: F401

@@ -1,0 +1,248 @@
+"""Edit-distance fuzzy self-join via lossless segment blocking.
+
+The entity-resolution primitive a training-data pipeline needs for
+name/title/URL canonicalization: all pairs of strings within Levenshtein
+distance ``d`` — WITHOUT the quadratic all-pairs comparison.
+
+Algorithm (PassJoin family — Li, Deng, Feng, ICDE 2011, public): split
+each string into ``d+1`` disjoint segments; by pigeonhole, any pair
+within edit distance ``d`` leaves at least one segment of the shorter
+string untouched, so that segment appears EXACTLY in the longer string,
+at a start position shifted by at most ``d``. Candidate generation is
+therefore an EQUI-join:
+
+  * segment side: each string emits its ``d+1`` segments keyed
+    ``(len, seg_idx, seg_text)`` — fan-out ``d+1`` per row;
+  * substring side: each string enumerates, for every possible shorter
+    length ``l ∈ [len-d, len]`` and segment index, the substrings at the
+    ``≤ 2d+1`` start positions inside the shift window — fan-out
+    ``O(d² · (2d+1))`` per row, a small constant for small ``d``.
+
+Both fan-outs are data-independent constants; the join is a plain hash
+equi-join on the 3-part key, and the exact ``levenshtein() ≤ d``
+residual runs only on the candidate pairs. No pairwise work outside the
+candidates — the same cost shape as the banded LSH dedup operators
+(operators/dedup.py). Skew caveat at scale: a very frequent segment
+(shared brand prefix) makes a hot join key; the production guard is the
+same df-cap pattern as ``dedup.ngram_jaccard_capped`` (drop or split
+segment keys above a frequency cap, at a measured recall cost).
+
+Everything is Catalyst expressions (substring/transform/sequence) — no
+Python in the row path; ``F.levenshtein`` is a JVM built-in.
+
+Reference parity note: the reference has no fuzzy matching anywhere
+(its cleaning is exact-key based, MeshJoin.java:300-340); this module is
+part of the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..plans.registry import register
+from ..session import prepare
+
+
+def _seg_len(l, i, d: int):  # noqa: E741 - l is a Column
+    """Length of 0-based segment ``i`` when a length-``l`` string is cut
+    into ``d+1`` parts: base = l div (d+1), the first l mod (d+1)
+    segments get one extra char."""
+    base = (l / (d + 1)).cast("int")
+    rem = l % (d + 1)
+    return base + F.when(F.lit(i) < rem, 1).otherwise(0)
+
+
+def _seg_start(l, i, d: int):  # noqa: E741
+    """1-based start of segment ``i`` (SQL substring convention)."""
+    base = (l / (d + 1)).cast("int")
+    rem = l % (d + 1)
+    return F.lit(i) * base + F.least(F.lit(i), rem) + 1
+
+
+def candidate_pairs(s: DataFrame, d: int) -> DataFrame:
+    """The lossless candidate set: distinct unordered ``(a_id, b_id)``
+    pairs sharing at least one ``(len, seg_idx, segment)`` key between
+    the segment and substring sides. Superset of all true pairs
+    (pigeonhole); exposed separately so tests can measure the pruning
+    ratio the module docstring claims. ``s``: (id, s) with non-null
+    strings."""
+    slen = s.withColumn("l", F.length("s"))
+    L = F.col("l")
+
+    # segment side: one scan, fan-out d+1 — (l, i, seg) -> id.
+    # (struct array built in one select, fields read in the NEXT select:
+    # a generator + same-select getField loses struct names — known
+    # Catalyst gotcha.)
+    segs = (
+        slen.select(
+            F.col("id").alias("a_id"),
+            "l",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.col("s")
+                            .substr(_seg_start(L, i, d), _seg_len(L, i, d))
+                            .alias("seg"),
+                        )
+                        for i in range(d + 1)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("a_id", "l", F.col("x.i").alias("i"), F.col("x.seg").alias("seg"))
+        .filter(F.length("seg") > 0)
+    )
+
+    # substring side: one scan, constant fan-out — for each candidate
+    # shorter length la ∈ [l-d, l] and segment index i, the substrings
+    # at every start inside the ±d shift window, keyed like the segment
+    # side. Two chained generators (struct explode, then the position
+    # sequence) across separate selects.
+    win_structs = []
+    for delta in range(d + 1):  # la = l - delta
+        for i in range(d + 1):
+            la = L - delta
+            ln = _seg_len(la, i, d)
+            p = _seg_start(la, i, d)
+            lo = F.greatest(p - d, F.lit(1))
+            hi = F.least(p + d, L - ln + 1)
+            win_structs.append(
+                F.struct(
+                    la.alias("la"),
+                    F.lit(i).alias("i"),
+                    ln.alias("ln"),
+                    F.when((la >= 1) & (hi >= lo), F.sequence(lo, hi))
+                    .otherwise(F.array().cast("array<int>"))
+                    .alias("ps"),
+                )
+            )
+    subs = (
+        slen.select(
+            F.col("id").alias("b_id"),
+            "s",
+            F.explode(F.array(*win_structs)).alias("w"),
+        )
+        .select(
+            "b_id",
+            "s",
+            F.col("w.la").alias("l"),
+            F.col("w.i").alias("i"),
+            F.col("w.ln").alias("ln"),
+            F.explode("w.ps").alias("pos"),
+        )
+        .select(
+            "b_id", "l", "i", F.col("s").substr(F.col("pos"), F.col("ln")).alias("seg")
+        )
+    )
+
+    main = (
+        segs.join(subs, ["l", "i", "seg"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+
+    # Pigeonhole needs d+1 NON-EMPTY segments, i.e. len ≥ d+1: for a
+    # shorter string, ≤ d edits can touch every non-empty segment, so a
+    # pair whose SHORTER side has len ≤ d can be missed by the segment
+    # join (caught by the adversarial property test, r13). Those pairs
+    # are a bounded class: the longer side then has len ≤ 2d (else the
+    # length difference alone exceeds d). Pair the DISTINCT short values
+    # (≤ |Σ|^d ∪ |Σ|^2d strings — a constant for real alphabets, tiny
+    # in practice) via a broadcast nested-loop with the exact residual,
+    # then expand values back to ids with equi-joins. Never touches
+    # rows with len > 2d.
+    short_a_vals = slen.filter(F.col("l") <= d).select("s").distinct()
+    short_b_vals = (
+        slen.filter(F.col("l") <= 2 * d)
+        .select(F.col("s").alias("s_b"))
+        .distinct()
+    )
+    val_pairs = (
+        F.broadcast(short_a_vals)
+        .crossJoin(short_b_vals)
+        .filter(F.levenshtein("s", "s_b") <= d)
+    )
+    ids_a = slen.filter(F.col("l") <= d).select(F.col("id").alias("a_id"), "s")
+    ids_b = slen.filter(F.col("l") <= 2 * d).select(
+        F.col("id").alias("b_id"), F.col("s").alias("s_b")
+    )
+    short = (
+        val_pairs.join(ids_a, "s")
+        .join(ids_b, "s_b")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+
+    return (
+        main.unionByName(short)
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame, d: int = 2, id_col: str = "id", s_col: str = "s"
+) -> DataFrame:
+    """All unordered pairs ``(a_id < b_id)`` with ``levenshtein ≤ d``,
+    plus the exact distance. Lossless: candidate generation is a
+    superset of the true pairs (pigeonhole), the residual filter is
+    exact, so output equals the quadratic oracle's."""
+    s = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    cand = candidate_pairs(s, d)
+    sa = s.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
+    sb = s.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("dist", F.levenshtein("a_s", "b_s").cast("bigint"))
+        .filter(F.col("dist") <= d)
+        .select("a_id", "b_id", "dist")
+    )
+
+
+_FUZZY_D = 2
+
+
+@register(
+    "fuzzy_part_desc_pairs",
+    driver_facing=False,  # driver window full (50); pytest oracle at both SFs
+    oracle=f"""
+WITH s AS (
+    SELECT p_partkey AS id, p_brand || ' ' || p_type || ' ' || p_name AS s
+    FROM part WHERE p_partkey % 10 = 0
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM s a JOIN s b
+  ON a.id < b.id AND levenshtein(a.s, b.s) <= {_FUZZY_D}
+""",
+)
+def fuzzy_part_desc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate product descriptions (brand + type + name, the
+    record-linkage composite key) within edit distance 2: the blocked
+    PassJoin plan (segments ⨝ substrings, then the exact residual) on a
+    deterministic 1/10 sample. The oracle is the quadratic theta join —
+    correct at fixture scale; the engine plan is the one that survives
+    the unsampled table. The composite string (21-30 chars) keeps
+    segments ~7-10 chars — the selectivity regime the algorithm is
+    built for (bare p_name at 7-12 chars leaves 2-4-char segments that
+    collide half the corpus; measured in tests/test_fuzzy.py)."""
+    prepare(spark)
+    src = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.concat_ws(" ", "p_brand", "p_type", "p_name").alias("s"),
+        )
+    )
+    return edit_distance_pairs(src, d=_FUZZY_D)

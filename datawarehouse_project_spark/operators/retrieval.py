@@ -1,0 +1,196 @@
+"""Sparse lexical retrieval: BM25-style top-k via an inverted-index join.
+
+The lexical complement to the dense-ANN family (operators/similarity.py,
+ann_index.py): score documents against a query set through TERM POSTINGS
+— the plan shape that survives any corpus size because nothing is ever
+pairwise. Training-data pipelines use exactly this for quality-biased
+corpus selection and retrieval-based decontamination.
+
+Plan shape (all Catalyst, zero Python in the row path):
+  1. postings: explode(words(text)) → groupBy(doc_id, term) count = tf —
+     one corpus scan, partial aggs throughout;
+  2. per-doc length dl: a window SUM over the postings (no second corpus
+     scan) — at scale this is one exchange on doc_id;
+  3. df map + (N, Σdl) corpus stats: aggregates OVER THE POSTINGS, which
+     are orders of magnitude smaller than the corpus text;
+  4. score: query terms (a bounded, BROADCAST set) equi-join the postings
+     on term — the inverted-index probe; contributions aggregate per
+     (query, doc);
+  5. top-k per query: rank-filter, which Spark executes as
+     WindowGroupLimit (partial per-partition top-k BEFORE the shuffle on
+     query_id — the two-stage top-k, plan-pinned in tests).
+
+Scoring is the BM25 shape with two deliberate substitutions for
+cross-engine bit-exactness (the registry's determinism discipline):
+``sqrt(N/df)`` replaces ``ln``-idf (sqrt IS correctly rounded under
+IEEE 754 across libms; ln is not — see text_idf_quality_scores), and
+per-(term,doc) contributions are floor-scaled to BIGINT before the SUM
+(integer addition is order-free; double sums depend on reduction order).
+The float part is a fixed expression tree evaluated on identical operands
+in identical textual order — the SAME formula string builds the Spark
+expression and the DuckDB oracle.
+
+Reference parity note: the reference has no text retrieval (MySQL layer,
+olap_queries.sql); this is LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+from ..io import spread, table
+from ..plans.registry import register
+from ..session import prepare
+
+#: BM25 k1=1.2, b=0.75 — folded into literals so both engines evaluate
+#: the identical constant tree: k1+1=2.2, 1-b=0.25.
+#: One shared formula string; column names are unambiguous post-join in
+#: both engines. FLOOR before the BIGINT cast (Spark truncates
+#: double→bigint, DuckDB rounds — the repo-wide recipe).
+BM25_CONTRIB = (
+    "CAST(FLOOR((CAST(10000 AS DOUBLE) * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+    " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)"
+    " + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE)"
+    " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+    " * sqrt(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)"
+)
+
+#: The registered query's fixed query set (terms from the documents
+#: vocabulary; 'detection' is deliberately out-of-vocabulary — it must
+#: contribute nothing; 'dup dup' exercises query-term frequency).
+LEXICAL_QUERIES = [
+    (0, "dup row detection"),
+    (1, "hash join agg"),
+    (2, "window order stream batch"),
+    (3, "fast scan filter column value"),
+    (4, "dup dup key"),
+]
+
+LEXICAL_K = 10
+
+
+def term_postings(docs: DataFrame) -> DataFrame:
+    """Inverted-index postings with per-doc length:
+    (doc_id, w, tf, dl)."""
+    tokens = docs.select("doc_id", F.explode(words("text")).alias("w"))
+    postings = tokens.groupBy("doc_id", "w").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    return postings.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+
+
+def lexical_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """Top-``k`` documents per query under the scaled-integer BM25
+    score. ``queries``: (query_id BIGINT, qtext STRING) — a bounded set,
+    broadcast to the postings probe."""
+    spark = docs.sparkSession
+    postings = term_postings(docs)
+    dfm = postings.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    per_doc = postings.select("doc_id", "dl").distinct()
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    qterms = (
+        queries.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.explode(words("qtext")).alias("w"),
+        )
+        .groupBy("query_id", "w")
+        .agg(F.count("*").cast("bigint").alias("qtf"))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfm), "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(BM25_CONTRIB) * F.col("qtf"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+def _queries_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{qt}')" for qid, qt in LEXICAL_QUERIES)
+    return f"(VALUES {rows}) AS q(query_id, qtext)"
+
+
+@register(
+    "lexical_bm25_topk",
+    driver_facing=False,  # driver window full (50); pytest oracle at both SFs
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+),
+tokens AS (SELECT doc_id, unnest(ws) AS w FROM d),
+postings AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tokens GROUP BY 1, 2
+),
+withdl AS (
+    SELECT doc_id, w, tf,
+           CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+    FROM postings
+),
+dfm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM (SELECT DISTINCT doc_id, dl FROM withdl)
+),
+qterms AS (
+    SELECT CAST(query_id AS BIGINT) AS query_id, w,
+           CAST(COUNT(*) AS BIGINT) AS qtf
+    FROM (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS w
+        FROM {_queries_values_sql()}
+    )
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT q.query_id, p.doc_id,
+           CAST(SUM({BM25_CONTRIB} * qtf) AS BIGINT) AS score
+    FROM qterms q
+    JOIN withdl p ON p.w = q.w
+    JOIN dfm ON dfm.w = q.w
+    CROSS JOIN stats
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= {LEXICAL_K}
+""",
+)
+def lexical_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per fixed query under scaled-integer BM25 with
+    sqrt-idf — the inverted-index retrieval plan (see module
+    docstring)."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    q = spark.createDataFrame(
+        LEXICAL_QUERIES, "query_id bigint, qtext string"
+    )
+    return lexical_topk(docs, q, k=LEXICAL_K)

@@ -1,0 +1,119 @@
+"""Edit-distance fuzzy join: losslessness vs the quadratic ground truth,
+edge cases, and the pruning-ratio claim the module docstring makes.
+(The registered query's DuckDB oracle differential runs in
+tests/test_oracle_parity.py at both scale factors like every other
+registry row.)"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.operators.fuzzy import (
+    candidate_pairs,
+    edit_distance_pairs,
+)
+
+
+def _brute(spark, rows, d):
+    """Quadratic ground truth computed with the same JVM levenshtein."""
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    a = df.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
+    b = df.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
+    return {
+        (r.a_id, r.b_id, r.dist)
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist", F.levenshtein("a_s", "b_s").cast("bigint"))
+        .filter(F.col("dist") <= d)
+        .collect()
+    }
+
+
+def _rand_strings(n, alphabet="abcd", lo=1, hi=14):
+    """Deterministic pseudo-random short strings over a tiny alphabet —
+    tiny alphabet + short lengths maximize near-miss pairs and boundary
+    collisions, the regime where a lossy blocker would be caught."""
+    out = []
+    for i in range(n):
+        h = hashlib.md5(f"fz{i}".encode()).hexdigest()
+        ln = lo + int(h[:2], 16) % (hi - lo + 1)
+        out.append(
+            (i, "".join(alphabet[int(c, 16) % len(alphabet)] for c in h[2 : 2 + ln]))
+        )
+    return out
+
+
+def test_matches_quadratic_on_adversarial_strings(spark):
+    for d in (1, 2, 3):
+        rows = _rand_strings(120)
+        df = spark.createDataFrame(rows, "id bigint, s string")
+        got = {
+            (r.a_id, r.b_id, r.dist)
+            for r in edit_distance_pairs(df, d=d).collect()
+        }
+        assert got == _brute(spark, rows, d), f"d={d}"
+
+
+def test_edge_cases(spark):
+    rows = [
+        (1, "a"),  # shorter than d+1 chars
+        (2, "b"),
+        (3, ""),  # empty string: within d of every short string
+        (4, "ab"),
+        (5, "ab"),  # exact duplicate -> dist 0
+        (6, None),  # null drops out entirely
+        (7, "abcdefgh"),
+    ]
+    d = 2
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r.a_id, r.b_id, r.dist) for r in edit_distance_pairs(df, d=d).collect()
+    }
+    want = _brute(spark, [r for r in rows if r[1] is not None], d)
+    # the quadratic truth here: every pair of strings with lev <= 2
+    assert got == want
+    assert (4, 5, 0) in got  # duplicates survive as dist-0 pairs
+    assert all(6 not in (a, b) for a, b, _ in got)
+
+
+def test_empty_string_pairs_only_reachable_ones(spark):
+    # "" emits no segments (filtered), so pairs involving "" are found
+    # via the OTHER string's segments matching "" as substring-side...
+    # which cannot happen (substr of "" is ""). The pigeonhole side:
+    # "" is always the shorter string and has no non-empty segment, so
+    # the pair ("", x) with len(x) <= d must still be reported — via
+    # the empty SEGMENT side being dropped this would be LOST unless
+    # the quadratic truth says otherwise. This test pins the actual
+    # contract on the adversarial case.
+    rows = [(1, ""), (2, "a"), (3, "ab"), (4, "abc")]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r.a_id, r.b_id, r.dist) for r in edit_distance_pairs(df, d=2).collect()
+    }
+    want = _brute(spark, rows, 2)
+    assert got == want
+
+
+def test_pruning_ratio_on_fixture(spark, sf_correct_dir):
+    """The docstring's selectivity claim, measured: on the registered
+    composite-description fixture the candidate set must be a small
+    fraction of all pairs (bare short p_name leaves 2-4-char segments
+    and collides ~26% of all pairs — measured r13; the composite string
+    is the regime the algorithm is built for)."""
+    src = (
+        spark.read.parquet(f"{sf_correct_dir}/part.parquet")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.concat_ws(" ", "p_brand", "p_type", "p_name").alias("s"),
+        )
+    )
+    n = src.count()
+    n_cand = candidate_pairs(src, d=2).count()
+    all_pairs = n * (n - 1) / 2
+    # measured 0.096 at sf0.01 (1,909 of 19,900; the shared "Brand#xx "
+    # prefix keys are the collision mass) vs 0.264 for bare p_name —
+    # the bound guards against silently degrading to all-pairs.
+    assert n_cand / all_pairs < 0.15, (n_cand, all_pairs)

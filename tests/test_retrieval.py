@@ -1,0 +1,79 @@
+"""Sparse lexical (BM25-style) retrieval: scoring invariants and the
+plan pins the module docstring claims. (The registered query's DuckDB
+oracle differential — bit-exact scaled-integer scores — runs in
+tests/test_oracle_parity.py at both scale factors.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.operators.retrieval import (
+    LEXICAL_K,
+    lexical_topk,
+    term_postings,
+)
+
+
+def _docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+
+def _topk(spark, sf_dir, queries, k=LEXICAL_K):
+    q = spark.createDataFrame(queries, "query_id bigint, qtext string")
+    return lexical_topk(_docs(spark, sf_dir), q, k=k)
+
+
+def test_out_of_vocabulary_terms_contribute_nothing(spark, sf_dir):
+    with_oov = _topk(spark, sf_dir, [(0, "dup row zzzznotaword")]).collect()
+    without = _topk(spark, sf_dir, [(0, "dup row")]).collect()
+    assert sorted((r.doc_id, r.score, r.rnk) for r in with_oov) == sorted(
+        (r.doc_id, r.score, r.rnk) for r in without
+    )
+
+
+def test_query_term_frequency_multiplies(spark, sf_dir):
+    """'dup dup' doubles every dup contribution relative to 'dup' —
+    single-term queries make this exact (score is per-term contrib × qtf)."""
+    single = {r.doc_id: r.score for r in _topk(spark, sf_dir, [(0, "dup")]).collect()}
+    double = {r.doc_id: r.score for r in _topk(spark, sf_dir, [(0, "dup dup")]).collect()}
+    assert set(single) == set(double)
+    assert all(double[d] == 2 * single[d] for d in single)
+
+
+def test_rank_is_dense_ordered_and_capped(spark, sf_dir):
+    rows = _topk(spark, sf_dir, [(0, "hash join"), (1, "dup")]).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= LEXICAL_K
+        # rank order == (score desc, doc_id asc)
+        assert rs == sorted(rs, key=lambda r: (-r.score, r.doc_id))
+
+
+def test_returned_docs_contain_a_query_term(spark, sf_dir):
+    rows = _topk(spark, sf_dir, [(0, "dup")]).collect()
+    assert rows, "query term 'dup' must match some documents"
+    hits = {r.doc_id for r in rows}
+    with_term = {
+        r.doc_id
+        for r in term_postings(_docs(spark, sf_dir))
+        .filter(F.col("w") == "dup")
+        .select("doc_id")
+        .collect()
+    }
+    assert hits <= with_term
+
+
+def test_plan_shape_windowgrouplimit_and_broadcasts(spark, sf_dir):
+    """The two-stage top-k (partial per-partition limit before the
+    query_id shuffle) and the broadcast inverted-index probe — the scale
+    claims in the module docstring, pinned."""
+    df = _topk(spark, sf_dir, [(0, "hash join agg")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # qterms + dfm probes
+    assert "CartesianProduct" not in plan  # stats joins as broadcast-1-row
