@@ -214,7 +214,8 @@ _FUZZY_D = 2
 
 @register(
     "fuzzy_part_desc_pairs",
-    driver_facing=False,  # driver window full (50); pytest oracle at both SFs
+    # r13 rotation IN: pre-validated with the plain-session driver-sim
+    # recipe before the swap (rfm_customer_segments ceded the slot)
     oracle=f"""
 WITH s AS (
     SELECT p_partkey AS id, p_brand || ' ' || p_type || ' ' || p_name AS s

@@ -701,7 +701,10 @@ def bigjoin_order_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 # --------------------------------------------------------------------------
 @register(
     "fullouter_yearly_customer_recon",
-    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1);
+    # r13 rotation: driver-green r10-r12, slot ceded to
+    # lexical_bm25_topk (pytest oracle still runs at both SFs)
+    driver_facing=False,
     oracle="""
 WITH y97 AS (
     SELECT o_custkey, COUNT(*) AS n_1997

@@ -132,7 +132,8 @@ def _queries_values_sql() -> str:
 
 @register(
     "lexical_bm25_topk",
-    driver_facing=False,  # driver window full (50); pytest oracle at both SFs
+    # r13 rotation IN: pre-validated with the plain-session driver-sim
+    # recipe before the swap (fullouter_yearly_customer_recon ceded)
     oracle=f"""
 WITH d AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws

@@ -400,6 +400,8 @@ RFM_ANCHOR = "2001-09-01"
 
 @register(
     "rfm_customer_segments",
+    driver_facing=False,  # r13 rotation: driver-green r8-r12, slot ceded
+    # to fuzzy_part_desc_pairs (pytest oracle still runs at both SFs)
     oracle=f"""
 WITH base AS (
     SELECT o_custkey,

@@ -80,6 +80,12 @@ def test_driver_catalog_fits_sweep_window():
         # r13 rotation IN: the maintained-rollup serving twin (VERDICT
         # r12 #3; events_value_median_cont ceded the slot)
         "events_hourly_from_store",
+        # r13 rotation IN: the two new operator families, pre-validated
+        # with the plain-session driver-sim recipe before the swap
+        # (rfm_customer_segments and fullouter_yearly_customer_recon
+        # ceded — driver-green r8-r12 / r10-r12, pytest oracles remain)
+        "fuzzy_part_desc_pairs",
+        "lexical_bm25_topk",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
