@@ -1457,6 +1457,76 @@ GROUP BY 1
 
 SPARK_SQL["events_value_histogram_percentiles"] = _spark_hist_sql()
 
+def _spark_bm25_sql() -> str:
+    from ..operators.retrieval import BM25_CONTRIB, LEXICAL_K, LEXICAL_QUERIES
+
+    rows = ", ".join(f"({qid}, '{qt}')" for qid, qt in LEXICAL_QUERIES)
+    return f"""
+WITH d AS (
+    SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+tokens AS (SELECT doc_id, explode(ws) AS w FROM d),
+postings AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tokens GROUP BY 1, 2
+),
+withdl AS (
+    SELECT doc_id, w, tf,
+           CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+    FROM postings
+),
+dfm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM (SELECT DISTINCT doc_id, dl FROM withdl)
+),
+qterms AS (
+    SELECT CAST(query_id AS BIGINT) AS query_id, w,
+           CAST(COUNT(*) AS BIGINT) AS qtf
+    FROM (
+        SELECT query_id, explode(split(lower(trim(qtext)), '\\\\s+')) AS w
+        FROM VALUES {rows} AS q(query_id, qtext)
+    )
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT q.query_id, p.doc_id,
+           CAST(SUM({BM25_CONTRIB} * qtf) AS BIGINT) AS score
+    FROM qterms q
+    JOIN withdl p ON p.w = q.w
+    JOIN dfm ON dfm.w = q.w
+    CROSS JOIN stats
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= {LEXICAL_K}
+"""
+
+
+SPARK_SQL["lexical_bm25_topk"] = _spark_bm25_sql()
+
+# Semantic twin, not plan twin (the overlap twin below sets the
+# precedent): the SQL-text contract is the quadratic definition; the
+# DataFrame builder carries the blocked PassJoin plan that survives
+# scale.
+SPARK_SQL["fuzzy_part_desc_pairs"] = """
+WITH s AS (
+    SELECT p_partkey AS id, concat_ws(' ', p_brand, p_type, p_name) AS s
+    FROM part WHERE p_partkey % 10 = 0
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM s a JOIN s b
+  ON a.id < b.id AND levenshtein(a.s, b.s) <= 2
+"""
+
 SPARK_SQL["overlap_shipping_windows"] = """
 WITH win AS (
     SELECT l_orderkey * 10 + l_linenumber AS id,
