@@ -71,13 +71,24 @@ LEXICAL_QUERIES = [
 LEXICAL_K = 10
 
 
-def term_postings(docs: DataFrame) -> DataFrame:
-    """Inverted-index postings with per-doc length:
-    (doc_id, w, tf, dl)."""
+def term_counts(docs: DataFrame) -> DataFrame:
+    """Raw inverted-index postings: (doc_id, w, tf) — the maintainable
+    state (tf is additive across document batches, so an
+    IncrementalRollup folds appends exactly)."""
     tokens = docs.select("doc_id", F.explode(words("text")).alias("w"))
-    postings = tokens.groupBy("doc_id", "w").agg(
+    return tokens.groupBy("doc_id", "w").agg(
         F.count("*").cast("bigint").alias("tf")
     )
+
+
+def term_postings(docs: DataFrame) -> DataFrame:
+    """Postings with per-doc length: (doc_id, w, tf, dl)."""
+    return with_doc_length(term_counts(docs))
+
+
+def with_doc_length(postings: DataFrame) -> DataFrame:
+    """Attach dl (total tokens per doc) to (doc_id, w, tf) postings —
+    one window exchange over the postings, never the corpus."""
     return postings.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
     )
@@ -89,10 +100,21 @@ def lexical_topk(
     k: int = LEXICAL_K,
 ) -> DataFrame:
     """Top-``k`` documents per query under the scaled-integer BM25
-    score. ``queries``: (query_id BIGINT, qtext STRING) — a bounded set,
-    broadcast to the postings probe."""
-    spark = docs.sparkSession
-    postings = term_postings(docs)
+    score, computed from the corpus text. ``queries``: (query_id BIGINT,
+    qtext STRING) — a bounded set, broadcast to the postings probe."""
+    return lexical_topk_from_postings(term_counts(docs), queries, k=k)
+
+
+def lexical_topk_from_postings(
+    counts: DataFrame,
+    queries: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """The scoring plan over ALREADY-BUILT postings ``(doc_id, w, tf)``
+    — the serving form: df map, corpus stats, and dl all derive from the
+    postings (vocabulary × doc-sized), so no corpus text is touched."""
+    spark = counts.sparkSession
+    postings = with_doc_length(counts)
     dfm = postings.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
     per_doc = postings.select("doc_id", "dl").distinct()
     stats = per_doc.agg(
@@ -130,11 +152,9 @@ def _queries_values_sql() -> str:
     return f"(VALUES {rows}) AS q(query_id, qtext)"
 
 
-@register(
-    "lexical_bm25_topk",
-    # r13 rotation IN: pre-validated with the plain-session driver-sim
-    # recipe before the swap (fullouter_yearly_customer_recon ceded)
-    oracle=f"""
+#: One oracle for both the compute-from-text and the serve-from-store
+#: forms: the maintained state must answer the query EXACTLY.
+_BM25_ORACLE = f"""
 WITH d AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
     FROM documents
@@ -181,7 +201,14 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= {LEXICAL_K}
-""",
+"""
+
+
+@register(
+    "lexical_bm25_topk",
+    # r13 rotation IN: pre-validated with the plain-session driver-sim
+    # recipe before the swap (fullouter_yearly_customer_recon ceded)
+    oracle=_BM25_ORACLE,
 )
 def lexical_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents per fixed query under scaled-integer BM25 with
@@ -195,3 +222,68 @@ def lexical_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEXICAL_QUERIES, "query_id bigint, qtext string"
     )
     return lexical_topk(docs, q, k=LEXICAL_K)
+
+
+# --------------------------------------------------------------------------
+# Serving form: the postings as MAINTAINED STATE (io.ServingMemo +
+# IncrementalRollup), same lifecycle as the hourly rollup and the vector
+# index — build on first use, mtime-token staleness, refresh_table hook,
+# atexit cleanup. tf is additive across appended document batches, so
+# the rollup folds appends exactly; df/dl/corpus stats derive from the
+# state at query time (vocabulary × doc-sized, never the corpus text).
+
+_SERVED_POSTINGS_MEMO = None
+
+
+def _postings_memo():
+    global _SERVED_POSTINGS_MEMO
+    if _SERVED_POSTINGS_MEMO is None:
+        from ..io import ServingMemo
+
+        _SERVED_POSTINGS_MEMO = ServingMemo("dw-postings-", ["documents"])
+    return _SERVED_POSTINGS_MEMO
+
+
+def reset_served_postings() -> None:
+    """Drop (and delete) every memoized served postings store."""
+    if _SERVED_POSTINGS_MEMO is not None:
+        _SERVED_POSTINGS_MEMO.reset()
+
+
+def served_postings(spark: SparkSession, sf_dir: str):
+    """The session's maintained inverted index over ``sf_dir``'s
+    documents: an IncrementalRollup keyed (doc_id, w) summing tf."""
+    from .incremental import IncrementalRollup
+
+    def handle(root: str) -> IncrementalRollup:
+        return IncrementalRollup(root, keys=["doc_id", "w"], sum_cols=["tf"])
+
+    def build(root: str) -> None:
+        docs = table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        handle(root).apply_batch(
+            spark, term_counts(docs), batch_id=0, app_id="served-postings"
+        )
+
+    return handle(_postings_memo().get_or_build(sf_dir, build))
+
+
+@register(
+    "lexical_bm25_from_store",
+    driver_facing=False,  # window full; pytest oracle + store==text equality
+    # Same oracle as lexical_bm25_topk: the maintained index must answer
+    # the retrieval query exactly.
+    oracle=_BM25_ORACLE,
+)
+def lexical_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per query served from the maintained postings store — the
+    corpus text is scanned once per ingest fold, never per query; the
+    query plan touches only the (doc_id, w, sum_tf) state."""
+    prepare(spark)
+    store = served_postings(spark, sf_dir)
+    counts = store.read(spark).select(
+        "doc_id", "w", F.col("sum_tf").cast("bigint").alias("tf")
+    )
+    q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
+    return lexical_topk_from_postings(counts, q, k=LEXICAL_K)

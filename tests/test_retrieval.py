@@ -77,3 +77,79 @@ def test_plan_shape_windowgrouplimit_and_broadcasts(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert plan.count("BroadcastHashJoin") >= 2  # qterms + dfm probes
     assert "CartesianProduct" not in plan  # stats joins as broadcast-1-row
+
+
+def test_from_store_equals_from_text(spark, sf_correct_dir):
+    """The maintained postings store must answer the retrieval query
+    bit-for-bit like the compute-from-text form (shared oracle)."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    a = all_queries()["lexical_bm25_topk"](spark, sf_correct_dir).collect()
+    b = all_queries()["lexical_bm25_from_store"](spark, sf_correct_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_from_store_plan_touches_no_corpus_text(spark, sf_correct_dir):
+    from datawarehouse_project_spark.catalog import all_queries
+
+    df = all_queries()["lexical_bm25_from_store"](spark, sf_correct_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+
+
+def test_postings_rollup_is_batch_additive(spark, sf_dir, tmp_path):
+    """Two-batch ingest == one-batch ingest == direct computation: tf is
+    additive, so the folded state answers identically however the corpus
+    arrived."""
+    from datawarehouse_project_spark.operators.incremental import (
+        IncrementalRollup,
+    )
+    from datawarehouse_project_spark.operators.retrieval import (
+        LEXICAL_K,
+        LEXICAL_QUERIES,
+        lexical_topk,
+        lexical_topk_from_postings,
+        term_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
+    direct = sorted(map(tuple, lexical_topk(docs, q, k=LEXICAL_K).collect()))
+
+    roll = IncrementalRollup(
+        str(tmp_path / "postings"), keys=["doc_id", "w"], sum_cols=["tf"]
+    )
+    roll.apply_batch(
+        spark, term_counts(docs.filter(F.col("doc_id") % 2 == 0)), 0, "t"
+    )
+    roll.apply_batch(
+        spark, term_counts(docs.filter(F.col("doc_id") % 2 == 1)), 1, "t"
+    )
+    counts = roll.read(spark).select(
+        "doc_id", "w", F.col("sum_tf").cast("bigint").alias("tf")
+    )
+    served = sorted(
+        map(tuple, lexical_topk_from_postings(counts, q, k=LEXICAL_K).collect())
+    )
+    assert served == direct
+
+
+def test_served_postings_rebuild_on_source_rewrite(spark, tmp_path):
+    from datawarehouse_project_spark.catalog import all_queries
+
+    sf = str(tmp_path / "sfp")
+
+    def write(docs):
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string"
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    q = all_queries()["lexical_bm25_from_store"]
+    write([(1, "dup key"), (2, "key row")])
+    first = {(r.query_id, r.doc_id) for r in q(spark, sf).collect()}
+    assert (0, 1) in first  # query 0 is "dup row detection"
+    write([(7, "dup dup dup"), (8, "scan table")])
+    second = {(r.query_id, r.doc_id) for r in q(spark, sf).collect()}
+    assert (0, 7) in second and not any(d in (1, 2) for _, d in second)
