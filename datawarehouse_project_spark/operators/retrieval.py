@@ -112,10 +112,13 @@ def lexical_topk_from_postings(
 ) -> DataFrame:
     """The scoring plan over ALREADY-BUILT postings ``(doc_id, w, tf)``
     — the serving form: df map, corpus stats, and dl all derive from the
-    postings (vocabulary × doc-sized), so no corpus text is touched."""
-    spark = counts.sparkSession
+    postings (vocabulary × doc-sized), so no corpus text is touched.
+
+    Tokenization note: both engines split ''/'   ' to ``['']`` (one
+    empty token — verified against DuckDB regexp_split_to_array), so
+    empty-text docs contribute identically on both sides; no filter
+    needed for cross-engine exactness."""
     postings = with_doc_length(counts)
-    dfm = postings.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
     per_doc = postings.select("doc_id", "dl").distinct()
     stats = per_doc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -128,6 +131,16 @@ def lexical_topk_from_postings(
         )
         .groupBy("query_id", "w")
         .agg(F.count("*").cast("bigint").alias("qtf"))
+    )
+    # df is the TRUE corpus document frequency, but only the (bounded)
+    # query terms' rows are ever probed — semi-restrict the postings to
+    # those terms BEFORE the vocab-wide agg, so the broadcast below
+    # ships |query terms| rows, not the vocabulary (which at corpus
+    # scale would blow the broadcast limit).
+    dfm = (
+        postings.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("df"))
     )
     scored = (
         postings.join(F.broadcast(qterms), "w")
@@ -147,9 +160,15 @@ def lexical_topk_from_postings(
     )
 
 
+def queries_rows_sql() -> str:
+    """The fixed query set as SQL VALUES rows — the single source for
+    the DuckDB oracle AND the Spark-SQL twin (plans/sql_twins.py), so
+    the two surfaces cannot drift."""
+    return ", ".join(f"({qid}, '{qt}')" for qid, qt in LEXICAL_QUERIES)
+
+
 def _queries_values_sql() -> str:
-    rows = ", ".join(f"({qid}, '{qt}')" for qid, qt in LEXICAL_QUERIES)
-    return f"(VALUES {rows}) AS q(query_id, qtext)"
+    return f"(VALUES {queries_rows_sql()}) AS q(query_id, qtext)"
 
 
 #: One oracle for both the compute-from-text and the serve-from-store

@@ -1458,12 +1458,13 @@ GROUP BY 1
 SPARK_SQL["events_value_histogram_percentiles"] = _spark_hist_sql()
 
 def _spark_bm25_sql() -> str:
-    from ..operators.retrieval import BM25_CONTRIB, LEXICAL_K, LEXICAL_QUERIES
+    from ..functions.text import words_sql
+    from ..operators.retrieval import BM25_CONTRIB, LEXICAL_K, queries_rows_sql
 
-    rows = ", ".join(f"({qid}, '{qt}')" for qid, qt in LEXICAL_QUERIES)
+    rows = queries_rows_sql()
     return f"""
 WITH d AS (
-    SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS ws
+    SELECT doc_id, {words_sql("text")} AS ws
     FROM documents WHERE text IS NOT NULL
 ),
 tokens AS (SELECT doc_id, explode(ws) AS w FROM d),
@@ -1485,7 +1486,7 @@ qterms AS (
     SELECT CAST(query_id AS BIGINT) AS query_id, w,
            CAST(COUNT(*) AS BIGINT) AS qtf
     FROM (
-        SELECT query_id, explode(split(lower(trim(qtext)), '\\\\s+')) AS w
+        SELECT query_id, explode({words_sql("qtext")}) AS w
         FROM VALUES {rows} AS q(query_id, qtext)
     )
     GROUP BY 1, 2
@@ -1515,8 +1516,12 @@ SPARK_SQL["lexical_bm25_topk"] = _spark_bm25_sql()
 # Semantic twin, not plan twin (the overlap twin below sets the
 # precedent): the SQL-text contract is the quadratic definition; the
 # DataFrame builder carries the blocked PassJoin plan that survives
-# scale.
-SPARK_SQL["fuzzy_part_desc_pairs"] = """
+# scale. The threshold comes from the operator's constant so the two
+# surfaces cannot drift.
+def _spark_fuzzy_sql() -> str:
+    from ..operators.fuzzy import _FUZZY_D
+
+    return f"""
 WITH s AS (
     SELECT p_partkey AS id, concat_ws(' ', p_brand, p_type, p_name) AS s
     FROM part WHERE p_partkey % 10 = 0
@@ -1524,8 +1529,11 @@ WITH s AS (
 SELECT a.id AS a_id, b.id AS b_id,
        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
 FROM s a JOIN s b
-  ON a.id < b.id AND levenshtein(a.s, b.s) <= 2
+  ON a.id < b.id AND levenshtein(a.s, b.s) <= {_FUZZY_D}
 """
+
+
+SPARK_SQL["fuzzy_part_desc_pairs"] = _spark_fuzzy_sql()
 
 SPARK_SQL["overlap_shipping_windows"] = """
 WITH win AS (
