@@ -88,10 +88,17 @@ def words_sql(col: str = "text") -> str:
 
 def word_shingles_sql(ws: str = "ws", n: int = 3) -> str:
     """SQL-text form of :func:`word_shingles` (same expression tree)."""
+    return f"array_distinct({word_grams_sql(ws, n)})"
+
+
+def word_grams_sql(ws: str = "ws", n: int = 3) -> str:
+    """Rolling (NON-distinct) word n-grams as SQL text — the term unit
+    for frequency-weighted indexes (TF-IDF cosine), where per-doc
+    occurrence counts carry signal that array_distinct would erase."""
     parts = ", ".join(f"element_at({ws}, i + {j})" for j in range(n))
     return (
-        f"array_distinct(transform(sequence(1, size({ws}) - {n - 1}), "
-        f"i -> concat_ws(' ', {parts})))"
+        f"transform(sequence(1, size({ws}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))"
     )
 
 

@@ -306,3 +306,236 @@ def lexical_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
     return lexical_topk_from_postings(counts, q, k=LEXICAL_K)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF sparse cosine similarity join: doc<->doc weighted similarity via
+# an inverted index — the weighted complement to the set-based dedup
+# family (MinHash/Jaccard treat a boilerplate shingle and a rare one
+# alike; IDF weighting is what training-pipeline near-dup and
+# template-detection passes actually want). The terms are word 3-gram
+# shingles WITH occurrence counts (the documents fixture's unigram
+# vocabulary is ~31 terms at df≈0.8N — unigram TF-IDF is degenerate
+# there, and at real corpus scale shingles are the standard unit anyway).
+# Plan family: df-capped posting-list self-pairing
+# (operators/dedup.py::ngram_jaccard_pairs is the unweighted precedent),
+# so candidate fan-out is <= df_cap(df_cap-1)/2 per shingle at ANY corpus
+# size and nothing is ever all-pairs.
+#
+# Cross-engine exactness (the repo-wide recipe): per-(doc,term) weights
+# are FLOOR-scaled to BIGINT from one shared formula string, dot products
+# and squared norms are INTEGER sums (order-free), and the only float ops
+# — divide and sqrt on identical operands in identical textual order —
+# are IEEE-correctly-rounded in both engines, so the cosine is hash-exact.
+# The Spark index keys on xxhash64(shingle) for narrow shuffle rows (the
+# ngram_jaccard precedent: the string-keyed oracle diverges only on a
+# 64-bit collision, ~1e-10 here and a one-count perturbation if it ever
+# fires).
+
+#: Shingles in more than this many documents are dropped from the index
+#: (and from the norms) on BOTH engines — the boilerplate guard that
+#: bounds the pair fan-out; same role as dedup.DF_CAP.
+TFIDF_DF_CAP = 20
+
+#: Integer weight for one (doc, term): floor(100 * tf * sqrt(N/df)).
+#: sqrt-idf, not ln-idf, for the same libm-rounding reason as BM25_CONTRIB.
+TFIDF_WEIGHT = (
+    "CAST(FLOOR(CAST(100 AS DOUBLE) * CAST(tf AS DOUBLE)"
+    " * sqrt(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)"
+)
+
+#: Cosine from the integer dot and squared norms — identical operand order
+#: in both engines (divide, then the product of two sqrts).
+TFIDF_COSINE = (
+    "CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"
+)
+
+#: 0.35 sits in the fixture's measured gap: the planted near-dup cluster
+#: scores >= 0.5 and the background noise < 0.15 at sf0.01.
+TFIDF_THRESHOLD = 0.35
+
+
+def shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency postings over rolling word 3-grams:
+    ``(doc_id, w=xxhash64(gram), tf)`` for docs with >= 3 words.
+
+    Same parallelism posture as dedup.doc_shingle_frame: repartition
+    before the interpreted higher-order gram lambda, SQL-text expression
+    construction (one parser call, no per-node py4j round-trips)."""
+    from ..functions.text import word_grams_sql, words_sql
+
+    prepare(spark)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    grams = (
+        docs.selectExpr("doc_id", f"{words_sql('text')} AS ws")
+        .filter("size(ws) >= 3")
+        .selectExpr("doc_id", f"explode({word_grams_sql('ws')}) AS sg")
+    )
+    return (
+        grams.select("doc_id", F.xxhash64("sg").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def tfidf_cosine_pairs(
+    counts: DataFrame,
+    threshold: float = TFIDF_THRESHOLD,
+    df_cap: int = TFIDF_DF_CAP,
+    n_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Document pairs (doc_a < doc_b) with TF-IDF cosine >= ``threshold``
+    over postings ``(doc_id, w, tf)``.
+
+    ONE pass over the postings (and so one corpus scan upstream): df is
+    the SIZE of each term's posting list (the capped-jaccard trick — no
+    separate df-map join), weights are computed on the exploded capped
+    entries, per-doc squared norms are a window over them and ride
+    INSIDE the rebuilt posting-list structs (the uncapped-jaccard
+    "sizes ride along" trick — no pairs x norms join; the naive
+    dfm-join + two-norms-join form replans the weighted subtree three
+    times, ~9 corpus scans). Pairing re-groups by term, drops singleton
+    lists (no pair can emerge; typically most of the vocabulary), then
+    partition-local double-explode -> integer dot per pair with the
+    norms emerging as grouping keys -> cosine filter.
+
+    MEMORY SHAPE caveat (same as dedup.ngram_jaccard_pairs' posting
+    build, stated honestly): the collect_list agg buffer for a single
+    ultra-common gram materializes its FULL posting list BEFORE the cap
+    filter drops it — a web-boilerplate gram in 1e9 docs is a
+    single-key buffer hazard. At that scale run this over a maintained
+    postings store instead (df becomes an agg over the state, never a
+    corpus-rescan subtree) or pre-filter known stop-grams; at fixture
+    scales the one-scan form wins outright.
+
+    ``n_docs``: optional 1-row (n_docs BIGINT) frame; callers that know
+    a cheaper equivalent (docs with >= 3 words needs no shingling)
+    should pass it. Default derives it from ``counts``."""
+    if n_docs is None:
+        n_docs = counts.select("doc_id").distinct().agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        )
+    capped = counts.groupBy("w").agg(
+        F.collect_list(F.struct("doc_id", "tf")).alias("entries")
+    ).filter(F.size("entries") <= df_cap)
+    weighted = (
+        capped.select(
+            "w",
+            F.size("entries").cast("bigint").alias("df"),
+            F.explode("entries").alias("e"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w",
+            F.col("e.doc_id").alias("doc_id"),
+            F.col("e.tf").alias("tf"),
+            "df",
+            "n_docs",
+        )
+        .withColumn("wgt", F.expr(TFIDF_WEIGHT))
+        .withColumn(
+            "nrm2",
+            F.sum(F.col("wgt") * F.col("wgt"))
+            .over(Window.partitionBy("doc_id"))
+            .cast("bigint"),
+        )
+    )
+    posting = (
+        weighted.groupBy("w")
+        .agg(F.collect_list(F.struct("doc_id", "wgt", "nrm2")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    dots = (
+        posting.select(F.explode("docs").alias("d1"), "docs")
+        .select("d1", F.explode("docs").alias("d2"))
+        .filter(F.col("d1.doc_id") < F.col("d2.doc_id"))
+        .groupBy(
+            F.col("d1.doc_id").alias("doc_a"),
+            F.col("d2.doc_id").alias("doc_b"),
+            F.col("d1.nrm2").alias("na2"),
+            F.col("d2.nrm2").alias("nb2"),
+        )
+        .agg(F.sum(F.col("d1.wgt") * F.col("d2.wgt")).cast("bigint").alias("dot"))
+    )
+    return (
+        dots.withColumn("cosine", F.expr(TFIDF_COSINE))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+#: String-keyed where the Spark plan keys on xxhash64(gram) — identical
+#: results barring a 64-bit hash collision (see module comment above).
+_TFIDF_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS w
+    FROM d WHERE len(ws) >= 3
+),
+postings AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM grams GROUP BY 1, 2
+),
+dfm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1),
+stats AS (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM postings
+),
+weighted AS (
+    SELECT doc_id, p.w, {TFIDF_WEIGHT} AS wgt
+    FROM postings p
+    JOIN dfm ON dfm.w = p.w AND df <= {TFIDF_DF_CAP}
+    CROSS JOIN stats
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(a.wgt * b.wgt) AS BIGINT) AS dot
+    FROM weighted a JOIN weighted b
+      ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+norms AS (
+    SELECT doc_id, CAST(SUM(wgt * wgt) AS BIGINT) AS nrm2
+    FROM weighted GROUP BY 1
+)
+SELECT doc_a, doc_b, {TFIDF_COSINE} AS cosine
+FROM (
+    SELECT doc_a, doc_b, dot, na.nrm2 AS na2, nb.nrm2 AS nb2
+    FROM dots
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+)
+WHERE {TFIDF_COSINE} >= {TFIDF_THRESHOLD}
+"""
+
+
+@register(
+    "lexical_tfidf_cosine_pairs",
+    driver_facing=False,  # window full at 50; r14 rotation candidate
+    oracle=_TFIDF_ORACLE,
+)
+def lexical_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted near-dup pairs over the documents table — cosine of
+    floor-scaled integer TF-IDF shingle vectors via the df-capped
+    inverted index (see tfidf_cosine_pairs)."""
+    from ..functions.text import words_sql
+
+    prepare(spark)
+    # n_docs == docs with >= 1 gram == docs with >= 3 words: countable
+    # from the raw text without evaluating the interpreted gram lambda.
+    n_docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.expr(f"size({words_sql('text')}) >= 3"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    return tfidf_cosine_pairs(shingle_counts(spark, sf_dir), n_docs=n_docs)

@@ -1513,6 +1513,61 @@ SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= {LEXICAL_K}
 
 SPARK_SQL["lexical_bm25_topk"] = _spark_bm25_sql()
 
+
+def _spark_tfidf_sql() -> str:
+    # Semantic twin (join-based pair form; the builder carries the
+    # posting-list double-explode). Same hashed grams, same integer
+    # weights from the shared formula strings, same ride-along window
+    # norm — values are bit-identical.
+    from ..functions.text import word_grams_sql, words_sql
+    from ..operators.retrieval import (
+        TFIDF_COSINE,
+        TFIDF_DF_CAP,
+        TFIDF_THRESHOLD,
+        TFIDF_WEIGHT,
+    )
+
+    return f"""
+WITH d AS (
+    SELECT doc_id, {words_sql("text")} AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+g AS (
+    SELECT doc_id, explode({word_grams_sql("ws")}) AS sg
+    FROM d WHERE size(ws) >= 3
+),
+p AS (
+    SELECT doc_id, xxhash64(sg) AS w, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM g GROUP BY 1, 2
+),
+dfm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+stats AS (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM p
+),
+weighted AS (
+    SELECT doc_id, p.w, {TFIDF_WEIGHT} AS wgt
+    FROM p JOIN dfm ON dfm.w = p.w AND df <= {TFIDF_DF_CAP}
+    CROSS JOIN stats
+),
+wn AS (
+    SELECT doc_id, w, wgt,
+           CAST(SUM(wgt * wgt) OVER (PARTITION BY doc_id) AS BIGINT) AS nrm2
+    FROM weighted
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.nrm2 AS na2, b.nrm2 AS nb2,
+           CAST(SUM(a.wgt * b.wgt) AS BIGINT) AS dot
+    FROM wn a JOIN wn b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, {TFIDF_COSINE} AS cosine
+FROM dots WHERE {TFIDF_COSINE} >= {TFIDF_THRESHOLD}
+"""
+
+
+SPARK_SQL["lexical_tfidf_cosine_pairs"] = _spark_tfidf_sql()
+
 # Semantic twin, not plan twin (the overlap twin below sets the
 # precedent): the SQL-text contract is the quadratic definition; the
 # DataFrame builder carries the blocked PassJoin plan that survives

@@ -153,3 +153,115 @@ def test_served_postings_rebuild_on_source_rewrite(spark, tmp_path):
     write([(7, "dup dup dup"), (8, "scan table")])
     second = {(r.query_id, r.doc_id) for r in q(spark, sf).collect()}
     assert (0, 7) in second and not any(d in (1, 2) for _, d in second)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF sparse cosine pairs
+
+
+def _pure_python_tfidf_pairs(postings, df_cap, threshold):
+    """Independent reimplementation of the documented semantics (floor
+    -scaled integer weights over the df-capped index, integer dot and
+    norms, cosine from correctly-rounded sqrt/divide)."""
+    import math
+    from collections import defaultdict
+
+    df = defaultdict(int)
+    docs = set()
+    for d, w, tf in postings:
+        df[w] += 1
+        docs.add(d)
+    n = len(docs)
+    vec = defaultdict(dict)
+    for d, w, tf in postings:
+        if df[w] <= df_cap:
+            vec[d][w] = math.floor(100.0 * float(tf) * math.sqrt(float(n) / float(df[w])))
+    out = {}
+    ids = sorted(vec)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(vec[a]) & set(vec[b])
+            if not shared:
+                continue
+            dot = sum(vec[a][w] * vec[b][w] for w in shared)
+            na2 = sum(x * x for x in vec[a].values())
+            nb2 = sum(x * x for x in vec[b].values())
+            cos = float(dot) / (math.sqrt(float(na2)) * math.sqrt(float(nb2)))
+            if cos >= threshold:
+                out[(a, b)] = cos
+    return out
+
+
+def test_tfidf_cosine_matches_pure_python(spark):
+    """Adversarial differential on a synthetic postings frame: random
+    seeded corpora incl. a planted boilerplate term (df > cap, must
+    vanish) and planted near-identical docs (must pair)."""
+    import random
+
+    from datawarehouse_project_spark.operators.retrieval import (
+        TFIDF_DF_CAP,
+        tfidf_cosine_pairs,
+    )
+
+    rng = random.Random(13)
+    postings = []
+    # 30 docs over a 40-term vocab, zipf-ish tf
+    for d in range(30):
+        terms = rng.sample(range(40), rng.randint(3, 10))
+        for w in terms:
+            postings.append((d, w, rng.randint(1, 4)))
+    # planted near-dups: 100/101 share most terms
+    for w, tf in [(50, 3), (51, 2), (52, 1), (53, 4)]:
+        postings.append((100, w, tf))
+        postings.append((101, w, tf))
+    postings.append((100, 54, 1))
+    # boilerplate term present in EVERY doc — df way over the cap
+    for d in set(p[0] for p in postings):
+        postings.append((d, 999, 5))
+    counts = spark.createDataFrame(postings, "doc_id bigint, w bigint, tf bigint")
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(counts, threshold=0.2, df_cap=TFIDF_DF_CAP).collect()
+    }
+    want = _pure_python_tfidf_pairs(postings, TFIDF_DF_CAP, 0.2)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])  # bit-exact, not approx
+    assert (100, 101) in got and got[(100, 101)] > 0.9
+
+
+def test_tfidf_registered_query_bounds(spark, sf_dir):
+    from datawarehouse_project_spark.operators.retrieval import (
+        TFIDF_THRESHOLD,
+        lexical_tfidf_cosine_pairs,
+    )
+
+    rows = lexical_tfidf_cosine_pairs(spark, sf_dir).collect()
+    assert rows, "fixture plants a near-dup cluster"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert TFIDF_THRESHOLD <= r.cosine <= 1.0 + 1e-12
+
+
+def test_tfidf_plan_shape(spark, sf_dir):
+    """The scale claims pinned: posting-list double-explode (Generate),
+    SHUFFLE_HASH for the pairs x norms joins (never a broadcast of the
+    pair frame), and no cartesian anywhere (the 1-row n_docs frame rides
+    a broadcast)."""
+    from datawarehouse_project_spark.operators.retrieval import (
+        lexical_tfidf_cosine_pairs,
+    )
+
+    plan = (
+        lexical_tfidf_cosine_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Generate explode(docs") == 2  # double-explode pairing
+    assert "CartesianProduct" not in plan
+    # norms ride inside the posting structs — no pairs x norms join
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+    # the only nested-loop is the 1-row n_docs broadcast (BM25 idiom);
+    # more would mean the weighted subtree is being replanned per consumer
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
