@@ -413,6 +413,17 @@ def tfidf_cosine_pairs(
     corpus-rescan subtree) or pre-filter known stop-grams; at fixture
     scales the one-scan form wins outright.
 
+    INT64 ENVELOPE (a correctness contract, not a perf note): the
+    integer norms and dots require per-doc Σwgt² < 2^63, i.e. with the
+    100× quantizer roughly grams_per_doc · (100·tf·sqrt(N/df))² below
+    9.2e18 — safe for ~10^6-gram docs at N/df ≤ 10^9, but a df=1
+    templated gram at web scale (N ≥ 1e12) breaks it. Spark's non-ANSI
+    sums WRAP SILENTLY there while DuckDB's HUGEINT-then-CAST raises,
+    so outside the envelope the engines diverge instead of erroring
+    alike. At that scale cap the idf ratio (standard practice) or
+    lower the quantizer; both change scores, so they are deliberate
+    caller choices, not defaults.
+
     ``n_docs``: optional 1-row (n_docs BIGINT) frame; callers that know
     a cheaper equivalent (docs with >= 3 words needs no shingling)
     should pass it. Default derives it from ``counts``."""

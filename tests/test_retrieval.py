@@ -245,8 +245,8 @@ def test_tfidf_registered_query_bounds(spark, sf_dir):
 
 def test_tfidf_plan_shape(spark, sf_dir):
     """The scale claims pinned: posting-list double-explode (Generate),
-    SHUFFLE_HASH for the pairs x norms joins (never a broadcast of the
-    pair frame), and no cartesian anywhere (the 1-row n_docs frame rides
+    NO pairs x norms join of any kind (norms ride inside the posting
+    structs), and no cartesian anywhere (the 1-row n_docs frame rides
     a broadcast)."""
     from datawarehouse_project_spark.operators.retrieval import (
         lexical_tfidf_cosine_pairs,
