@@ -61,23 +61,16 @@ def _seg_start(l, i, d: int):  # noqa: E741
     return F.lit(i) * base + F.least(F.lit(i), rem) + 1
 
 
-def candidate_pairs(s: DataFrame, d: int) -> DataFrame:
-    """The lossless candidate set: distinct unordered ``(a_id, b_id)``
-    pairs sharing at least one ``(len, seg_idx, segment)`` key between
-    the segment and substring sides. Superset of all true pairs
-    (pigeonhole); exposed separately so tests can measure the pruning
-    ratio the module docstring claims. ``s``: (id, s) with non-null
-    strings."""
+def _segment_side(s: DataFrame, d: int, id_alias: str) -> DataFrame:
+    """Segment side of the blocking join: one scan, fan-out d+1 —
+    ``(id_alias, l, i, seg)``. (Struct array built in one select, fields
+    read in the NEXT select: a generator + same-select getField loses
+    struct names — known Catalyst gotcha.)"""
     slen = s.withColumn("l", F.length("s"))
     L = F.col("l")
-
-    # segment side: one scan, fan-out d+1 — (l, i, seg) -> id.
-    # (struct array built in one select, fields read in the NEXT select:
-    # a generator + same-select getField loses struct names — known
-    # Catalyst gotcha.)
-    segs = (
+    return (
         slen.select(
-            F.col("id").alias("a_id"),
+            F.col("id").alias(id_alias),
             "l",
             F.explode(
                 F.array(
@@ -93,15 +86,19 @@ def candidate_pairs(s: DataFrame, d: int) -> DataFrame:
                 )
             ).alias("x"),
         )
-        .select("a_id", "l", F.col("x.i").alias("i"), F.col("x.seg").alias("seg"))
+        .select(id_alias, "l", F.col("x.i").alias("i"), F.col("x.seg").alias("seg"))
         .filter(F.length("seg") > 0)
     )
 
-    # substring side: one scan, constant fan-out — for each candidate
-    # shorter length la ∈ [l-d, l] and segment index i, the substrings
-    # at every start inside the ±d shift window, keyed like the segment
-    # side. Two chained generators (struct explode, then the position
-    # sequence) across separate selects.
+
+def _substring_side(s: DataFrame, d: int, id_alias: str) -> DataFrame:
+    """Substring side: one scan, constant fan-out — for each candidate
+    shorter length la ∈ [l-d, l] and segment index i, the substrings at
+    every start inside the ±d shift window, keyed like the segment
+    side. Two chained generators (struct explode, then the position
+    sequence) across separate selects."""
+    slen = s.withColumn("l", F.length("s"))
+    L = F.col("l")
     win_structs = []
     for delta in range(d + 1):  # la = l - delta
         for i in range(d + 1):
@@ -120,14 +117,14 @@ def candidate_pairs(s: DataFrame, d: int) -> DataFrame:
                     .alias("ps"),
                 )
             )
-    subs = (
+    return (
         slen.select(
-            F.col("id").alias("b_id"),
+            F.col("id").alias(id_alias),
             "s",
             F.explode(F.array(*win_structs)).alias("w"),
         )
         .select(
-            "b_id",
+            id_alias,
             "s",
             F.col("w.la").alias("l"),
             F.col("w.i").alias("i"),
@@ -135,12 +132,26 @@ def candidate_pairs(s: DataFrame, d: int) -> DataFrame:
             F.explode("w.ps").alias("pos"),
         )
         .select(
-            "b_id", "l", "i", F.col("s").substr(F.col("pos"), F.col("ln")).alias("seg")
+            id_alias,
+            "l",
+            "i",
+            F.col("s").substr(F.col("pos"), F.col("ln")).alias("seg"),
         )
     )
 
+
+def candidate_pairs(s: DataFrame, d: int) -> DataFrame:
+    """The lossless candidate set: distinct unordered ``(a_id, b_id)``
+    pairs sharing at least one ``(len, seg_idx, segment)`` key between
+    the segment and substring sides. Superset of all true pairs
+    (pigeonhole); exposed separately so tests can measure the pruning
+    ratio the module docstring claims. ``s``: (id, s) with non-null
+    strings."""
+    slen = s.withColumn("l", F.length("s"))
+
     main = (
-        segs.join(subs, ["l", "i", "seg"])
+        _segment_side(s, d, "a_id")
+        .join(_substring_side(s, d, "b_id"), ["l", "i", "seg"])
         .filter(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id")
     )
@@ -247,3 +258,130 @@ def fuzzy_part_desc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return edit_distance_pairs(src, d=_FUZZY_D)
+
+
+# --------------------------------------------------------------------------
+# Two-table form: record linkage between DIFFERENT entity sets (dirty
+# feed vs master table). Same lossless blocking, but either side of a
+# pair can be the shorter string, so the segment⨝substring equi-join
+# runs in BOTH directions; output keeps table roles (a_id from left,
+# b_id from right) instead of the self-join's least/greatest canon.
+
+
+def candidate_pairs_two_table(
+    left: DataFrame, right: DataFrame, d: int
+) -> DataFrame:
+    """Lossless candidates for the two-table join: distinct
+    ``(a_id, b_id)`` with a_id from ``left``, b_id from ``right``.
+    Direction 1 covers len(left) <= len(right) (left emits segments),
+    direction 2 the reverse; equal lengths appear in both and dedup in
+    the distinct. The short-string class (shorter side len <= d, where
+    pigeonhole has no non-empty untouched segment) pairs DISTINCT
+    values <= d against the other table's values <= 2d via a broadcast
+    nested-loop, both directions, exactly like the self-join."""
+    c1 = (
+        _segment_side(left, d, "a_id")
+        .join(_substring_side(right, d, "b_id"), ["l", "i", "seg"])
+        .select("a_id", "b_id")
+    )
+    c2 = (
+        _segment_side(right, d, "b_id")
+        .join(_substring_side(left, d, "a_id"), ["l", "i", "seg"])
+        .select("a_id", "b_id")
+    )
+
+    ll = left.withColumn("l", F.length("s"))
+    rl = right.withColumn("l", F.length("s"))
+
+    def _short(short_side, long_side, short_id, long_id):
+        short_vals = short_side.filter(F.col("l") <= d).select("s").distinct()
+        long_vals = (
+            long_side.filter(F.col("l") <= 2 * d)
+            .select(F.col("s").alias("s_o"))
+            .distinct()
+        )
+        val_pairs = (
+            F.broadcast(short_vals)
+            .crossJoin(long_vals)
+            .filter(F.levenshtein("s", "s_o") <= d)
+        )
+        ids_s = short_side.filter(F.col("l") <= d).select(
+            F.col("id").alias(short_id), "s"
+        )
+        ids_o = long_side.filter(F.col("l") <= 2 * d).select(
+            F.col("id").alias(long_id), F.col("s").alias("s_o")
+        )
+        return (
+            val_pairs.join(ids_s, "s").join(ids_o, "s_o").select("a_id", "b_id")
+        )
+
+    short = _short(ll, rl, "a_id", "b_id").unionByName(
+        _short(rl, ll, "b_id", "a_id")
+    )
+    return c1.unionByName(c2).unionByName(short).distinct()
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    d: int = 2,
+    id_col: str = "id",
+    s_col: str = "s",
+) -> DataFrame:
+    """All ``(a_id, b_id, dist)`` with a_id from ``left``, b_id from
+    ``right`` and ``levenshtein <= d`` — the record-linkage form of
+    :func:`edit_distance_pairs` (lossless blocking both directions,
+    exact residual on candidates only)."""
+    ls = left.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    rs = right.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    cand = candidate_pairs_two_table(ls, rs, d)
+    sa = ls.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
+    sb = rs.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("dist", F.levenshtein("a_s", "b_s").cast("bigint"))
+        .filter(F.col("dist") <= d)
+        .select("a_id", "b_id", "dist")
+    )
+
+
+@register(
+    "fuzzy_part_link_pairs",
+    driver_facing=False,  # window full at 50; r14 rotation candidate
+    oracle=f"""
+WITH a AS (
+    SELECT p_partkey AS id, p_brand || ' ' || p_type || ' ' || p_name AS s
+    FROM part WHERE p_partkey % 10 = 0
+),
+b AS (
+    SELECT p_partkey AS id, p_brand || ' ' || p_type || ' ' || p_name AS s
+    FROM part WHERE p_partkey % 10 = 5
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM a JOIN b ON levenshtein(a.s, b.s) <= {_FUZZY_D}
+""",
+)
+def fuzzy_part_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage between two disjoint part samples (1/10 each) on
+    the brand+type+name composite within edit distance 2 — the
+    two-table PassJoin plan; the oracle is the quadratic two-table
+    theta join."""
+    prepare(spark)
+
+    def sample(rem: int) -> DataFrame:
+        return (
+            table(spark, sf_dir, "part")
+            .filter(F.col("p_partkey") % 10 == rem)
+            .select(
+                F.col("p_partkey").alias("id"),
+                F.concat_ws(" ", "p_brand", "p_type", "p_name").alias("s"),
+            )
+        )
+
+    return edit_distance_join(sample(0), sample(5), d=_FUZZY_D)

@@ -1590,6 +1590,29 @@ FROM s a JOIN s b
 
 SPARK_SQL["fuzzy_part_desc_pairs"] = _spark_fuzzy_sql()
 
+
+def _spark_fuzzy_link_sql() -> str:
+    # Semantic twin of the two-table record-linkage form — quadratic
+    # definition, threshold from the operator constant.
+    from ..operators.fuzzy import _FUZZY_D
+
+    return f"""
+WITH a AS (
+    SELECT p_partkey AS id, concat_ws(' ', p_brand, p_type, p_name) AS s
+    FROM part WHERE p_partkey % 10 = 0
+),
+b AS (
+    SELECT p_partkey AS id, concat_ws(' ', p_brand, p_type, p_name) AS s
+    FROM part WHERE p_partkey % 10 = 5
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM a JOIN b ON levenshtein(a.s, b.s) <= {_FUZZY_D}
+"""
+
+
+SPARK_SQL["fuzzy_part_link_pairs"] = _spark_fuzzy_link_sql()
+
 SPARK_SQL["overlap_shipping_windows"] = """
 WITH win AS (
     SELECT l_orderkey * 10 + l_linenumber AS id,

@@ -117,3 +117,43 @@ def test_pruning_ratio_on_fixture(spark, sf_correct_dir):
     # prefix keys are the collision mass) vs 0.264 for bare p_name —
     # the bound guards against silently degrading to all-pairs.
     assert n_cand / all_pairs < 0.15, (n_cand, all_pairs)
+
+
+def _brute_two(spark, rows_a, rows_b, d):
+    a = spark.createDataFrame(rows_a, "id bigint, s string").select(
+        F.col("id").alias("a_id"), F.col("s").alias("a_s")
+    )
+    b = spark.createDataFrame(rows_b, "id bigint, s string").select(
+        F.col("id").alias("b_id"), F.col("s").alias("b_s")
+    )
+    return {
+        (r.a_id, r.b_id, r.dist)
+        for r in a.crossJoin(b)
+        .withColumn("dist", F.levenshtein("a_s", "b_s").cast("bigint"))
+        .filter(F.col("dist") <= d)
+        .collect()
+    }
+
+
+def test_two_table_matches_quadratic_on_adversarial_strings(spark):
+    """Record-linkage form vs brute force: both length orders, short
+    strings (len <= d and <= 2d) on BOTH sides, duplicate values across
+    tables, nulls."""
+    from datawarehouse_project_spark.operators.fuzzy import edit_distance_join
+
+    for d in (1, 2, 3):
+        rows_a = _rand_strings(80) + [(900, "a"), (901, ""), (902, "abcd")]
+        rows_b = [
+            (i + 10_000, s) for i, s in _rand_strings(80, alphabet="abce")
+        ] + [(903, "b"), (904, "abcd"), (905, None)]
+        left = spark.createDataFrame(rows_a, "id bigint, s string")
+        right = spark.createDataFrame(rows_b, "id bigint, s string")
+        got = {
+            (r.a_id, r.b_id, r.dist)
+            for r in edit_distance_join(left, right, d=d).collect()
+        }
+        want = _brute_two(
+            spark, rows_a, [r for r in rows_b if r[1] is not None], d
+        )
+        assert got == want, f"d={d}"
+        assert all(905 not in (a, b) for a, b, _ in got)
