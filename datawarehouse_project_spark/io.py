@@ -121,7 +121,8 @@ class ServingMemo:
         #: them (deleting out from under it turns stale-but-consistent
         #: serving into FileNotFoundError mid-query). Reclaimed at
         #: :meth:`reset` (atexit, or the explicit caller reset — which
-        #: asserts no live handles remain).
+        #: is only safe when the caller knows no handles are live;
+        #: reset() deletes unconditionally and cannot check).
         self.retired: list[str] = []
         self.lock = threading.Lock()
         on_refresh(self._on_refresh)

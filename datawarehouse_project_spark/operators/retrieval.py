@@ -251,22 +251,22 @@ def lexical_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the rollup folds appends exactly; df/dl/corpus stats derive from the
 # state at query time (vocabulary × doc-sized, never the corpus text).
 
-_SERVED_POSTINGS_MEMO = None
+# Eager at module scope like _SERVED_HOURLY_MEMO/_SERVED_INDEX_MEMO: a
+# lazy check-then-set singleton races on concurrent first touch (two
+# memos, double-registered hooks, reset reaching only one — advisor
+# finding, r13). Construction is cheap (no Spark work until first use).
+from ..io import ServingMemo as _ServingMemo
+
+_SERVED_POSTINGS_MEMO = _ServingMemo("dw-postings-", ["documents"])
 
 
 def _postings_memo():
-    global _SERVED_POSTINGS_MEMO
-    if _SERVED_POSTINGS_MEMO is None:
-        from ..io import ServingMemo
-
-        _SERVED_POSTINGS_MEMO = ServingMemo("dw-postings-", ["documents"])
     return _SERVED_POSTINGS_MEMO
 
 
 def reset_served_postings() -> None:
     """Drop (and delete) every memoized served postings store."""
-    if _SERVED_POSTINGS_MEMO is not None:
-        _SERVED_POSTINGS_MEMO.reset()
+    _SERVED_POSTINGS_MEMO.reset()
 
 
 def served_postings(spark: SparkSession, sf_dir: str):

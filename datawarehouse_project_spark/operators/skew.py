@@ -128,9 +128,10 @@ def detect_hot_keys(
     count (a composed pipeline's incremental store — VERDICT r10 #4) and
     everything stays lazy. When ``n_total`` is None, N is FOLDED INTO
     the sketch pass (VERDICT r12 #4): the ≤d×w counter rows are
-    materialized once via localCheckpoint — the single fact scan of the
-    detection — and N is read off the depth-0 counter mass, which is
-    exact (every row increments exactly one depth-0 bucket). No second
+    collected to the driver — the single fact scan of the detection —
+    N is read off the depth-0 counter mass, which is exact (every row
+    increments exactly one depth-0 bucket), and the counters are
+    rebuilt as a local relation for the estimate join. No second
     sizing scan, ever."""
     from ..functions.text import portable_hash
     from .cms import cms_counters, cms_estimates
