@@ -761,6 +761,8 @@ def _duck_sh64_blocks() -> str:
 
 @register(
     "dedup_simhash64_pairs",
+    driver_facing=False,  # r14 rotation: driver-green r10-r13; slot ceded
+    # to lexical_bm25_from_store. pytest oracle remains.
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 {_DUCK_SIG64.strip().rstrip()},

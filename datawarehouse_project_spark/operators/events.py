@@ -537,6 +537,8 @@ ROLL_WINDOW_US = 24 * 3600 * 1_000_000
 
 @register(
     "events_rolling_24h",
+    driver_facing=False,  # r14 rotation: driver-green r8-r13; slot ceded
+    # to lexical_tfidf_cosine_pairs. pytest oracle remains.
     oracle=f"""
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        COUNT(*) OVER w AS n_24h,

@@ -352,7 +352,7 @@ def edit_distance_join(
 
 @register(
     "fuzzy_part_link_pairs",
-    driver_facing=False,  # window full at 50; r14 rotation candidate
+    # r14 rotation IN (VERDICT r13 #1); text_quality_scores ceded.
     oracle=f"""
 WITH a AS (
     SELECT p_partkey AS id, p_brand || ' ' || p_type || ' ' || p_name AS s

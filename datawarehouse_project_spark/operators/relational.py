@@ -134,6 +134,9 @@ def asof_join(
 @register(
     "asof_join_last_order",
     headline=True,
+    driver_facing=False,  # r14 rotation: driver-green r3-r13; slot ceded
+    # to q01_from_store. pytest oracle (sf0.01+sf0.1) remains; stays a
+    # bench headline.
     oracle="""
 WITH ev AS (
     SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0

@@ -290,7 +290,8 @@ def served_postings(spark: SparkSession, sf_dir: str):
 
 @register(
     "lexical_bm25_from_store",
-    driver_facing=False,  # window full; pytest oracle + store==text equality
+    # r14 rotation IN (VERDICT r13 #1): the postings-store serving twin
+    # earns a driver row; dedup_simhash64_pairs ceded.
     # Same oracle as lexical_bm25_topk: the maintained index must answer
     # the retrieval query exactly.
     oracle=_BM25_ORACLE,
@@ -531,7 +532,7 @@ WHERE {TFIDF_COSINE} >= {TFIDF_THRESHOLD}
 
 @register(
     "lexical_tfidf_cosine_pairs",
-    driver_facing=False,  # window full at 50; r14 rotation candidate
+    # r14 rotation IN (VERDICT r13 #1); events_rolling_24h ceded.
     oracle=_TFIDF_ORACLE,
 )
 def lexical_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

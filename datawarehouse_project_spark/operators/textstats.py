@@ -108,6 +108,8 @@ scored AS (
 
 @register(
     "text_quality_scores",
+    driver_facing=False,  # r14 rotation: driver-green r5-r13; slot ceded
+    # to fuzzy_part_link_pairs. pytest oracle remains.
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 {_DUCK_QUALITY}

@@ -613,7 +613,8 @@ def served_product_rollup(spark: SparkSession, sf_dir: str):
 
 @register(
     "q01_from_store",
-    driver_facing=False,  # window full; pytest oracle + r13 bench evidence
+    # r14 rotation IN (VERDICT r13 #1): the serving twin answering the
+    # q01 scan floor earns a driver row; asof_join_last_order ceded.
     # Same oracle as q01_top_revenue_products: the maintained state must
     # answer the headline query exactly.
     oracle=f"""

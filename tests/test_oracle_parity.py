@@ -86,6 +86,14 @@ def test_driver_catalog_fits_sweep_window():
         # ceded — driver-green r8-r12 / r10-r12, pytest oracles remain)
         "fuzzy_part_desc_pairs",
         "lexical_bm25_topk",
+        # r14 rotation IN (VERDICT r13 #1): the serving twins plus the two
+        # strong r13 rows (asof_join_last_order, dedup_simhash64_pairs,
+        # events_rolling_24h, text_quality_scores ceded — driver-green
+        # r3-r13/r10-r13/r8-r13/r5-r13, pytest oracles remain)
+        "q01_from_store",
+        "lexical_bm25_from_store",
+        "lexical_tfidf_cosine_pairs",
+        "fuzzy_part_link_pairs",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
