@@ -843,6 +843,7 @@ def ngram_jaccard_pairs(
     sf_dir: str,
     threshold: float = 0.6,
     df_cap: int | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs via a shingle inverted index.
 
@@ -851,6 +852,14 @@ def ngram_jaccard_pairs(
     computes jaccard over the REMAINING shingle universe (sizes recomputed
     post-cap) — the standard stop-phrase guard that bounds the self-join
     fan-out to df_cap per posting list at any corpus size. None = exact.
+
+    ``bounded`` (capped path only) selects the df-first build (VERDICT
+    r13 #2): df by COUNT, semi-join ``df <= df_cap`` keys, THEN
+    collect_list — every agg buffer bounded by df_cap entries instead
+    of one buffer per shingle at its full (pre-cap) document frequency;
+    costs one extra postings-sized exchange. Bit-identical results
+    (equality-tested); the registered query auto-selects via
+    io.bounded_posting_build.
     """
     # Posting-list formulation: ONE groupBy on the shingle hash builds the
     # inverted index as arrays, and pair counting explodes each posting
@@ -924,11 +933,27 @@ def ngram_jaccard_pairs(
         .withColumn("sgh", F.xxhash64("sg"))
         .drop("sg")
     )
-    posting = (
-        inv.groupBy("sgh")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") <= df_cap)
-    )
+    if bounded:
+        # df-first bounded buffers: the COUNT agg is constant-size per
+        # key; the semi-join's sgh partitioning is reused by the
+        # regroup, so the only added cost is the df count's exchange.
+        ok = (
+            inv.groupBy("sgh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("sgh")
+        )
+        posting = (
+            inv.join(ok, "sgh", "semi")
+            .groupBy("sgh")
+            .agg(F.collect_list("doc_id").alias("docs"))
+        )
+    else:
+        posting = (
+            inv.groupBy("sgh")
+            .agg(F.collect_list("doc_id").alias("docs"))
+            .filter(F.size("docs") <= df_cap)
+        )
     shared = (
         posting.select(F.explode("docs").alias("d1"), "docs")
         .select("d1", F.explode("docs").alias("d2"))
@@ -1023,8 +1048,18 @@ def dedup_ngram_jaccard_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (applied identically in the oracle) bounds every posting list to
     DF_CAP docs, so the self-join fan-out is <= DF_CAP(DF_CAP-1)/2 per
     shingle REGARDLESS of corpus size — the property that makes this the
-    100 TB-safe registered form."""
-    return ngram_jaccard_pairs(spark, sf_dir, threshold=0.6, df_cap=DF_CAP)
+    100 TB-safe registered form. Posting-build form auto-selected by
+    source size (io.bounded_posting_build): df-first bounded buffers on
+    large corpora, one-scan below the threshold."""
+    from ..io import bounded_posting_build
+
+    return ngram_jaccard_pairs(
+        spark,
+        sf_dir,
+        threshold=0.6,
+        df_cap=DF_CAP,
+        bounded=bounded_posting_build(sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -389,6 +389,7 @@ def tfidf_cosine_pairs(
     threshold: float = TFIDF_THRESHOLD,
     df_cap: int = TFIDF_DF_CAP,
     n_docs: DataFrame | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """Document pairs (doc_a < doc_b) with TF-IDF cosine >= ``threshold``
     over postings ``(doc_id, w, tf)``.
@@ -405,14 +406,20 @@ def tfidf_cosine_pairs(
     partition-local double-explode -> integer dot per pair with the
     norms emerging as grouping keys -> cosine filter.
 
-    MEMORY SHAPE caveat (same as dedup.ngram_jaccard_pairs' posting
-    build, stated honestly): the collect_list agg buffer for a single
-    ultra-common gram materializes its FULL posting list BEFORE the cap
-    filter drops it — a web-boilerplate gram in 1e9 docs is a
-    single-key buffer hazard. At that scale run this over a maintained
-    postings store instead (df becomes an agg over the state, never a
-    corpus-rescan subtree) or pre-filter known stop-grams; at fixture
-    scales the one-scan form wins outright.
+    MEMORY SHAPE (same trade as dedup.ngram_jaccard_pairs' posting
+    build): the default one-scan form's collect_list agg buffer for a
+    single ultra-common gram materializes its FULL posting list BEFORE
+    the cap filter drops it — a web-boilerplate gram in 1e9 docs is a
+    single-key buffer hazard. ``bounded=True`` selects the df-first
+    form (VERDICT r13 #2): df by COUNT (constant-size buffers at any
+    key frequency), the surviving ``df <= df_cap`` keys join the
+    postings, and only then are lists collected — every collect buffer
+    is bounded by df_cap entries, at the cost of one extra
+    postings-sized exchange (the df count re-shuffles the postings on
+    w; the join's sgh partitioning is then reused by the regroup).
+    Registered entry points auto-select via io.bounded_posting_build
+    (os.stat on the source — no Spark job at plan-build); results are
+    bit-identical between the forms (equality-tested).
 
     INT64 ENVELOPE (a correctness contract, not a perf note): the
     integer norms and dots require per-doc Σwgt² < 2^63, i.e. with the
@@ -432,30 +439,39 @@ def tfidf_cosine_pairs(
         n_docs = counts.select("doc_id").distinct().agg(
             F.count("*").cast("bigint").alias("n_docs")
         )
-    capped = counts.groupBy("w").agg(
-        F.collect_list(F.struct("doc_id", "tf")).alias("entries")
-    ).filter(F.size("entries") <= df_cap)
-    weighted = (
-        capped.select(
-            "w",
-            F.size("entries").cast("bigint").alias("df"),
-            F.explode("entries").alias("e"),
+    if bounded:
+        # df-first: COUNT buffers are constant-size at any key
+        # frequency; only capped keys' postings are ever collected.
+        dfm = (
+            counts.groupBy("w")
+            .agg(F.count("*").cast("bigint").alias("df"))
+            .filter(F.col("df") <= df_cap)
         )
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "w",
-            F.col("e.doc_id").alias("doc_id"),
-            F.col("e.tf").alias("tf"),
-            "df",
-            "n_docs",
+        flat = counts.join(dfm, "w").crossJoin(F.broadcast(n_docs))
+    else:
+        capped = counts.groupBy("w").agg(
+            F.collect_list(F.struct("doc_id", "tf")).alias("entries")
+        ).filter(F.size("entries") <= df_cap)
+        flat = (
+            capped.select(
+                "w",
+                F.size("entries").cast("bigint").alias("df"),
+                F.explode("entries").alias("e"),
+            )
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "w",
+                F.col("e.doc_id").alias("doc_id"),
+                F.col("e.tf").alias("tf"),
+                "df",
+                "n_docs",
+            )
         )
-        .withColumn("wgt", F.expr(TFIDF_WEIGHT))
-        .withColumn(
-            "nrm2",
-            F.sum(F.col("wgt") * F.col("wgt"))
-            .over(Window.partitionBy("doc_id"))
-            .cast("bigint"),
-        )
+    weighted = flat.withColumn("wgt", F.expr(TFIDF_WEIGHT)).withColumn(
+        "nrm2",
+        F.sum(F.col("wgt") * F.col("wgt"))
+        .over(Window.partitionBy("doc_id"))
+        .cast("bigint"),
     )
     posting = (
         weighted.groupBy("w")
@@ -538,8 +554,10 @@ WHERE {TFIDF_COSINE} >= {TFIDF_THRESHOLD}
 def lexical_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDF-weighted near-dup pairs over the documents table — cosine of
     floor-scaled integer TF-IDF shingle vectors via the df-capped
-    inverted index (see tfidf_cosine_pairs)."""
+    inverted index (see tfidf_cosine_pairs). Posting-build form
+    auto-selected by source size (io.bounded_posting_build)."""
     from ..functions.text import words_sql
+    from ..io import bounded_posting_build
 
     prepare(spark)
     # n_docs == docs with >= 1 gram == docs with >= 3 words: countable
@@ -550,4 +568,8 @@ def lexical_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(f"size({words_sql('text')}) >= 3"))
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
-    return tfidf_cosine_pairs(shingle_counts(spark, sf_dir), n_docs=n_docs)
+    return tfidf_cosine_pairs(
+        shingle_counts(spark, sf_dir),
+        n_docs=n_docs,
+        bounded=bounded_posting_build(sf_dir),
+    )

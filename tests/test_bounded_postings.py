@@ -1,0 +1,123 @@
+"""The df-first bounded-buffer posting builds (VERDICT r13 #2).
+
+The one-scan posting build (collect_list then cap-filter) materializes an
+ultra-common term's FULL posting list in a single agg buffer before the
+cap drops it. The bounded form counts df first (constant-size buffers),
+joins the surviving keys, THEN collects — every buffer bounded by df_cap.
+These tests pin (a) bit-identical results between the forms, (b) the
+bounded plan's shape (the collect happens after the df join), and (c) the
+os.stat-based auto-chooser that keeps fixtures on the one-scan plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tfidf_bounded_equals_onescan(spark, sf_dir):
+    from datawarehouse_project_spark.operators.retrieval import (
+        shingle_counts,
+        tfidf_cosine_pairs,
+    )
+
+    counts = shingle_counts(spark, sf_dir)
+    base = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(counts, bounded=False).collect()
+    }
+    bounded = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(counts, bounded=True).collect()
+    }
+    assert base, "fixture plants a near-dup cluster"
+    assert bounded.keys() == base.keys()
+    for k in base:
+        assert bounded[k] == base[k], (k, bounded[k], base[k])  # bit-exact
+
+
+def test_ngram_jaccard_bounded_equals_onescan(spark, sf_dir):
+    from datawarehouse_project_spark.operators.dedup import (
+        DF_CAP,
+        ngram_jaccard_pairs,
+    )
+
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            spark, sf_dir, threshold=0.6, df_cap=DF_CAP, bounded=False
+        ).collect()
+    }
+    bounded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            spark, sf_dir, threshold=0.6, df_cap=DF_CAP, bounded=True
+        ).collect()
+    }
+    assert base, "fixture plants near-dups"
+    assert bounded.keys() == base.keys()
+    for k in base:
+        assert bounded[k] == base[k], (k, bounded[k], base[k])  # bit-exact
+
+
+def test_tfidf_bounded_plan_collects_after_df_join(spark, sf_dir):
+    """The bounded plan's defining property: the posting-list collect
+    consumes the OUTPUT of the df join (only `df <= cap` keys reach any
+    collect buffer). Pinned structurally: a df-count aggregate and a
+    join on w appear; the pairing double-explode survives; still no
+    cartesian product."""
+    from datawarehouse_project_spark.operators.retrieval import (
+        shingle_counts,
+        tfidf_cosine_pairs,
+    )
+
+    plan = _plan(tfidf_cosine_pairs(shingle_counts(spark, sf_dir), bounded=True))
+    assert "count(1)" in plan  # the df-first COUNT aggregate
+    # the df map joins the postings on w before any list is collected
+    assert any(
+        j in plan
+        for j in ("ShuffledHashJoin [w", "SortMergeJoin [w", "BroadcastHashJoin [w")
+    ), plan
+    assert plan.count("Generate explode(docs") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_bounded_plan_semi_join(spark, sf_dir):
+    from datawarehouse_project_spark.operators.dedup import (
+        DF_CAP,
+        ngram_jaccard_pairs,
+    )
+
+    plan = _plan(
+        ngram_jaccard_pairs(
+            spark, sf_dir, threshold=0.6, df_cap=DF_CAP, bounded=True
+        )
+    )
+    assert "LeftSemi" in plan  # capped keys semi-join the postings
+    assert "CartesianProduct" not in plan
+
+
+def test_bounded_posting_build_chooser(monkeypatch, sf_dir):
+    """os.stat-only selection: fixtures stay on the one-scan form, large
+    or un-stat-able sources get the bounded form. No Spark job involved
+    (the function takes no session)."""
+    from datawarehouse_project_spark import io
+
+    assert io.bounded_posting_build(sf_dir) is False  # tiny fixture
+    assert io.bounded_posting_build("/nonexistent") is True  # un-stat-able
+    monkeypatch.setattr(io, "BOUNDED_POSTINGS_BYTES", 1)
+    assert io.bounded_posting_build(sf_dir) is True  # above threshold
+
+
+def test_registered_queries_auto_select_onescan_at_fixture(spark, sf_dir):
+    """At fixture scale both registered queries must keep the (faster)
+    one-scan plan: no join on the shingle key anywhere."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    plan = _plan(all_queries()["lexical_tfidf_cosine_pairs"](spark, sf_dir))
+    assert "LeftSemi" not in plan
+    plan = _plan(all_queries()["dedup_ngram_jaccard_capped"](spark, sf_dir))
+    assert "LeftSemi" not in plan
