@@ -22,10 +22,16 @@ Both fan-outs are data-independent constants; the join is a plain hash
 equi-join on the 3-part key, and the exact ``levenshtein() ≤ d``
 residual runs only on the candidate pairs. No pairwise work outside the
 candidates — the same cost shape as the banded LSH dedup operators
-(operators/dedup.py). Skew caveat at scale: a very frequent segment
-(shared brand prefix) makes a hot join key; the production guard is the
-same df-cap pattern as ``dedup.ngram_jaccard_capped`` (drop or split
-segment keys above a frequency cap, at a measured recall cost).
+(operators/dedup.py). Skew guard at scale: a very frequent segment
+(shared brand prefix) makes a hot join key; ``seg_cap`` drops blocking
+keys whose SUBSTRING-side frequency exceeds the cap (the df-cap pattern
+of ``dedup.ngram_jaccard_capped``) — candidate fan-out per surviving
+key is then <= seg_cap, at a measured recall cost: a true pair is lost
+only when EVERY untouched segment it could block on is hot (pairs whose
+edits fall in the discriminative segment while only boilerplate
+segments stay intact). Measured on a planted hot-prefix corpus in
+tests/test_fuzzy.py::test_seg_cap_recall_on_hot_prefix; default None
+keeps the registered rows lossless.
 
 Everything is Catalyst expressions (substring/transform/sequence) — no
 Python in the row path; ``F.levenshtein`` is a JVM built-in.
@@ -140,18 +146,39 @@ def _substring_side(s: DataFrame, d: int, id_alias: str) -> DataFrame:
     )
 
 
-def candidate_pairs(s: DataFrame, d: int) -> DataFrame:
-    """The lossless candidate set: distinct unordered ``(a_id, b_id)``
-    pairs sharing at least one ``(len, seg_idx, segment)`` key between
-    the segment and substring sides. Superset of all true pairs
-    (pigeonhole); exposed separately so tests can measure the pruning
-    ratio the module docstring claims. ``s``: (id, s) with non-null
-    strings."""
+def _drop_hot_keys(seg: DataFrame, sub: DataFrame, seg_cap: int) -> DataFrame:
+    """The hot-segment guard: anti-join away blocking keys whose
+    substring-side frequency exceeds ``seg_cap``. Frequency is counted
+    on the substring side (the larger constant fan-out — it bounds the
+    join product); killing the key on ONE side kills its join output.
+    The count agg has constant-size buffers at any key frequency, so
+    the guard itself carries no hot-key hazard."""
+    hot = (
+        sub.groupBy("l", "i", "seg")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > seg_cap)
+        .select("l", "i", "seg")
+    )
+    return seg.join(hot, ["l", "i", "seg"], "left_anti")
+
+
+def candidate_pairs(s: DataFrame, d: int, seg_cap: int | None = None) -> DataFrame:
+    """The candidate set: distinct unordered ``(a_id, b_id)`` pairs
+    sharing at least one ``(len, seg_idx, segment)`` key between the
+    segment and substring sides. With ``seg_cap=None`` (default) this is
+    LOSSLESS — a superset of all true pairs (pigeonhole); with a cap,
+    keys hotter than ``seg_cap`` on the substring side are dropped (see
+    module docstring for the recall contract). Exposed separately so
+    tests can measure the pruning ratio the module docstring claims.
+    ``s``: (id, s) with non-null strings."""
     slen = s.withColumn("l", F.length("s"))
 
+    seg_side = _segment_side(s, d, "a_id")
+    sub_side = _substring_side(s, d, "b_id")
+    if seg_cap is not None:
+        seg_side = _drop_hot_keys(seg_side, sub_side, seg_cap)
     main = (
-        _segment_side(s, d, "a_id")
-        .join(_substring_side(s, d, "b_id"), ["l", "i", "seg"])
+        seg_side.join(sub_side, ["l", "i", "seg"])
         .filter(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id")
     )
@@ -199,16 +226,21 @@ def candidate_pairs(s: DataFrame, d: int) -> DataFrame:
 
 
 def edit_distance_pairs(
-    df: DataFrame, d: int = 2, id_col: str = "id", s_col: str = "s"
+    df: DataFrame,
+    d: int = 2,
+    id_col: str = "id",
+    s_col: str = "s",
+    seg_cap: int | None = None,
 ) -> DataFrame:
     """All unordered pairs ``(a_id < b_id)`` with ``levenshtein ≤ d``,
-    plus the exact distance. Lossless: candidate generation is a
-    superset of the true pairs (pigeonhole), the residual filter is
-    exact, so output equals the quadratic oracle's."""
+    plus the exact distance. Lossless by default: candidate generation
+    is a superset of the true pairs (pigeonhole), the residual filter is
+    exact, so output equals the quadratic oracle's. ``seg_cap`` trades
+    bounded recall loss for a hard hot-key bound (module docstring)."""
     s = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
         F.col("s").isNotNull()
     )
-    cand = candidate_pairs(s, d)
+    cand = candidate_pairs(s, d, seg_cap=seg_cap)
     sa = s.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
     sb = s.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
     return (
@@ -269,7 +301,7 @@ def fuzzy_part_desc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def candidate_pairs_two_table(
-    left: DataFrame, right: DataFrame, d: int
+    left: DataFrame, right: DataFrame, d: int, seg_cap: int | None = None
 ) -> DataFrame:
     """Lossless candidates for the two-table join: distinct
     ``(a_id, b_id)`` with a_id from ``left``, b_id from ``right``.
@@ -279,16 +311,13 @@ def candidate_pairs_two_table(
     pigeonhole has no non-empty untouched segment) pairs DISTINCT
     values <= d against the other table's values <= 2d via a broadcast
     nested-loop, both directions, exactly like the self-join."""
-    c1 = (
-        _segment_side(left, d, "a_id")
-        .join(_substring_side(right, d, "b_id"), ["l", "i", "seg"])
-        .select("a_id", "b_id")
-    )
-    c2 = (
-        _segment_side(right, d, "b_id")
-        .join(_substring_side(left, d, "a_id"), ["l", "i", "seg"])
-        .select("a_id", "b_id")
-    )
+    seg1, sub1 = _segment_side(left, d, "a_id"), _substring_side(right, d, "b_id")
+    seg2, sub2 = _segment_side(right, d, "b_id"), _substring_side(left, d, "a_id")
+    if seg_cap is not None:
+        seg1 = _drop_hot_keys(seg1, sub1, seg_cap)
+        seg2 = _drop_hot_keys(seg2, sub2, seg_cap)
+    c1 = seg1.join(sub1, ["l", "i", "seg"]).select("a_id", "b_id")
+    c2 = seg2.join(sub2, ["l", "i", "seg"]).select("a_id", "b_id")
 
     ll = left.withColumn("l", F.length("s"))
     rl = right.withColumn("l", F.length("s"))
@@ -327,18 +356,20 @@ def edit_distance_join(
     d: int = 2,
     id_col: str = "id",
     s_col: str = "s",
+    seg_cap: int | None = None,
 ) -> DataFrame:
     """All ``(a_id, b_id, dist)`` with a_id from ``left``, b_id from
     ``right`` and ``levenshtein <= d`` — the record-linkage form of
-    :func:`edit_distance_pairs` (lossless blocking both directions,
-    exact residual on candidates only)."""
+    :func:`edit_distance_pairs` (lossless blocking both directions by
+    default, exact residual on candidates only; ``seg_cap`` as in the
+    self-join)."""
     ls = left.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
         F.col("s").isNotNull()
     )
     rs = right.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
         F.col("s").isNotNull()
     )
-    cand = candidate_pairs_two_table(ls, rs, d)
+    cand = candidate_pairs_two_table(ls, rs, d, seg_cap=seg_cap)
     sa = ls.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
     sb = rs.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
     return (
