@@ -307,7 +307,7 @@ def tune_bucket_days(
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
-    bucket_days: int | str = "auto",
+    bucket_days: int | str,
     self_pairs: bool = False,
 ) -> DataFrame:
     """Pure interval-overlap join WITHOUT an equi key — the join
@@ -321,11 +321,19 @@ def interval_overlap_join(
     duplicates; the standard first-shared-bucket guard
     (``bucket == greatest(a_blo, b_blo)``) keeps exactly one, with NO
     dedup shuffle. ``self_pairs=True`` additionally keeps ``a_id <
-    b_id`` (unordered self-join pairs). ``bucket_days="auto"`` (the
-    default) derives the width from the median interval length via
-    :func:`tune_bucket_days` — one bounded sizing pass, same S6 class
-    as a COUNT(*). Output: a_id, b_id, overlap_days (inclusive-end day
-    count, integer-exact)."""
+    b_id`` (unordered self-join pairs).
+
+    LIBRARY CONTRACT (VERDICT r13 #7): ``bucket_days`` is REQUIRED —
+    pass an explicit width (≈ the median interval length; see
+    :func:`tune_bucket_days`). ``"auto"`` is accepted as an EXPLICIT
+    opt-in that runs the tuner's eager bounded sizing job at
+    plan-construction time (same S6 class as a COUNT(*)) — fine at a
+    top level, wrong inside a larger lazy plan built repeatedly, which
+    is why it is no longer a silent default: constructing this plan
+    with an integer width launches no Spark job (pinned in
+    tests/test_relational.py). The registered query memoizes the tuned
+    width per (sf_dir, source mtime). Output: a_id, b_id, overlap_days
+    (inclusive-end day count, integer-exact)."""
     if bucket_days == "auto":
         bucket_days = tune_bucket_days(left, right)
     epoch = F.lit("1970-01-01").cast("date")

@@ -209,9 +209,35 @@ def test_overlap_long_interval_guard(spark):
                 want[(i, j)] = (min(e, e2) - max(s, s2)).days + 1
     got = {
         (r.a_id, r.b_id): r.overlap_days
-        for r in interval_overlap_join(df, df, self_pairs=True).collect()
+        for r in interval_overlap_join(
+            df, df, bucket_days="auto", self_pairs=True
+        ).collect()
     }
     assert got == want
+
+
+def test_interval_overlap_join_explicit_width_runs_no_sizing_job(
+    spark, monkeypatch
+):
+    """The library contract (VERDICT r13 #7): an integer bucket_days
+    must never reach the tuner (no hidden Spark job at plan build);
+    "auto" is the explicit opt-in that does."""
+    import datetime as _dt
+
+    from datawarehouse_project_spark.operators import relational as rel
+
+    rows = [(0, _dt.date(2024, 1, 1), _dt.date(2024, 1, 9))]
+    df = spark.createDataFrame(rows, ["id", "start", "end"])
+
+    def boom(*a, **kw):
+        raise AssertionError("sizing pass ran for an explicit width")
+
+    monkeypatch.setattr(rel, "tune_bucket_days", boom)
+    rel.interval_overlap_join(df, df, bucket_days=7, self_pairs=True)  # no job
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="sizing pass"):
+        rel.interval_overlap_join(df, df, bucket_days="auto")
 
 
 def test_overlap_shipping_windows_matches_duckdb(spark, sf_correct_dir):
