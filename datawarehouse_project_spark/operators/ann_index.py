@@ -62,6 +62,10 @@ _Q8_SQ = 16129.0
 
 _CENTROIDS_FILE = "centroids.json"
 
+#: Build-time per-cell occupancy sidecar — the baseline the drift
+#: monitor compares against (VERDICT r13 #5).
+_OCCUPANCY_FILE = "occupancy.json"
+
 
 class IvfVectorIndex:
     """Durable IVF+int8 index over an embedding column (see module doc).
@@ -141,6 +145,7 @@ class IvfVectorIndex:
         os.replace(tmp, os.path.join(root, _CENTROIDS_FILE))
         idx = cls(root)
         idx.add_batch(spark, emb, batch_id=0, app_id="ivf-index-build")
+        idx.snapshot_occupancy(spark)
         return idx
 
     def retrained(
@@ -200,6 +205,107 @@ class IvfVectorIndex:
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         return self.table.read(spark)
+
+    # -- drift monitor (VERDICT r13 #5) -----------------------------------
+    # The class docstring names cell-occupancy as the cheap drift signal;
+    # these close the loop: a baseline snapshot persisted at quantizer
+    # time, a per-cell comparison frame, and an integer-exact summary a
+    # threshold test (or an alerting job) consumes. State is O(K) cells —
+    # never corpus-sized — so the monitor costs one bounded agg over the
+    # index, no float scan, no corpus rescan.
+
+    def occupancy(self, spark: SparkSession) -> DataFrame:
+        """Current per-cell row counts ``(cluster_id, n)`` — one bounded
+        agg over the stored index (≤ K output rows)."""
+        return (
+            self.read(spark)
+            .groupBy("cluster_id")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    def snapshot_occupancy(self, spark: SparkSession) -> None:
+        """Persist the CURRENT per-cell occupancy as the drift baseline
+        (``<root>/occupancy.json``). Called by :meth:`build` after the
+        batch-0 ingest — the distribution the quantizer was trained to
+        represent; ``add_batch`` deliberately never refreshes it (the
+        baseline moving with the drift would blind the monitor). Callers
+        ingesting their corpus through bare ``add_batch`` snapshot
+        explicitly once ingest is complete."""
+        rows = self.occupancy(spark).collect()  # bounded: ≤ K cells
+        tmp = os.path.join(self.root, _OCCUPANCY_FILE + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({str(r["cluster_id"]): r["n"] for r in rows}, fh)
+        os.replace(tmp, os.path.join(self.root, _OCCUPANCY_FILE))
+
+    def occupancy_drift(self, spark: SparkSession) -> DataFrame:
+        """Per-cell baseline-vs-current comparison:
+        ``(cluster_id, base_n, cur_n)``, zero-filled on either side — the
+        monitor's detail view (drifted mass shows up as cells with
+        ``cur_n`` mass far off their baseline share, typically cells the
+        baseline barely populated). Baseline side is a ≤K-row local
+        relation; no corpus work beyond :meth:`occupancy`'s one agg."""
+        path = os.path.join(self.root, _OCCUPANCY_FILE)
+        if not os.path.exists(path):
+            raise ValueError(
+                f"no occupancy baseline at {path}; call snapshot_occupancy "
+                "after the initial ingest"
+            )
+        with open(path) as fh:
+            base = json.load(fh)
+        base_df = spark.createDataFrame(
+            [(int(cid), int(n)) for cid, n in base.items()],
+            "cluster_id int, base_n bigint",
+        )
+        return (
+            self.occupancy(spark)
+            .withColumnRenamed("n", "cur_n")
+            .join(base_df, "cluster_id", "full_outer")
+            .select(
+                "cluster_id",
+                F.coalesce("base_n", F.lit(0)).cast("bigint").alias("base_n"),
+                F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
+            )
+        )
+
+    def drift_stats(self, spark: SparkSession) -> DataFrame:
+        """One-row summary for thresholding: total-variation distance
+        between the baseline and current cell-occupancy distributions,
+        computed ORDER-FREE as an integer numerator
+        ``tv_num = Σ|cur_n·N_base − base_n·N_cur|`` with
+        ``tv = tv_num / (2·N_base·N_cur)`` — exact regardless of
+        aggregation order (the repo's integer-sum recipe), so a
+        threshold compare is deterministic. Also reports cell counts:
+        drifted mass typically RAISES ``cells_cur`` (scatter into cells
+        the baseline barely used)."""
+        detail = self.occupancy_drift(spark)
+        totals = detail.agg(
+            F.sum("base_n").cast("bigint").alias("n_base"),
+            F.sum("cur_n").cast("bigint").alias("n_cur"),
+            F.sum((F.col("base_n") > 0).cast("bigint")).alias("cells_base"),
+            F.sum((F.col("cur_n") > 0).cast("bigint")).alias("cells_cur"),
+        )
+        return (
+            detail.crossJoin(F.broadcast(totals))
+            .agg(
+                F.first("n_base").alias("n_base"),
+                F.first("n_cur").alias("n_cur"),
+                F.first("cells_base").alias("cells_base"),
+                F.first("cells_cur").alias("cells_cur"),
+                F.sum(
+                    F.abs(
+                        F.col("cur_n") * F.col("n_base")
+                        - F.col("base_n") * F.col("n_cur")
+                    )
+                )
+                .cast("bigint")
+                .alias("tv_num"),
+            )
+            .withColumn(
+                "tv",
+                F.col("tv_num")
+                / (F.lit(2.0) * F.col("n_base") * F.col("n_cur")),
+            )
+        )
 
     def compact(self, spark: SparkSession, target_files: int | None = None):
         """OPTIMIZE the index table, range-clustered by ``cluster_id`` —

@@ -1621,12 +1621,14 @@ def served_vector_index(spark: SparkSession, sf_dir: str):
     from .ann_index import IvfVectorIndex
 
     def build(root: str) -> None:
-        IvfVectorIndex(root).add_batch(
+        idx = IvfVectorIndex(root)
+        idx.add_batch(
             spark,
             spread(spark, table(spark, sf_dir, "embeddings")),
             batch_id=0,
             app_id="served-index",
         )
+        idx.snapshot_occupancy(spark)  # drift-monitor baseline
 
     return IvfVectorIndex(_SERVED_INDEX_MEMO.get_or_build(sf_dir, build))
 
@@ -1751,3 +1753,39 @@ def similarity_ivf_binary_funnel_topk(
     return idx.query_funnel_topk(
         spark, emb.filter(F.col("vec_id") < N_QUERIES), emb
     )
+
+
+def _drift_monitor_oracle() -> str:
+    """Lazy (shared centroids interpolate at first access): the served
+    index at the registered fixture has had no appends since its
+    baseline snapshot, so base_n == cur_n == the assignment counts —
+    which DuckDB recomputes independently from the embeddings, making
+    this row a full cross-engine check of the IVF assignment itself."""
+    return f"""
+SELECT {_duck_ivf_cluster("embedding")} AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS base_n,
+       CAST(COUNT(*) AS BIGINT) AS cur_n
+FROM embeddings
+GROUP BY 1
+"""
+
+
+@register(
+    "similarity_index_drift_monitor",
+    driver_facing=False,  # window full at 50; r15 rotation candidate
+    oracle=_drift_monitor_oracle,
+)
+def similarity_index_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The cell-occupancy drift monitor over the served vector index
+    (VERDICT r13 #5): per-cell ``(cluster_id, base_n, cur_n)`` against
+    the baseline snapshot persisted when the index was built. The
+    thresholded summary (integer-exact total-variation distance) is
+    ``IvfVectorIndex.drift_stats``; its trip-on-drift /
+    quiet-on-in-distribution contract is pinned on the planted drift
+    fixture in tests/test_ann_index.py::test_drift_monitor_thresholds.
+    Cost: one bounded agg over the index (≤ K cells out), no float
+    scan, no corpus rescan."""
+    prepare(spark)
+    return served_vector_index(spark, sf_dir).occupancy_drift(spark)

@@ -563,3 +563,66 @@ def test_frozen_centroid_drift_contract(spark, tmp_path):
     assert len(retr_cells) <= N_PROBES + 1, retr_cells
     # blue/green: the original index is untouched and still serves
     assert drift_cell_sizes(idx) == frozen_cells
+
+
+def test_drift_monitor_thresholds(spark, tmp_path):
+    """VERDICT r13 #5: the registered cell-occupancy monitor trips on
+    the drifted batch and stays quiet on in-distribution appends —
+    thresholded on the same planted geometry as
+    test_frozen_centroid_drift_contract."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(600, 64))
+    base[:, 32:] *= 0.05  # base mass lives in dims 0..31
+    drift = rng.normal(size=(300, 64))
+    drift[:, :32] *= 0.05  # drifted mass lives in dims 32..63
+    drift[:, 40] += 4.0
+    allv = np.vstack([base, drift])
+    allv = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in allv[i]]) for i in range(lo, hi)],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    # measured on this fixture: quiet tv = 0.05, drifted tv = 0.19 —
+    # 0.1 sits between with ~2x margin on both sides
+    THRESH = 0.1
+
+    # quiet case: 300 more vectors from the SAME distribution
+    quiet = IvfVectorIndex.build(spark, frame(0, 300), str(tmp_path / "quiet"))
+    quiet.add_batch(spark, frame(300, 600), batch_id=1)
+    qs = quiet.drift_stats(spark).collect()[0]
+    assert qs.n_base == 300 and qs.n_cur == 600
+    assert qs.tv == qs.tv_num / (2.0 * qs.n_base * qs.n_cur)
+    assert qs.tv < THRESH, qs.tv
+
+    # tripped case: the shifted batch scatters into new cells
+    hot = IvfVectorIndex.build(spark, frame(0, 300), str(tmp_path / "hot"))
+    hot.add_batch(spark, frame(600, 900), batch_id=1)
+    hs = hot.drift_stats(spark).collect()[0]
+    assert hs.tv > THRESH, hs.tv
+    assert hs.tv > 2 * qs.tv  # clear separation, not a knife-edge
+
+    # detail view zero-fills both sides and conserves mass
+    det = hot.occupancy_drift(spark)
+    sums = det.agg(
+        F.sum("base_n").alias("b"), F.sum("cur_n").alias("c")
+    ).collect()[0]
+    assert (sums.b, sums.c) == (300, 600)
+
+
+def test_drift_monitor_requires_baseline(spark, tmp_path):
+    """Bare add_batch ingest (no build(), no explicit snapshot) gives a
+    loud error, not a silently-empty baseline."""
+    import pytest
+
+    idx = IvfVectorIndex(str(tmp_path / "nobase"))
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").limit(20)
+    idx.add_batch(spark, emb, batch_id=0)
+    with pytest.raises(ValueError, match="occupancy baseline"):
+        idx.occupancy_drift(spark)
+    idx.snapshot_occupancy(spark)
+    assert idx.drift_stats(spark).collect()[0].tv == 0.0
