@@ -59,6 +59,19 @@ def bench_pair(spark, sf_dir: str, family: str) -> dict:
             "recompute": qs["lexical_bm25_topk"],
             "from_store": qs["lexical_bm25_from_store"],
         }
+    elif family == "tfidf":
+        from datawarehouse_project_spark.operators.retrieval import (
+            served_shingle_postings,
+        )
+
+        n_source = table(spark, sf_dir, "documents").count()
+        t0 = time.perf_counter()
+        roll = served_shingle_postings(spark, sf_dir)  # one-time fold
+        build_sec = time.perf_counter() - t0
+        variants = {
+            "recompute": qs["lexical_tfidf_cosine_pairs"],
+            "from_store": qs["lexical_tfidf_from_store"],
+        }
     else:
         from datawarehouse_project_spark.plans.olap_extra import (
             served_product_rollup,
@@ -111,7 +124,7 @@ def main() -> None:
     spark = get_spark("dwspark-bench-serving")
     spark.sparkContext.setLogLevel("ERROR")
     families = tuple(
-        os.environ.get("SERVING_FAMILIES", "hourly,q01,bm25").split(",")
+        os.environ.get("SERVING_FAMILIES", "hourly,q01,bm25,tfidf").split(",")
     )
     for sf_dir in sys.argv[1:]:
         for family in families:

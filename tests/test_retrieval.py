@@ -265,3 +265,50 @@ def test_tfidf_plan_shape(spark, sf_dir):
     # the only nested-loop is the 1-row n_docs broadcast (BM25 idiom);
     # more would mean the weighted subtree is being replanned per consumer
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tfidf_from_store_equals_from_text(spark, sf_correct_dir):
+    """The maintained shingle-postings store must answer the pairs query
+    bit-for-bit like the compute-from-text form (shared oracle)."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    a = all_queries()["lexical_tfidf_cosine_pairs"](
+        spark, sf_correct_dir
+    ).collect()
+    b = all_queries()["lexical_tfidf_from_store"](
+        spark, sf_correct_dir
+    ).collect()
+    assert len(a) > 0
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_tfidf_from_store_plan_touches_no_corpus_text(spark, sf_correct_dir):
+    """The serving contract: the query plan reads only the (doc_id, w,
+    sum_tf) state — no documents scan, no shingling expression."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    df = all_queries()["lexical_tfidf_from_store"](spark, sf_correct_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+
+
+def test_served_shingles_rebuild_on_source_rewrite(spark, tmp_path):
+    from datawarehouse_project_spark.catalog import all_queries
+
+    sf = str(tmp_path / "sfs")
+
+    def write(docs):
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string"
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    q = all_queries()["lexical_tfidf_from_store"]
+    # two docs sharing their 3-gram shingles exactly -> cosine 1.0
+    write([(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+           (3, "zeta eta theta iota")])
+    first = {(r.doc_a, r.doc_b) for r in q(spark, sf).collect()}
+    assert (1, 2) in first
+    write([(7, "one two three four"), (8, "one two three four"),
+           (9, "five six seven eight")])
+    second = {(r.doc_a, r.doc_b) for r in q(spark, sf).collect()}
+    assert (7, 8) in second and (1, 2) not in second
