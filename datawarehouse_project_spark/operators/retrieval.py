@@ -288,6 +288,67 @@ def served_postings(spark: SparkSession, sf_dir: str):
     return handle(_postings_memo().get_or_build(sf_dir, build))
 
 
+class StreamingPostingsStore:
+    """BM25 postings maintained from an UNBOUNDED document stream — the
+    ``foreachBatch`` twin of :func:`served_postings` (VERDICT r13 #4),
+    the same glue discipline as ``StreamingLshDedup``:
+
+        (spark.readStream...
+           .writeStream.foreachBatch(
+               lambda bdf, bid: store.apply_batch(spark, bdf, batch_id=bid))
+           ...)
+
+    tf is ADDITIVE, so the fold is exact under any micro-batching of the
+    corpus — including one document's rows split across batches (the
+    partial counts sum to the same postings). Exactly-once under replay:
+    the fold inherits ``IncrementalRollup``'s (app_id, batch_id) writer
+    ledger, so an at-least-once upstream re-delivering a committed epoch
+    changes nothing (replay-pinned in tests/test_postings_stream.py).
+    Serving reads the state through the same
+    :func:`lexical_topk_from_postings` plan as every other postings
+    consumer — df/dl/corpus stats derive from state, the corpus text is
+    never rescanned."""
+
+    def __init__(self, root: str) -> None:
+        from .incremental import IncrementalRollup
+
+        self.rollup = IncrementalRollup(
+            root, keys=["doc_id", "w"], sum_cols=["tf"]
+        )
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "postings-stream",
+    ) -> int:
+        """Fold one micro-batch of ``(doc_id, text)`` rows into the
+        postings state; idempotent under replay with ``batch_id``."""
+        return self.rollup.apply_batch(
+            spark,
+            term_counts(batch.filter(F.col("text").isNotNull())),
+            batch_id=batch_id,
+            app_id=app_id,
+        )
+
+    def counts(self, spark: SparkSession) -> DataFrame:
+        """The folded postings as ``(doc_id, w, tf)``."""
+        state = self.rollup.read(spark)
+        if state is None:
+            raise ValueError("empty postings store: no batch applied yet")
+        return state.select(
+            "doc_id", "w", F.col("sum_tf").cast("bigint").alias("tf")
+        )
+
+    def topk(
+        self, spark: SparkSession, queries: DataFrame, k: int = LEXICAL_K
+    ) -> DataFrame:
+        """Serve BM25 top-k from the streamed state (bit-identical to the
+        batch operator over the same corpus — equivalence-tested)."""
+        return lexical_topk_from_postings(self.counts(spark), queries, k=k)
+
+
 @register(
     "lexical_bm25_from_store",
     # r14 rotation IN (VERDICT r13 #1): the postings-store serving twin
