@@ -55,6 +55,72 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    gap_s: int,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-merged event-time SESSION windows per user over a stream —
+    the streaming form of ``events_session_window_native`` (its
+    docstring's "runs unchanged on a stream" claim, made a tested
+    fact). Same output shape as the batch twin, so equivalence is a
+    direct row-set compare.
+
+    State & scale: one state row per OPEN session per user; the
+    watermark both finalizes sessions (no event can extend a session
+    whose close predates the watermark) and evicts their state — the
+    bounded-state property that lets this run forever. Session merging
+    (two open sessions bridged by a late-but-in-watermark event) is the
+    engine's job, not ours."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            "user_id", F.session_window(ts_col, f"{gap_s} seconds").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    sink: callable,
+    gap_s: int,
+    watermark: str = "2 hours",
+    files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drive :func:`session_counts` over a file stream; COMPLETE output
+    for the availableNow drain, same finite-drain contract (and caveat)
+    as :func:`run_windowed_stream` — the long-running deployment uses
+    append mode, where the watermark emits each session exactly once at
+    finalization and evicts its state."""
+    prepare(spark)
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(source_dir)
+    )
+    agg = session_counts(stream, gap_s, watermark)
+
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, bid: sink(df, bid))
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+
+
 def run_windowed_stream(
     spark: SparkSession,
     source_dir: str,

@@ -576,3 +576,57 @@ def test_events_hourly_from_store_equals_batch_twin(spark, sf_dir):
     served = sorted(map(tuple, aq["events_hourly_from_store"](spark, sf_dir).collect()))
     batch = sorted(map(tuple, aq["events_hourly_windows"](spark, sf_dir).collect()))
     assert served == batch
+
+
+def test_session_stream_equals_batch_native(spark, chunked_events, tmp_path):
+    """Streaming gap-merged session windows == the batch native operator
+    (the 'runs unchanged on a stream' claim of
+    events_session_window_native, made a tested fact). The chunk fixture
+    splits by event_id, so every micro-batch spans the month — sessions
+    MERGE across batches as their members arrive out of order, which is
+    exactly the state machinery under test; the watermark covers the
+    disorder like the stream-stream join test."""
+    from datawarehouse_project_spark.catalog import all_queries
+    from datawarehouse_project_spark.operators.events import SESSION_GAP_S
+    from datawarehouse_project_spark.streaming.windows import (
+        run_session_stream,
+    )
+
+    src, schema = chunked_events
+
+    last = {}
+    run_session_stream(
+        spark,
+        src,
+        schema,
+        sink=lambda df, bid: last.update({"rows": df.collect(), "bid": bid}),
+        gap_s=SESSION_GAP_S,
+        watermark="40 days",
+        files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "ckpt_sess"),
+    )
+    assert last["bid"] >= 2, "stream must process multiple chunks"
+    streamed = sorted(map(str, last["rows"]))
+
+    # batch twin over the SAME chunked source rows
+    ev = spark.read.schema(schema).parquet(src)
+    batch = (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    assert streamed == _collect_sorted(batch)
+    assert len(streamed) > 100
+    # and the batch twin is itself the oracle-checked registered query
+    reg = all_queries()["events_session_window_native"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert _collect_sorted(reg) == _collect_sorted(batch)
