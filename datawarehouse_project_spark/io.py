@@ -100,17 +100,22 @@ BOUNDED_POSTINGS_BYTES = 1 << 30
 
 
 def source_size_bytes(sf_dir: str, name: str) -> int | None:
-    """Total bytes of ``name``'s parquet (file or directory of part
-    files) under ``sf_dir`` — None when not stat-able (remote/object
-    stores), in which case callers should assume BIG."""
+    """Total bytes of ``name``'s parquet (file or directory tree of part
+    files — a partitionBy layout nests data under key subdirs, so the
+    walk must be RECURSIVE or such a table reads as ~0 bytes and the
+    size-based chooser picks the unsafe form; r14 review finding) under
+    ``sf_dir`` — None when not stat-able (remote/object stores), in
+    which case callers should assume BIG."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"
     try:
         if os.path.isdir(path):
-            return sum(
-                e.stat().st_size for e in os.scandir(path) if e.is_file()
-            )
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.stat(os.path.join(root, f)).st_size
+            return total
         return os.stat(path).st_size
     except OSError:
         return None

@@ -272,39 +272,34 @@ class IvfVectorIndex:
         between the baseline and current cell-occupancy distributions,
         computed ORDER-FREE as an integer numerator
         ``tv_num = Σ|cur_n·N_base − base_n·N_cur|`` with
-        ``tv = tv_num / (2·N_base·N_cur)`` — exact regardless of
-        aggregation order (the repo's integer-sum recipe), so a
-        threshold compare is deterministic. Also reports cell counts:
-        drifted mass typically RAISES ``cells_cur`` (scatter into cells
-        the baseline barely used)."""
-        detail = self.occupancy_drift(spark)
-        totals = detail.agg(
-            F.sum("base_n").cast("bigint").alias("n_base"),
-            F.sum("cur_n").cast("bigint").alias("n_cur"),
-            F.sum((F.col("base_n") > 0).cast("bigint")).alias("cells_base"),
-            F.sum((F.col("cur_n") > 0).cast("bigint")).alias("cells_cur"),
+        ``tv = tv_num / (2·N_base·N_cur)`` — exact Python-integer
+        arithmetic over the ≤K collected detail rows, so a threshold
+        compare is deterministic. The per-cell detail is collected ONCE
+        (bounded: one row per cell — the same sanctioned class as the
+        baseline snapshot); a plan-side totals-then-crossJoin form would
+        re-execute the index aggregation twice per call (r14 review
+        finding). Also reports cell counts: drifted mass typically
+        RAISES ``cells_cur`` (scatter into cells the baseline barely
+        used)."""
+        rows = self.occupancy_drift(spark).collect()  # bounded: ≤ K cells
+        n_base = sum(r["base_n"] for r in rows)
+        n_cur = sum(r["cur_n"] for r in rows)
+        tv_num = sum(
+            abs(r["cur_n"] * n_base - r["base_n"] * n_cur) for r in rows
         )
-        return (
-            detail.crossJoin(F.broadcast(totals))
-            .agg(
-                F.first("n_base").alias("n_base"),
-                F.first("n_cur").alias("n_cur"),
-                F.first("cells_base").alias("cells_base"),
-                F.first("cells_cur").alias("cells_cur"),
-                F.sum(
-                    F.abs(
-                        F.col("cur_n") * F.col("n_base")
-                        - F.col("base_n") * F.col("n_cur")
-                    )
+        return spark.createDataFrame(
+            [
+                (
+                    n_base,
+                    n_cur,
+                    sum(1 for r in rows if r["base_n"] > 0),
+                    sum(1 for r in rows if r["cur_n"] > 0),
+                    tv_num,
+                    tv_num / (2.0 * n_base * n_cur) if n_base and n_cur else 0.0,
                 )
-                .cast("bigint")
-                .alias("tv_num"),
-            )
-            .withColumn(
-                "tv",
-                F.col("tv_num")
-                / (F.lit(2.0) * F.col("n_base") * F.col("n_cur")),
-            )
+            ],
+            "n_base bigint, n_cur bigint, cells_base bigint, "
+            "cells_cur bigint, tv_num bigint, tv double",
         )
 
     def compact(self, spark: SparkSession, target_files: int | None = None):

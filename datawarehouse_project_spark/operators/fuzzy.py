@@ -23,15 +23,21 @@ equi-join on the 3-part key, and the exact ``levenshtein() ≤ d``
 residual runs only on the candidate pairs. No pairwise work outside the
 candidates — the same cost shape as the banded LSH dedup operators
 (operators/dedup.py). Skew guard at scale: a very frequent segment
-(shared brand prefix) makes a hot join key; ``seg_cap`` drops blocking
-keys whose SUBSTRING-side frequency exceeds the cap (the df-cap pattern
-of ``dedup.ngram_jaccard_capped``) — candidate fan-out per surviving
-key is then <= seg_cap, at a measured recall cost: a true pair is lost
-only when EVERY untouched segment it could block on is hot (pairs whose
-edits fall in the discriminative segment while only boilerplate
-segments stay intact). Measured on a planted hot-prefix corpus in
-tests/test_fuzzy.py::test_seg_cap_recall_on_hot_prefix; default None
-keeps the registered rows lossless.
+(shared brand prefix/suffix) makes a hot join key; ``seg_cap`` drops
+blocking keys whose SEGMENT-side frequency exceeds the cap (the df-cap
+pattern of ``dedup.ngram_jaccard_capped``). Killing the key on one side
+kills its join output, so the per-key join product drops from
+segfreq×subfreq (quadratic on a boilerplate key) to <= cap×subfreq
+(linear), and the frequency is counted via a WINDOW over the segment
+side — whose partitioning on the join key is exactly what the join
+needs next, so the guard adds NO extra scan or exchange (r14 review:
+an earlier count-then-anti-join draft re-executed a blocking subtree).
+The recall cost: a true pair is lost only when EVERY untouched segment
+it could block on is popular (edits in the discriminative region while
+only boilerplate stays intact). Measured on a planted hot-suffix corpus
+in tests/test_fuzzy.py::test_seg_cap_recall_on_hot_suffix; wall-clock
+evidence in scripts/bench_fuzzy_cap.py; default None keeps the
+registered rows lossless.
 
 Everything is Catalyst expressions (substring/transform/sequence) — no
 Python in the row path; ``F.levenshtein`` is a JVM built-in.
@@ -146,20 +152,21 @@ def _substring_side(s: DataFrame, d: int, id_alias: str) -> DataFrame:
     )
 
 
-def _drop_hot_keys(seg: DataFrame, sub: DataFrame, seg_cap: int) -> DataFrame:
-    """The hot-segment guard: anti-join away blocking keys whose
-    substring-side frequency exceeds ``seg_cap``. Frequency is counted
-    on the substring side (the larger constant fan-out — it bounds the
-    join product); killing the key on ONE side kills its join output.
-    The count agg has constant-size buffers at any key frequency, so
-    the guard itself carries no hot-key hazard."""
-    hot = (
-        sub.groupBy("l", "i", "seg")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > seg_cap)
-        .select("l", "i", "seg")
+def _drop_hot_keys(seg: DataFrame, seg_cap: int) -> DataFrame:
+    """The hot-segment guard: drop blocking keys whose segment-side
+    frequency exceeds ``seg_cap``, via a COUNT window over the join key
+    — one pass, constant-size state per key, and the window's hash
+    partitioning on (l, i, seg) is the exact clustering the blocking
+    equi-join consumes next, so the guard adds no extra scan or
+    exchange (plan-pinned in tests/test_fuzzy.py)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l", "i", "seg")
+    return (
+        seg.withColumn("_kf", F.count("*").over(w))
+        .filter(F.col("_kf") <= seg_cap)
+        .drop("_kf")
     )
-    return seg.join(hot, ["l", "i", "seg"], "left_anti")
 
 
 def candidate_pairs(s: DataFrame, d: int, seg_cap: int | None = None) -> DataFrame:
@@ -167,7 +174,7 @@ def candidate_pairs(s: DataFrame, d: int, seg_cap: int | None = None) -> DataFra
     sharing at least one ``(len, seg_idx, segment)`` key between the
     segment and substring sides. With ``seg_cap=None`` (default) this is
     LOSSLESS — a superset of all true pairs (pigeonhole); with a cap,
-    keys hotter than ``seg_cap`` on the substring side are dropped (see
+    keys hotter than ``seg_cap`` on the segment side are dropped (see
     module docstring for the recall contract). Exposed separately so
     tests can measure the pruning ratio the module docstring claims.
     ``s``: (id, s) with non-null strings."""
@@ -176,7 +183,7 @@ def candidate_pairs(s: DataFrame, d: int, seg_cap: int | None = None) -> DataFra
     seg_side = _segment_side(s, d, "a_id")
     sub_side = _substring_side(s, d, "b_id")
     if seg_cap is not None:
-        seg_side = _drop_hot_keys(seg_side, sub_side, seg_cap)
+        seg_side = _drop_hot_keys(seg_side, seg_cap)
     main = (
         seg_side.join(sub_side, ["l", "i", "seg"])
         .filter(F.col("a_id") != F.col("b_id"))
@@ -314,8 +321,8 @@ def candidate_pairs_two_table(
     seg1, sub1 = _segment_side(left, d, "a_id"), _substring_side(right, d, "b_id")
     seg2, sub2 = _segment_side(right, d, "b_id"), _substring_side(left, d, "a_id")
     if seg_cap is not None:
-        seg1 = _drop_hot_keys(seg1, sub1, seg_cap)
-        seg2 = _drop_hot_keys(seg2, sub2, seg_cap)
+        seg1 = _drop_hot_keys(seg1, seg_cap)
+        seg2 = _drop_hot_keys(seg2, seg_cap)
     c1 = seg1.join(sub1, ["l", "i", "seg"]).select("a_id", "b_id")
     c2 = seg2.join(sub2, ["l", "i", "seg"]).select("a_id", "b_id")
 

@@ -100,7 +100,7 @@ def test_jaccard_bounded_plan_semi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_bounded_posting_build_chooser(monkeypatch, sf_dir):
+def test_bounded_posting_build_chooser(monkeypatch, sf_dir, tmp_path):
     """os.stat-only selection: fixtures stay on the one-scan form, large
     or un-stat-able sources get the bounded form. No Spark job involved
     (the function takes no session)."""
@@ -112,12 +112,35 @@ def test_bounded_posting_build_chooser(monkeypatch, sf_dir):
     assert io.bounded_posting_build(sf_dir) is True  # above threshold
 
 
+def test_source_size_bytes_recurses_partitioned_layout(tmp_path):
+    """A partitionBy layout nests its data files under key subdirs; the
+    size sum must be recursive or such a corpus reads as ~0 bytes and
+    the chooser picks the unsafe one-scan form at exactly the scale the
+    guard exists for (r14 review finding)."""
+    from datawarehouse_project_spark import io
+
+    root = tmp_path / "documents.parquet"
+    (root / "part=0").mkdir(parents=True)
+    (root / "part=0" / "data.parquet").write_bytes(b"x" * 1000)
+    (root / "part=1").mkdir()
+    (root / "part=1" / "data.parquet").write_bytes(b"y" * 500)
+    (root / "_SUCCESS").write_bytes(b"")
+    assert io.source_size_bytes(str(tmp_path), "documents") == 1500
+
+
 def test_registered_queries_auto_select_onescan_at_fixture(spark, sf_dir):
     """At fixture scale both registered queries must keep the (faster)
-    one-scan plan: no join on the shingle key anywhere."""
+    one-scan plan. The bounded tfidf plan's marker is an INNER join on
+    w (it never uses LeftSemi — asserting only LeftSemi absence would be
+    vacuous there; r14 review finding), so pin the absence of ANY join
+    on the shingle key plus the df-count aggregate."""
     from datawarehouse_project_spark.catalog import all_queries
 
     plan = _plan(all_queries()["lexical_tfidf_cosine_pairs"](spark, sf_dir))
-    assert "LeftSemi" not in plan
+    for j in ("ShuffledHashJoin [w", "SortMergeJoin [w", "BroadcastHashJoin [w",
+              "LeftSemi"):
+        assert j not in plan, j
     plan = _plan(all_queries()["dedup_ngram_jaccard_capped"](spark, sf_dir))
-    assert "LeftSemi" not in plan
+    for j in ("ShuffledHashJoin [sgh", "SortMergeJoin [sgh",
+              "BroadcastHashJoin [sgh", "LeftSemi"):
+        assert j not in plan, j

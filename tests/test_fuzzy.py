@@ -261,3 +261,24 @@ def test_seg_cap_two_table_guard(spark):
     # kept pairs are (even, odd) by construction and must survive
     for p in kept_pairs:
         assert p in got, p
+
+
+def test_seg_cap_window_adds_no_exchange(spark):
+    """The guard's no-extra-cost claim, pinned: the capped candidate
+    plan has no MORE shuffles than the lossless one (the frequency
+    window's hash partitioning on the join key is reused by the join)
+    and no extra scan of the substring subtree."""
+    rows, _, _ = _hot_suffix_corpus()
+    s = spark.createDataFrame(rows, "id bigint, s string").select("id", "s")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    lossless = plan(candidate_pairs(s, 2))
+    capped = plan(candidate_pairs(s, 2, seg_cap=20))
+    assert capped.count("Exchange") <= lossless.count("Exchange")
+    # the substring-side generator fan-out appears once per direction in
+    # both plans — the guard must not replan that subtree
+    assert capped.count("Generate explode(array(struct(la") == lossless.count(
+        "Generate explode(array(struct(la"
+    )
