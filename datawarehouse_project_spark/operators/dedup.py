@@ -170,6 +170,9 @@ def _duck_bands() -> str:
 @register(
     "dedup_minhash_lsh_pairs",
     headline=True,
+    driver_facing=False,  # r14 rotation (second swap): driver-green
+    # r1-r13; slot ceded to similarity_index_drift_monitor. pytest oracle
+    # remains; stays a bench headline.
     oracle=f"""
 WITH {_DUCK_SIG},
 bands AS ({_duck_bands()}),

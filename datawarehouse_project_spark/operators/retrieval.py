@@ -676,7 +676,8 @@ def served_shingle_postings(spark: SparkSession, sf_dir: str):
 
 @register(
     "lexical_tfidf_from_store",
-    driver_facing=False,  # window full at 50; r15 rotation candidate
+    # r14 rotation IN (second swap): the shingle-store serving twin earns
+    # a driver row; text_pii_redaction ceded.
     # Same oracle as lexical_tfidf_cosine_pairs: the maintained shingle
     # index must answer the pairs query exactly.
     oracle=_TFIDF_ORACLE,

@@ -1772,7 +1772,9 @@ GROUP BY 1
 
 @register(
     "similarity_index_drift_monitor",
-    driver_facing=False,  # window full at 50; r15 rotation candidate
+    # r14 rotation IN (second swap): the drift monitor earns a driver row
+    # (its oracle independently recomputes the IVF assignment counts);
+    # dedup_minhash_lsh_pairs ceded.
     oracle=_drift_monitor_oracle,
 )
 def similarity_index_drift_monitor(

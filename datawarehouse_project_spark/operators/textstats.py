@@ -613,6 +613,8 @@ def _duck_redact(col: str = "text") -> str:
 
 @register(
     "text_pii_redaction",
+    driver_facing=False,  # r14 rotation (second swap): driver-green
+    # r8-r13; slot ceded to lexical_tfidf_from_store. pytest oracle remains.
     oracle=f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"][0]}')) AS BIGINT) AS n_emails,

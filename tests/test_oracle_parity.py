@@ -94,6 +94,11 @@ def test_driver_catalog_fits_sweep_window():
         "lexical_bm25_from_store",
         "lexical_tfidf_cosine_pairs",
         "fuzzy_part_link_pairs",
+        # r14 rotation IN, second swap: the round's two new operators
+        # (dedup_minhash_lsh_pairs and text_pii_redaction ceded —
+        # driver-green r1-r13 / r8-r13, pytest oracles remain)
+        "similarity_index_drift_monitor",
+        "lexical_tfidf_from_store",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
