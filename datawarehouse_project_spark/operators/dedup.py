@@ -1077,6 +1077,7 @@ def ngram_containment_pairs(
     sf_dir: str,
     threshold: float = CONTAINMENT_T,
     df_cap: int = DF_CAP,
+    bounded: bool = False,
 ) -> DataFrame:
     """DIRECTED near-dup: containment(src→dst) = |src ∩ dst| / |src| over
     the df-capped shingle universe — the asymmetric signal Jaccard
@@ -1087,18 +1088,33 @@ def ngram_containment_pairs(
     fan-out ≤ df_cap(df_cap−1)/2 per shingle at any corpus size; emits
     BOTH directions of each sharing pair so the consumer filters per
     side. Integer/integer division keeps the score bit-identical
-    cross-engine."""
+    cross-engine. ``bounded`` selects the df-first build exactly as in
+    :func:`ngram_jaccard_pairs` (same single-key buffer hazard, same
+    bit-identical results; auto-selected at the registered entry)."""
     sh = doc_shingle_frame(spark, sf_dir)
     inv = (
         sh.select("doc_id", F.explode("sgs").alias("sg"))
         .withColumn("sgh", F.xxhash64("sg"))
         .drop("sg")
     )
-    posting = (
-        inv.groupBy("sgh")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") <= df_cap)
-    )
+    if bounded:
+        ok = (
+            inv.groupBy("sgh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("sgh")
+        )
+        posting = (
+            inv.join(ok, "sgh", "semi")
+            .groupBy("sgh")
+            .agg(F.collect_list("doc_id").alias("docs"))
+        )
+    else:
+        posting = (
+            inv.groupBy("sgh")
+            .agg(F.collect_list("doc_id").alias("docs"))
+            .filter(F.size("docs") <= df_cap)
+        )
     shared = (
         posting.select(F.explode("docs").alias("d1"), "docs")
         .select("d1", F.explode("docs").alias("d2"))
@@ -1146,7 +1162,11 @@ WHERE CAST(s.shared AS DOUBLE) / sz.n_sg >= {CONTAINMENT_T}
 """,
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_containment_pairs(spark, sf_dir)
+    from ..io import bounded_posting_build
+
+    return ngram_containment_pairs(
+        spark, sf_dir, bounded=bounded_posting_build(sf_dir)
+    )
 
 
 # --------------------------------------------------------------------------

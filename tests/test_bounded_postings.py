@@ -144,3 +144,26 @@ def test_registered_queries_auto_select_onescan_at_fixture(spark, sf_dir):
     for j in ("ShuffledHashJoin [sgh", "SortMergeJoin [sgh",
               "BroadcastHashJoin [sgh", "LeftSemi"):
         assert j not in plan, j
+
+
+def test_containment_bounded_equals_onescan(spark, sf_dir):
+    from datawarehouse_project_spark.operators.dedup import (
+        CONTAINMENT_T,
+        DF_CAP,
+        ngram_containment_pairs,
+    )
+
+    base = {
+        (r.src_doc, r.dst_doc): (r.n_src, r.containment)
+        for r in ngram_containment_pairs(
+            spark, sf_dir, CONTAINMENT_T, DF_CAP, bounded=False
+        ).collect()
+    }
+    bounded = {
+        (r.src_doc, r.dst_doc): (r.n_src, r.containment)
+        for r in ngram_containment_pairs(
+            spark, sf_dir, CONTAINMENT_T, DF_CAP, bounded=True
+        ).collect()
+    }
+    assert base, "fixture plants containment pairs"
+    assert bounded == base  # bit-exact
