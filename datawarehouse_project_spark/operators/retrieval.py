@@ -307,11 +307,18 @@ class StreamingPostingsStore:
     Serving reads the state through the same
     :func:`lexical_topk_from_postings` plan as every other postings
     consumer — df/dl/corpus stats derive from state, the corpus text is
-    never rescanned."""
+    never rescanned.
 
-    def __init__(self, root: str) -> None:
+    ``counts_fn`` generalizes the unit of state: the default
+    :func:`term_counts` streams the unigram BM25 postings; pass
+    :func:`shingle_counts_of` to stream the word-3-gram store that
+    serves TF-IDF pairs (any per-batch ``(doc_id, w, tf)`` builder whose
+    tf is additive works — the fold is the same rollup either way)."""
+
+    def __init__(self, root: str, counts_fn=term_counts) -> None:
         from .incremental import IncrementalRollup
 
+        self.counts_fn = counts_fn
         self.rollup = IncrementalRollup(
             root, keys=["doc_id", "w"], sum_cols=["tf"]
         )
@@ -327,7 +334,7 @@ class StreamingPostingsStore:
         postings state; idempotent under replay with ``batch_id``."""
         return self.rollup.apply_batch(
             spark,
-            term_counts(batch.filter(F.col("text").isNotNull())),
+            self.counts_fn(batch.filter(F.col("text").isNotNull())),
             batch_id=batch_id,
             app_id=app_id,
         )
@@ -418,23 +425,17 @@ TFIDF_COSINE = (
 TFIDF_THRESHOLD = 0.35
 
 
-def shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency postings over rolling word 3-grams:
-    ``(doc_id, w=xxhash64(gram), tf)`` for docs with >= 3 words.
-
-    Same parallelism posture as dedup.doc_shingle_frame: repartition
-    before the interpreted higher-order gram lambda, SQL-text expression
-    construction (one parser call, no per-node py4j round-trips)."""
+def shingle_counts_of(docs: DataFrame) -> DataFrame:
+    """Frequency postings over rolling word 3-grams for a ``(doc_id,
+    text)`` frame: ``(doc_id, w=xxhash64(gram), tf)`` for docs with
+    >= 3 words. The per-batch builder — also the streaming fold's unit
+    (gram tf is additive across appended batches exactly like unigram
+    tf)."""
     from ..functions.text import word_grams_sql, words_sql
 
-    prepare(spark)
-    docs = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
     grams = (
-        docs.selectExpr("doc_id", f"{words_sql('text')} AS ws")
+        docs.filter(F.col("text").isNotNull())
+        .selectExpr("doc_id", f"{words_sql('text')} AS ws")
         .filter("size(ws) >= 3")
         .selectExpr("doc_id", f"explode({word_grams_sql('ws')}) AS sg")
     )
@@ -442,6 +443,20 @@ def shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.select("doc_id", F.xxhash64("sg").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`shingle_counts_of` over ``sf_dir``'s documents table.
+
+    Same parallelism posture as dedup.doc_shingle_frame: repartition
+    before the interpreted higher-order gram lambda, SQL-text expression
+    construction (one parser call, no per-node py4j round-trips)."""
+    prepare(spark)
+    return shingle_counts_of(
+        table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     )
 
 

@@ -90,3 +90,61 @@ def test_streaming_postings_empty_store_is_loud(spark, tmp_path):
     store = StreamingPostingsStore(str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="empty postings store"):
         store.counts(spark)
+
+
+def test_streaming_shingle_store_serves_tfidf(spark, sf_dir, tmp_path):
+    """The generalized fold (counts_fn=shingle_counts_of) streams the
+    word-3-gram store; TF-IDF pairs served from the streamed state are
+    bit-identical to the batch registered query, and replay is a
+    no-op."""
+    from datawarehouse_project_spark.catalog import all_queries
+    from datawarehouse_project_spark.operators.retrieval import (
+        shingle_counts_of,
+        tfidf_cosine_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.withColumn("part", (F.col("doc_id") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    store = StreamingPostingsStore(
+        str(tmp_path / "shingles"), counts_fn=shingle_counts_of
+    )
+
+    def run():
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: store.apply_batch(spark, bdf, batch_id=bid)
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    streamed = sorted(
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in tfidf_cosine_pairs(store.counts(spark), bounded=True).collect()
+    )
+    batch = sorted(
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in all_queries()["lexical_tfidf_cosine_pairs"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert streamed == batch and len(streamed) > 0
+
+    version = store.rollup.table.current_version()
+    run()  # full replay
+    assert store.rollup.table.current_version() == version
