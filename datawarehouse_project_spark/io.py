@@ -87,49 +87,6 @@ def on_refresh(fn):
     return fn
 
 
-#: Source-size threshold above which posting-list builders switch to the
-#: df-first bounded-buffer form (VERDICT r13 #2): below it the one-scan
-#: collect_list-then-cap form wins (one fewer postings exchange); above
-#: it a single ultra-common term's UNCAPPED agg buffer — materialized in
-#: full BEFORE the cap filter can drop it — is an executor OOM hazard,
-#: so df is counted first (constant-size buffers), the capped keys
-#: semi-join the postings, and only then are lists collected. 1 GiB of
-#: source comfortably clears every fixture/replica this repo benches
-#: while engaging the bounded plan long before buffer sizes matter.
-BOUNDED_POSTINGS_BYTES = 1 << 30
-
-
-def source_size_bytes(sf_dir: str, name: str) -> int | None:
-    """Total bytes of ``name``'s parquet (file or directory tree of part
-    files — a partitionBy layout nests data under key subdirs, so the
-    walk must be RECURSIVE or such a table reads as ~0 bytes and the
-    size-based chooser picks the unsafe form; r14 review finding) under
-    ``sf_dir`` — None when not stat-able (remote/object stores), in
-    which case callers should assume BIG."""
-    import os
-
-    path = f"{sf_dir}/{name}.parquet"
-    try:
-        if os.path.isdir(path):
-            total = 0
-            for root, _dirs, files in os.walk(path):
-                for f in files:
-                    total += os.stat(os.path.join(root, f)).st_size
-            return total
-        return os.stat(path).st_size
-    except OSError:
-        return None
-
-
-def bounded_posting_build(sf_dir: str, name: str = "documents") -> bool:
-    """Pick the posting-build form for ``sf_dir``'s corpus: the df-first
-    bounded-buffer plan when the source is large (or un-stat-able — the
-    safe direction), the one-scan form otherwise. Pure os.stat — no
-    Spark job at plan-build time (the tune_bucket_days lesson)."""
-    size = source_size_bytes(sf_dir, name)
-    return size is None or size >= BOUNDED_POSTINGS_BYTES
-
-
 def source_mtime_ns(sf_dir: str, name: str) -> int | None:
     """mtime of a source table path, or None when it can't be stat'd
     (non-local path) — the shared staleness token for table-handle and

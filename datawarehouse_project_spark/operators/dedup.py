@@ -857,12 +857,14 @@ def ngram_jaccard_pairs(
     fan-out to df_cap per posting list at any corpus size. None = exact.
 
     ``bounded`` (capped path only) selects the df-first build (VERDICT
-    r13 #2): df by COUNT, semi-join ``df <= df_cap`` keys, THEN
-    collect_list — every agg buffer bounded by df_cap entries instead
-    of one buffer per shingle at its full (pre-cap) document frequency;
-    costs one extra postings-sized exchange. Bit-identical results
-    (equality-tested); the registered query auto-selects via
-    io.bounded_posting_build.
+    r13 #2): a COUNT window over the shingle key filters rows above the
+    cap BEFORE any list is collected — every collect buffer is bounded
+    by df_cap entries instead of one buffer per shingle at its full
+    (pre-cap) document frequency, while the window's spillable row
+    buffer carries the hot keys safely. One scan; the window's
+    exchange is reused by the regroup. Bit-identical results
+    (equality-tested), measured free vs one-scan — the registered query
+    passes bounded=True unconditionally (PERFORMANCE r14).
     """
     # Posting-list formulation: ONE groupBy on the shingle hash builds the
     # inverted index as arrays, and pair counting explodes each posting
@@ -937,17 +939,17 @@ def ngram_jaccard_pairs(
         .drop("sg")
     )
     if bounded:
-        # df-first bounded buffers: the COUNT agg is constant-size per
-        # key; the semi-join's sgh partitioning is reused by the
-        # regroup, so the only added cost is the df count's exchange.
-        ok = (
-            inv.groupBy("sgh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("sgh")
-        )
+        # df-first bounded buffers via the shared one-pass window guard
+        # (skew.cap_hot_keys): rows above the cap never reach a
+        # collect_list buffer (WindowExec's COUNT state is constant per
+        # key and its row buffer spills), and the window's sgh
+        # partitioning is reused by the regroup — ONE shingling scan,
+        # one exchange, unlike a count-then-(semi-)join form, which
+        # replans the interpreted shingle subtree twice (r14 review).
+        from .skew import cap_hot_keys
+
         posting = (
-            inv.join(ok, "sgh", "semi")
+            cap_hot_keys(inv, ["sgh"], df_cap)
             .groupBy("sgh")
             .agg(F.collect_list("doc_id").alias("docs"))
         )
@@ -1051,17 +1053,10 @@ def dedup_ngram_jaccard_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (applied identically in the oracle) bounds every posting list to
     DF_CAP docs, so the self-join fan-out is <= DF_CAP(DF_CAP-1)/2 per
     shingle REGARDLESS of corpus size — the property that makes this the
-    100 TB-safe registered form. Posting-build form auto-selected by
-    source size (io.bounded_posting_build): df-first bounded buffers on
-    large corpora, one-scan below the threshold."""
-    from ..io import bounded_posting_build
-
+    100 TB-safe registered form, with the guard-window bounded build
+    (measured free vs one-scan; PERFORMANCE r14)."""
     return ngram_jaccard_pairs(
-        spark,
-        sf_dir,
-        threshold=0.6,
-        df_cap=DF_CAP,
-        bounded=bounded_posting_build(sf_dir),
+        spark, sf_dir, threshold=0.6, df_cap=DF_CAP, bounded=True
     )
 
 
@@ -1088,9 +1083,10 @@ def ngram_containment_pairs(
     fan-out ≤ df_cap(df_cap−1)/2 per shingle at any corpus size; emits
     BOTH directions of each sharing pair so the consumer filters per
     side. Integer/integer division keeps the score bit-identical
-    cross-engine. ``bounded`` selects the df-first build exactly as in
-    :func:`ngram_jaccard_pairs` (same single-key buffer hazard, same
-    bit-identical results; auto-selected at the registered entry)."""
+    cross-engine. ``bounded`` selects the guard-window df-first build
+    exactly as in :func:`ngram_jaccard_pairs` (same single-key buffer
+    hazard, same bit-identical results; unconditional at the registered
+    entry)."""
     sh = doc_shingle_frame(spark, sf_dir)
     inv = (
         sh.select("doc_id", F.explode("sgs").alias("sg"))
@@ -1098,14 +1094,10 @@ def ngram_containment_pairs(
         .drop("sg")
     )
     if bounded:
-        ok = (
-            inv.groupBy("sgh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("sgh")
-        )
+        from .skew import cap_hot_keys
+
         posting = (
-            inv.join(ok, "sgh", "semi")
+            cap_hot_keys(inv, ["sgh"], df_cap)
             .groupBy("sgh")
             .agg(F.collect_list("doc_id").alias("docs"))
         )
@@ -1162,11 +1154,7 @@ WHERE CAST(s.shared AS DOUBLE) / sz.n_sg >= {CONTAINMENT_T}
 """,
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..io import bounded_posting_build
-
-    return ngram_containment_pairs(
-        spark, sf_dir, bounded=bounded_posting_build(sf_dir)
-    )
+    return ngram_containment_pairs(spark, sf_dir, bounded=True)
 
 
 # --------------------------------------------------------------------------

@@ -154,19 +154,13 @@ def _substring_side(s: DataFrame, d: int, id_alias: str) -> DataFrame:
 
 def _drop_hot_keys(seg: DataFrame, seg_cap: int) -> DataFrame:
     """The hot-segment guard: drop blocking keys whose segment-side
-    frequency exceeds ``seg_cap``, via a COUNT window over the join key
-    — one pass, constant-size state per key, and the window's hash
-    partitioning on (l, i, seg) is the exact clustering the blocking
-    equi-join consumes next, so the guard adds no extra scan or
-    exchange (plan-pinned in tests/test_fuzzy.py)."""
-    from pyspark.sql import Window
+    frequency exceeds ``seg_cap`` — the shared one-pass window guard
+    (``skew.cap_hot_keys``); its (l, i, seg) partitioning is exactly
+    the clustering the blocking equi-join consumes next, so the guard
+    adds no extra scan or exchange (plan-pinned in tests/test_fuzzy.py)."""
+    from .skew import cap_hot_keys
 
-    w = Window.partitionBy("l", "i", "seg")
-    return (
-        seg.withColumn("_kf", F.count("*").over(w))
-        .filter(F.col("_kf") <= seg_cap)
-        .drop("_kf")
-    )
+    return cap_hot_keys(seg, ["l", "i", "seg"], seg_cap)
 
 
 def candidate_pairs(s: DataFrame, d: int, seg_cap: int | None = None) -> DataFrame:

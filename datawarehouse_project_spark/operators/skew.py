@@ -97,6 +97,25 @@ def skew_salted_store_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast path, everything else shuffles.
 
 
+def cap_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows whose key-group frequency exceeds ``cap`` — the shared
+    hot-key guard for blocking/posting joins (fuzzy seg_cap, df-capped
+    posting builds). ONE pass: a COUNT window over ``keys`` (constant
+    per-key state, rows stream through WindowExec's spillable buffer —
+    no single-key in-memory agg buffer at any frequency), and the
+    window's hash partitioning on ``keys`` is exactly the clustering a
+    downstream equi-join or groupBy on the same keys consumes, so the
+    guard adds no extra scan and its exchange is reused."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_kf", F.count("*").over(w))
+        .filter(F.col("_kf") <= cap)
+        .drop("_kf")
+    )
+
+
 def detect_hot_keys(
     df: DataFrame,
     key: str,
