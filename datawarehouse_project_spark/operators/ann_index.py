@@ -217,10 +217,17 @@ class IvfVectorIndex:
     def occupancy(self, spark: SparkSession) -> DataFrame:
         """Current per-cell row counts ``(cluster_id, n)`` — one bounded
         agg over the stored index (≤ K output rows)."""
-        return (
-            self.read(spark)
-            .groupBy("cluster_id")
-            .agg(F.count("*").cast("bigint").alias("n"))
+        idx = self.read(spark)
+        if idx is None:
+            # same loud-contract shape as StreamingPostingsStore.counts:
+            # an un-ingested index must not surface as an opaque
+            # AttributeError from .groupBy on None (advisor finding, r14)
+            raise ValueError(
+                f"empty index at {self.root}: no batch applied yet — "
+                "call build() or add_batch() before occupancy/drift reads"
+            )
+        return idx.groupBy("cluster_id").agg(
+            F.count("*").cast("bigint").alias("n")
         )
 
     def snapshot_occupancy(self, spark: SparkSession) -> None:
@@ -280,7 +287,12 @@ class IvfVectorIndex:
         re-execute the index aggregation twice per call (r14 review
         finding). Also reports cell counts: drifted mass typically
         RAISES ``cells_cur`` (scatter into cells the baseline barely
-        used)."""
+        used). The integer numerator stays DRIVER-SIDE only: it is
+        bounded by 2·N_base·N_cur, which overflows int64 once both
+        sides pass ~2.1e9 vectors, so the returned frame carries the
+        float ``tv`` (one correctly-rounded division of the exact
+        ints — deterministic) and never the raw numerator (advisor
+        finding, r14)."""
         rows = self.occupancy_drift(spark).collect()  # bounded: ≤ K cells
         n_base = sum(r["base_n"] for r in rows)
         n_cur = sum(r["cur_n"] for r in rows)
@@ -294,12 +306,11 @@ class IvfVectorIndex:
                     n_cur,
                     sum(1 for r in rows if r["base_n"] > 0),
                     sum(1 for r in rows if r["cur_n"] > 0),
-                    tv_num,
                     tv_num / (2.0 * n_base * n_cur) if n_base and n_cur else 0.0,
                 )
             ],
             "n_base bigint, n_cur bigint, cells_base bigint, "
-            "cells_cur bigint, tv_num bigint, tv double",
+            "cells_cur bigint, tv double",
         )
 
     def compact(self, spark: SparkSession, target_files: int | None = None):

@@ -334,6 +334,15 @@ def interval_overlap_join(
     tests/test_relational.py). The registered query memoizes the tuned
     width per (sf_dir, source mtime). Output: a_id, b_id, overlap_days
     (inclusive-end day count, integer-exact)."""
+    if bucket_days is None:
+        # callers migrating from the pre-r14 default land here with a
+        # descriptive pointer instead of a downstream arithmetic error
+        raise TypeError(
+            "interval_overlap_join: bucket_days is required — pass an "
+            "explicit width (≈ median interval length; see "
+            "tune_bucket_days) or the string 'auto' to opt in to the "
+            "eager sizing job (README 'Compatibility notes', r14)"
+        )
     if bucket_days == "auto":
         bucket_days = tune_bucket_days(left, right)
     epoch = F.lit("1970-01-01").cast("date")

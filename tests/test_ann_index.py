@@ -596,7 +596,10 @@ def test_drift_monitor_thresholds(spark, tmp_path):
     quiet.add_batch(spark, frame(300, 600), batch_id=1)
     qs = quiet.drift_stats(spark).collect()[0]
     assert qs.n_base == 300 and qs.n_cur == 600
-    assert qs.tv == qs.tv_num / (2.0 * qs.n_base * qs.n_cur)
+    # tv_num is driver-side only (int64 envelope — advisor r14); the
+    # frame exposes the float tv and the exact totals it derives from
+    assert "tv_num" not in quiet.drift_stats(spark).columns
+    assert 0.0 <= qs.tv <= 1.0
     assert qs.tv < THRESH, qs.tv
 
     # tripped case: the shifted batch scatters into new cells
@@ -620,6 +623,10 @@ def test_drift_monitor_requires_baseline(spark, tmp_path):
     import pytest
 
     idx = IvfVectorIndex(str(tmp_path / "nobase"))
+    # an index with NO committed batch errors loudly on occupancy reads
+    # (advisor r14: was an opaque AttributeError on NoneType)
+    with pytest.raises(ValueError, match="no batch applied"):
+        idx.occupancy(spark)
     emb = table(spark, "/root/testdata/sf0.001", "embeddings").limit(20)
     idx.add_batch(spark, emb, batch_id=0)
     with pytest.raises(ValueError, match="occupancy baseline"):

@@ -148,3 +148,80 @@ def test_containment_bounded_equals_onescan(spark, sf_dir):
     }
     assert base, "fixture plants containment pairs"
     assert bounded == base  # bit-exact
+
+
+def test_cap_hot_keys_salted_bit_identical(spark):
+    """VERDICT r14 #2: the straggler-bounded two-phase guard drops the
+    SAME row set as the window form — including a hot NULL key group
+    (the anti-join must be null-safe or NULL rows are never dropped)
+    and keys sitting exactly ON the cap (kept: the contract is
+    freq <= cap survives)."""
+    from datawarehouse_project_spark.operators.skew import (
+        cap_hot_keys,
+        cap_hot_keys_salted,
+    )
+
+    rows = (
+        [("hot", i) for i in range(50)]
+        + [("edge", i) for i in range(5)]      # exactly cap → kept
+        + [("cold", 0), ("cold", 1)]
+        + [(None, i) for i in range(9)]        # hot NULL group → dropped
+    )
+    df = spark.createDataFrame(rows, "k string, v int").repartition(8)
+    want = sorted(
+        (r.k, r.v) for r in cap_hot_keys(df, ["k"], cap=5).collect()
+    )
+    got = sorted(
+        (r.k, r.v) for r in cap_hot_keys_salted(df, ["k"], cap=5).collect()
+    )
+    assert want == got
+    assert ("edge", 0) in dict.fromkeys(want) or ("edge", 0) in want
+    assert all(k != "hot" and k is not None for k, _ in got)
+
+    # multi-key form agrees too
+    df2 = spark.createDataFrame(
+        [(a, b, i) for a in ("x", "y") for b in ("p", None) for i in range(3)]
+        + [("x", "p", i) for i in range(10)],
+        "a string, b string, v int",
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    w2 = sorted(
+        ((r.a, r.b, r.v)
+         for r in cap_hot_keys(df2, ["a", "b"], cap=4).collect()),
+        key=key,
+    )
+    g2 = sorted(
+        ((r.a, r.b, r.v)
+         for r in cap_hot_keys_salted(df2, ["a", "b"], cap=4).collect()),
+        key=key,
+    )
+    assert w2 == g2
+
+
+def test_cap_hot_keys_rejects_working_column_collision(spark):
+    """The shared guard refuses an input that already carries its temp
+    column instead of silently clobbering it (advisor r14)."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.skew import cap_hot_keys
+
+    df = spark.createDataFrame([("a", 1)], "k string, __dw_kf int")
+    with pytest.raises(ValueError, match="__dw_kf"):
+        cap_hot_keys(df, ["k"], cap=5)
+
+
+def test_cap_hot_keys_salted_plan_shape(spark):
+    """The salted form's defining plan properties: the data rows NEVER
+    hash-partition by the bare key (no window over k — the straggler
+    fix), the hot-key list arrives via a BROADCAST anti-join, and the
+    count side carries a partial_count (map-side combine = the salted
+    phase realized by Spark's partial aggregation)."""
+    from datawarehouse_project_spark.operators.skew import cap_hot_keys_salted
+
+    df = spark.createDataFrame(
+        [("k%d" % (i % 7), i) for i in range(100)], "k string, v int"
+    ).repartition(8)
+    plan = cap_hot_keys_salted(df, ["k"], cap=5)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "partial_count" in plan
