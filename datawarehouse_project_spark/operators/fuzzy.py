@@ -37,7 +37,9 @@ it could block on is popular (edits in the discriminative region while
 only boilerplate stays intact). Measured on a planted hot-suffix corpus
 in tests/test_fuzzy.py::test_seg_cap_recall_on_hot_suffix; wall-clock
 evidence in scripts/bench_fuzzy_cap.py; default None keeps the
-registered rows lossless.
+headline rows lossless, and the capped drop-set itself is
+oracle-pinned cross-engine by ``fuzzy_part_desc_pairs_capped`` (the
+DuckDB oracle replays the identical cap).
 
 Everything is Catalyst expressions (substring/transform/sequence) — no
 Python in the row path; ``F.levenshtein`` is a JVM built-in.
@@ -291,6 +293,102 @@ def fuzzy_part_desc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return edit_distance_pairs(src, d=_FUZZY_D)
+
+
+#: Segment-frequency cap for the registered CAPPED row: picked so the
+#: guard BITES on the fixture (drops pairs blocked only by hot shared
+#: type-words like "STANDARD" — 1 pair at sf0.01, more at sf0.1) while
+#: the cold majority survives, so the oracle checks a non-vacuous
+#: drop-set, not a no-op.
+_FUZZY_SEG_CAP = 3
+
+
+@register(
+    "fuzzy_part_desc_pairs_capped",
+    driver_facing=False,  # oracle-parity row for the seg_cap semantics
+    # VERDICT r14 #3: the cap is DETERMINISTIC (drop blocking keys whose
+    # segment-side frequency exceeds the cap), so its drop-set is
+    # cross-engine checkable — this oracle replays the ENTIRE capped
+    # PassJoin in SQL: segment side (d+1 pigeonhole cuts, same
+    # floor-div start/len arithmetic), the identical frequency cap via
+    # QUALIFY over (l, i, seg), the substring side (length window
+    # l-d..l × segment index × ±d shift positions), the capless
+    # short-string path (shorter ≤ d vs ≤ 2d), least/greatest canon,
+    # and the exact levenshtein residual. Integer-exact throughout.
+    oracle=f"""
+WITH s AS (
+    SELECT p_partkey AS id, p_brand || ' ' || p_type || ' ' || p_name AS s
+    FROM part WHERE p_partkey % 10 = 0
+),
+sl AS (SELECT id, s, CAST(length(s) AS INT) AS l FROM s),
+seg AS (
+    SELECT id, l, CAST(i AS INT) AS i,
+           substr(s, CAST(i*(l//{_FUZZY_D + 1}) + least(i, l%{_FUZZY_D + 1}) + 1 AS INT),
+                     CAST((l//{_FUZZY_D + 1}) + CASE WHEN i < l%{_FUZZY_D + 1} THEN 1 ELSE 0 END AS INT)) AS seg
+    FROM sl, unnest(generate_series(0, {_FUZZY_D})) t(i)
+    WHERE (l//{_FUZZY_D + 1}) + CASE WHEN i < l%{_FUZZY_D + 1} THEN 1 ELSE 0 END > 0
+),
+segok AS (
+    SELECT id, l, i, seg FROM seg
+    QUALIFY COUNT(*) OVER (PARTITION BY l, i, seg) <= {_FUZZY_SEG_CAP}
+),
+subq AS (
+    SELECT id, s, l, CAST(l - delta AS INT) AS la, CAST(i AS INT) AS i,
+           CAST(((l-delta)//{_FUZZY_D + 1})
+                + CASE WHEN i < (l-delta)%{_FUZZY_D + 1} THEN 1 ELSE 0 END AS INT) AS ln,
+           CAST(i*((l-delta)//{_FUZZY_D + 1})
+                + least(i, (l-delta)%{_FUZZY_D + 1}) + 1 AS INT) AS p
+    FROM sl, unnest(generate_series(0, {_FUZZY_D})) dd(delta),
+         unnest(generate_series(0, {_FUZZY_D})) t(i)
+    WHERE l - delta >= 1
+),
+sub AS (
+    SELECT id, la AS l, i, substr(s, CAST(pos AS INT), ln) AS seg
+    FROM (
+        SELECT id, s, la, i, ln,
+               unnest(generate_series(greatest(p-{_FUZZY_D}, 1),
+                                      least(p+{_FUZZY_D}, l-ln+1))) AS pos
+        FROM subq
+    )
+),
+cand AS (
+    SELECT DISTINCT least(a_id, b_id) AS a_id, greatest(a_id, b_id) AS b_id
+    FROM (
+        SELECT g.id AS a_id, u.id AS b_id
+        FROM segok g JOIN sub u USING (l, i, seg)
+        WHERE g.id <> u.id
+        UNION ALL
+        SELECT a.id, b.id
+        FROM sl a JOIN sl b
+          ON a.l <= {_FUZZY_D} AND b.l <= {2 * _FUZZY_D} AND a.id <> b.id
+             AND levenshtein(a.s, b.s) <= {_FUZZY_D}
+    )
+)
+SELECT c.a_id, c.b_id, CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS dist
+FROM cand c JOIN sl sa ON sa.id = c.a_id JOIN sl sb ON sb.id = c.b_id
+WHERE levenshtein(sa.s, sb.s) <= {_FUZZY_D}
+""",
+)
+def fuzzy_part_desc_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-segment-capped fuzzy self-join (``seg_cap`` —
+    VERDICT r14 #3): same source and distance as
+    :func:`fuzzy_part_desc_pairs`, with blocking keys hotter than
+    ``_FUZZY_SEG_CAP`` on the segment side dropped before the equi-join.
+    The guard's drop-set is deterministic, so the oracle applies the
+    IDENTICAL cap in SQL and the driver's hash compare pins the capped
+    semantics cross-engine — the recall trade stops being pinned only
+    by self-run tests (tests/test_fuzzy.py measures the recall class;
+    scripts/bench_fuzzy_cap.py the wall win)."""
+    prepare(spark)
+    src = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.concat_ws(" ", "p_brand", "p_type", "p_name").alias("s"),
+        )
+    )
+    return edit_distance_pairs(src, d=_FUZZY_D, seg_cap=_FUZZY_SEG_CAP)
 
 
 # --------------------------------------------------------------------------

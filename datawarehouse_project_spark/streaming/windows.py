@@ -97,12 +97,30 @@ def run_session_stream(
     watermark: str = "2 hours",
     files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
 ) -> None:
-    """Drive :func:`session_counts` over a file stream; COMPLETE output
-    for the availableNow drain, same finite-drain contract (and caveat)
-    as :func:`run_windowed_stream` — the long-running deployment uses
-    append mode, where the watermark emits each session exactly once at
-    finalization and evicts its state."""
+    """Drive :func:`session_counts` over a file stream. Two contracts
+    by ``output_mode``:
+
+    * ``"complete"`` (default, the finite-drain test harness): every
+      trigger re-emits ALL sessions and no state is ever evicted — same
+      caveat as :func:`run_windowed_stream`; fine for a drain that ends,
+      wrong for a deployment.
+    * ``"append"`` (the long-running deployment): each session is
+      emitted EXACTLY ONCE, in the trigger where the watermark passes
+      its close (end + gap), and its state is evicted; events older
+      than the watermark are dropped and cannot resurrect a finalized
+      session. Sessions still open when a finite drain ends are NOT
+      emitted — the price of exactly-once-at-finalization on a stream
+      that, in deployment, never ends. Phase detail: Spark ≥3.4
+      advances the watermark in two phases per operator (the
+      late-event filter of batch N uses the watermark committed
+      entering batch N−1; eviction/emission uses the one entering
+      batch N), so the drop guarantee engages one batch after the
+      emission one. Pinned (exactly-once, no resurrection, union ==
+      batch twin over the surviving events) in
+      tests/test_streaming.py::test_session_stream_append_finalization.
+    """
     prepare(spark)
     stream = (
         spark.readStream.schema(source_schema)
@@ -112,7 +130,7 @@ def run_session_stream(
     agg = session_counts(stream, gap_s, watermark)
 
     writer = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .foreachBatch(lambda df, bid: sink(df, bid))
         .trigger(availableNow=True)
     )
