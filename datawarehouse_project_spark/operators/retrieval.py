@@ -405,12 +405,26 @@ def lexical_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bounds the pair fan-out; same role as dedup.DF_CAP.
 TFIDF_DF_CAP = 20
 
+def tfidf_weight_sql(quantizer: int = 100, idf_cap: float | None = None) -> str:
+    """The integer-weight formula, parameterized (VERDICT r14 #5): a
+    lower ``quantizer`` or a capped idf ratio (``least(sqrt(N/df),
+    idf_cap)`` — standard practice for web-scale df=1 templated grams)
+    shrinks every weight, pulling a corpus back inside the int64
+    envelope. Both change scores, so they are deliberate caller
+    choices; the default (100, None) IS ``TFIDF_WEIGHT`` — the shared
+    cross-engine formula string of the registered rows."""
+    idf = "sqrt(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+    if idf_cap is not None:
+        idf = f"least({idf}, CAST({float(idf_cap)} AS DOUBLE))"
+    return (
+        f"CAST(FLOOR(CAST({int(quantizer)} AS DOUBLE) * CAST(tf AS DOUBLE)"
+        f" * {idf}) AS BIGINT)"
+    )
+
+
 #: Integer weight for one (doc, term): floor(100 * tf * sqrt(N/df)).
 #: sqrt-idf, not ln-idf, for the same libm-rounding reason as BM25_CONTRIB.
-TFIDF_WEIGHT = (
-    "CAST(FLOOR(CAST(100 AS DOUBLE) * CAST(tf AS DOUBLE)"
-    " * sqrt(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)"
-)
+TFIDF_WEIGHT = tfidf_weight_sql()
 
 #: Cosine from the integer dot and squared norms — identical operand order
 #: in both engines (divide, then the product of two sqrts).
@@ -465,6 +479,9 @@ def tfidf_cosine_pairs(
     df_cap: int = TFIDF_DF_CAP,
     n_docs: DataFrame | None = None,
     bounded: bool = True,
+    quantizer: int = 100,
+    idf_cap: float | None = None,
+    checked: bool = False,
 ) -> DataFrame:
     """Document pairs (doc_a < doc_b) with TF-IDF cosine >= ``threshold``
     over postings ``(doc_id, w, tf)``.
@@ -503,12 +520,27 @@ def tfidf_cosine_pairs(
     integer norms and dots require per-doc Σwgt² < 2^63, i.e. with the
     100× quantizer roughly grams_per_doc · (100·tf·sqrt(N/df))² below
     9.2e18 — safe for ~10^6-gram docs at N/df ≤ 10^9, but a df=1
-    templated gram at web scale (N ≥ 1e12) breaks it. Spark's non-ANSI
-    sums WRAP SILENTLY there while DuckDB's HUGEINT-then-CAST raises,
-    so outside the envelope the engines diverge instead of erroring
-    alike. At that scale cap the idf ratio (standard practice) or
-    lower the quantizer; both change scores, so they are deliberate
-    caller choices, not defaults.
+    templated gram at web scale (N ≥ 1e12) breaks it. The failure mode
+    there depends on a session conf this engine does not control:
+    under Spark 4's ANSI default the job dies mid-task with an opaque
+    ArithmeticException; under ``ansi=false`` the sums WRAP SILENTLY —
+    the wrapped norm goes negative, sqrt→NaN, and (NaN ordering) the
+    garbage pair passes the threshold filter — while DuckDB's
+    HUGEINT-then-CAST always raises. Outside the envelope the engines
+    diverge instead of erroring alike. The guard (VERDICT r14 #5):
+    ``checked=True`` runs a cheap
+    eager envelope assertion — the per-doc Σwgt² maximum computed in
+    DOUBLE (one bounded agg over the capped postings; doubles cannot
+    overflow) compared against 2⁶² (factor-2 margin absorbs the double
+    roundoff) — and raises loudly INSIDE the edge instead of letting
+    Spark wrap, naming the mitigations: ``idf_cap`` (caps the idf
+    ratio at ``least(sqrt(N/df), idf_cap)`` — standard practice for
+    web-scale df=1 templated grams) or a lower ``quantizer``. Per-doc
+    norms bound the dots too (Cauchy–Schwarz: dot ≤ √(na2·nb2)), so
+    the one check covers every integer sum in the plan. Both knobs
+    change scores, so they are deliberate caller choices, not
+    defaults; the registered rows sit ~9 orders inside the envelope
+    (boundary test: tests/test_retrieval.py).
 
     ``n_docs``: optional 1-row (n_docs BIGINT) frame; callers that know
     a cheaper equivalent (docs with >= 3 words needs no shingling)
@@ -553,7 +585,27 @@ def tfidf_cosine_pairs(
                 "n_docs",
             )
         )
-    weighted = flat.withColumn("wgt", F.expr(TFIDF_WEIGHT)).withColumn(
+    weight_sql = tfidf_weight_sql(quantizer, idf_cap)
+    if checked:
+        # eager envelope assertion: max per-doc Σwgt² in DOUBLE (cannot
+        # overflow) vs 2⁶² — one bounded agg, 1 collected row. Opt-in
+        # because it is an extra pass over the capped postings.
+        row = (
+            flat.select("doc_id", F.expr(weight_sql).cast("double").alias("wd"))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("wd") * F.col("wd")).alias("n2"))
+            .agg(F.max("n2").alias("max_n2"))
+            .collect()[0]
+        )
+        max_n2 = row["max_n2"] or 0.0
+        if max_n2 >= float(2**62):
+            raise ValueError(
+                f"tfidf int64 envelope exceeded: max per-doc sum(wgt^2) "
+                f"= {max_n2:.3e} >= 2^62; Spark would wrap silently "
+                f"(DuckDB raises) — pass idf_cap to bound sqrt(N/df) "
+                f"or lower quantizer (currently {quantizer})"
+            )
+    weighted = flat.withColumn("wgt", F.expr(weight_sql)).withColumn(
         "nrm2",
         F.sum(F.col("wgt") * F.col("wgt"))
         .over(Window.partitionBy("doc_id"))

@@ -312,3 +312,96 @@ def test_served_shingles_rebuild_on_source_rewrite(spark, tmp_path):
            (9, "five six seven eight")])
     second = {(r.doc_a, r.doc_b) for r in q(spark, sf).collect()}
     assert (7, 8) in second and (1, 2) not in second
+
+
+def test_tfidf_envelope_guard_boundary(spark):
+    """VERDICT r14 #5: outside the int64 envelope the failure mode
+    depends on session confs the engine does not control — under
+    Spark 4's ANSI default the job dies mid-task with an opaque
+    ArithmeticException; under ansi=false it wraps SILENTLY (wrapped
+    nrm2 → sqrt(negative)=NaN → the true cosine=1.0 pair just
+    vanishes), diverging from DuckDB, which raises. ``checked=True``
+    closes both: a descriptive pre-flight ValueError inside the edge,
+    with the named mitigations (idf_cap / lower quantizer) restoring
+    both the check and the right answer."""
+    import duckdb
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import ArithmeticException
+
+    from datawarehouse_project_spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+        tfidf_weight_sql,
+    )
+
+    # two identical one-gram docs; a synthetic corpus-size of 1e14 docs
+    # pushes wgt = floor(100·10·sqrt(1e14/2)) ≈ 7.07e9, wgt² ≈ 5e19 > 2⁶³
+    counts = spark.createDataFrame(
+        [(1, 42, 10), (2, 42, 10)], "doc_id bigint, w bigint, tf bigint"
+    )
+    n_docs = spark.createDataFrame([(10**14,)], "n_docs bigint")
+
+    # unguarded under the ANSI default: an opaque runtime task failure
+    with pytest.raises((ArithmeticException, Py4JJavaError)):
+        tfidf_cosine_pairs(counts, n_docs=n_docs).collect()
+
+    # unguarded under ansi=false: the SILENT wrap — wrapped nrm2 goes
+    # negative, sqrt→NaN, and because Spark orders NaN ABOVE every
+    # number the garbage pair sails through the >= threshold filter
+    # with cosine=NaN (frames pin their plan at first access, so build
+    # AFTER the conf)
+    import math
+
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        silent = tfidf_cosine_pairs(counts, n_docs=n_docs).collect()
+        assert len(silent) == 1 and math.isnan(silent[0].cosine), silent
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
+
+    # DuckDB on the same integer sum: loud out-of-range, never a wrap
+    with pytest.raises(duckdb.OutOfRangeException):
+        duckdb.sql(
+            "SELECT CAST(SUM(w2) AS BIGINT) FROM (SELECT "
+            "7071067811 * 7071067811 AS w2)"
+        ).fetchall()
+
+    # the guard closes both failure modes: a descriptive pre-flight
+    # error naming the knobs, before any wrapping/dying job runs
+    with pytest.raises(ValueError, match="envelope exceeded"):
+        tfidf_cosine_pairs(counts, n_docs=n_docs, checked=True)
+
+    # mitigation 1: cap the idf ratio — back inside, exact cosine 1.0
+    got = tfidf_cosine_pairs(
+        counts, n_docs=n_docs, checked=True, idf_cap=1000.0
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.cosine) for r in got] == [(1, 2, 1.0)]
+
+    # mitigation 2: lower the quantizer — same effect
+    got = tfidf_cosine_pairs(
+        counts, n_docs=n_docs, checked=True, quantizer=1
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.cosine) for r in got] == [(1, 2, 1.0)]
+
+    # default parameters regenerate the registered rows' shared formula
+    # string byte-for-byte (the cross-engine hash-exactness contract)
+    from datawarehouse_project_spark.operators.retrieval import TFIDF_WEIGHT
+
+    assert tfidf_weight_sql() == TFIDF_WEIGHT
+
+
+def test_tfidf_checked_is_noop_inside_envelope(spark, sf_dir):
+    """checked=True on the registered fixture (deep inside the
+    envelope) changes nothing — same pairs, same cosines."""
+    from datawarehouse_project_spark.operators.retrieval import (
+        shingle_counts,
+        tfidf_cosine_pairs,
+    )
+
+    counts = shingle_counts(spark, sf_dir)
+    base = sorted(map(tuple, tfidf_cosine_pairs(counts).collect()))
+    checked = sorted(
+        map(tuple, tfidf_cosine_pairs(counts, checked=True).collect())
+    )
+    assert base == checked and base
