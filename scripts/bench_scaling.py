@@ -15,7 +15,13 @@ per-query scheduling/codegen cost that dominates at toy scale; DuckDB's
 runtime scales with data. The ratio trend across sf, not the sf0.1
 point, is the claim to check.
 
-Usage: python scripts/bench_scaling.py DIR [DIR ...]
+Usage: python scripts/bench_scaling.py [--names a,b,c] DIR [DIR ...]
+
+``--names`` sweeps an explicit registry query set instead of the 15
+headline queries — the SAME protocol (interleave, warm pass, medians)
+over a different family; added for the lexical-retrieval crossover
+measurement (VERDICT r14 #1). The default invocation is byte-identical
+to the frozen recipe.
 """
 
 from __future__ import annotations
@@ -30,7 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
-from datawarehouse_project_spark.catalog import all_oracle_sql, headline_queries  # noqa: E402
+from datawarehouse_project_spark.catalog import (  # noqa: E402
+    all_oracle_sql,
+    all_queries,
+    headline_queries,
+)
 from datawarehouse_project_spark.io import TABLES  # noqa: E402
 from datawarehouse_project_spark.session import get_spark  # noqa: E402
 
@@ -38,11 +48,18 @@ from datawarehouse_project_spark.session import get_spark  # noqa: E402
 #: pass each): median of 3 is robust to a single disturbed rep.
 REPS = 3
 
+#: The query set for one run: headline by default, or the --names list.
+QUERY_SET: dict | None = None
+
+
+def _query_set() -> dict:
+    return QUERY_SET if QUERY_SET is not None else headline_queries()
+
 
 def sweep_spark(spark, sf_dir: str) -> dict[str, float]:
-    """One timed pass over every headline query (seconds per query)."""
+    """One timed pass over every query in the set (seconds per query)."""
     out = {}
-    for name, build in headline_queries().items():
+    for name, build in _query_set().items():
         t0 = time.perf_counter()
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = time.perf_counter() - t0
@@ -118,7 +135,13 @@ def bench_dir(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    dirs = sys.argv[1:]
+    global QUERY_SET
+    args = sys.argv[1:]
+    if args and args[0] == "--names":
+        reg = all_queries()
+        QUERY_SET = {n: reg[n] for n in args[1].split(",")}
+        args = args[2:]
+    dirs = args
     spark = get_spark("dwspark-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     results = []
