@@ -206,8 +206,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_session_window_native",
-    driver_facing=False,  # value-identical twin of events_sessionization (driver row);
-    # the native operator stays pytest-oracle-checked + streaming-tested
+    # r15 rotation IN: the native session_window operator earns its own
+    # driver row (it now also anchors the streaming append-mode
+    # finalization test); asof_forward_next_purchase ceded (driver-green
+    # r12–r14, pytest oracle remains).
     oracle=f"""
 WITH ordered AS (
     SELECT user_id, event_id, ts,

@@ -305,7 +305,10 @@ _FUZZY_SEG_CAP = 3
 
 @register(
     "fuzzy_part_desc_pairs_capped",
-    driver_facing=False,  # oracle-parity row for the seg_cap semantics
+    # r15 rotation IN on first registration: the capped semantics get a
+    # driver-checked cross-engine row (events_value_histogram_percentiles
+    # ceded; pre-validated value-identical at sf0.01+sf0.1 before the
+    # swap).
     # VERDICT r14 #3: the cap is DETERMINISTIC (drop blocking keys whose
     # segment-side frequency exceeds the cap), so its drop-set is
     # cross-engine checkable — this oracle replays the ENTIRE capped

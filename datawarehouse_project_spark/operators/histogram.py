@@ -252,9 +252,10 @@ GROUP BY 1
 
 @register(
     "events_value_histogram_percentiles",
-    # r12 rotation: promoted to the driver window (VERDICT r11 #1).
-    # EXACT oracle: floor-binning is IEEE-identical cross-engine, the
-    # derived percentile bins are integer arithmetic.
+    # r12 rotation: promoted to the driver window (VERDICT r11 #1);
+    # r15 rotation OUT after three green rounds (r12–r14) — slot ceded
+    # to fuzzy_part_desc_pairs_capped; pytest oracle remains.
+    driver_facing=False,
     oracle=_hist_oracle,
 )
 def events_value_histogram_percentiles(

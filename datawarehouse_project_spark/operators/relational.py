@@ -208,7 +208,10 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_forward_next_purchase",
     # r12 rotation: promoted to the driver window (VERDICT r11 #1) —
-    # the forward direction of the as-of family.
+    # the forward direction of the as-of family. r15 rotation OUT after
+    # three green rounds (r12–r14) — slot ceded to
+    # events_session_window_native; pytest oracle remains.
+    driver_facing=False,
     oracle="""
 WITH ev AS (
     SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0

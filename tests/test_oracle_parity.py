@@ -71,9 +71,7 @@ def test_driver_catalog_fits_sweep_window():
         # r12 rotation IN: the r10 crop, finally driver-proven
         "dedup_containment_pairs",
         "cms_word_count_estimates",
-        "events_value_histogram_percentiles",
         "overlap_shipping_windows",
-        "asof_forward_next_purchase",
         "bpe_merge_rules",
         # r12 new operator: the composed IVF→hamming→exact serving funnel
         "similarity_ivf_binary_funnel_topk",
@@ -99,6 +97,13 @@ def test_driver_catalog_fits_sweep_window():
         # driver-green r1-r13 / r8-r13, pytest oracles remain)
         "similarity_index_drift_monitor",
         "lexical_tfidf_from_store",
+        # r15 rotation IN: the native session-window operator (now also
+        # anchoring the streaming append-mode test) and the seg_cap
+        # semantics row (asof_forward_next_purchase and
+        # events_value_histogram_percentiles ceded — driver-green
+        # r12–r14, pytest oracles remain)
+        "events_session_window_native",
+        "fuzzy_part_desc_pairs_capped",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
