@@ -847,6 +847,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     df_cap: int | None = None,
     bounded: bool = False,
+    guard: str = "window",
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs via a shingle inverted index.
 
@@ -946,10 +947,10 @@ def ngram_jaccard_pairs(
         # partitioning is reused by the regroup — ONE shingling scan,
         # one exchange, unlike a count-then-(semi-)join form, which
         # replans the interpreted shingle subtree twice (r14 review).
-        from .skew import cap_hot_keys
+        from .skew import hot_key_guard
 
         posting = (
-            cap_hot_keys(inv, ["sgh"], df_cap)
+            hot_key_guard(inv, ["sgh"], df_cap, guard=guard)
             .groupBy("sgh")
             .agg(F.collect_list("doc_id").alias("docs"))
         )
@@ -1073,6 +1074,7 @@ def ngram_containment_pairs(
     threshold: float = CONTAINMENT_T,
     df_cap: int = DF_CAP,
     bounded: bool = False,
+    guard: str = "window",
 ) -> DataFrame:
     """DIRECTED near-dup: containment(src→dst) = |src ∩ dst| / |src| over
     the df-capped shingle universe — the asymmetric signal Jaccard
@@ -1094,10 +1096,10 @@ def ngram_containment_pairs(
         .drop("sg")
     )
     if bounded:
-        from .skew import cap_hot_keys
+        from .skew import hot_key_guard
 
         posting = (
-            cap_hot_keys(inv, ["sgh"], df_cap)
+            hot_key_guard(inv, ["sgh"], df_cap, guard=guard)
             .groupBy("sgh")
             .agg(F.collect_list("doc_id").alias("docs"))
         )

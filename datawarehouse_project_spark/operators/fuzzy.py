@@ -154,18 +154,22 @@ def _substring_side(s: DataFrame, d: int, id_alias: str) -> DataFrame:
     )
 
 
-def _drop_hot_keys(seg: DataFrame, seg_cap: int) -> DataFrame:
+def _drop_hot_keys(
+    seg: DataFrame, seg_cap: int, guard: str = "window"
+) -> DataFrame:
     """The hot-segment guard: drop blocking keys whose segment-side
     frequency exceeds ``seg_cap`` — the shared one-pass window guard
     (``skew.cap_hot_keys``); its (l, i, seg) partitioning is exactly
     the clustering the blocking equi-join consumes next, so the guard
     adds no extra scan or exchange (plan-pinned in tests/test_fuzzy.py)."""
-    from .skew import cap_hot_keys
+    from .skew import hot_key_guard
 
-    return cap_hot_keys(seg, ["l", "i", "seg"], seg_cap)
+    return hot_key_guard(seg, ["l", "i", "seg"], seg_cap, guard=guard)
 
 
-def candidate_pairs(s: DataFrame, d: int, seg_cap: int | None = None) -> DataFrame:
+def candidate_pairs(
+    s: DataFrame, d: int, seg_cap: int | None = None, guard: str = "window"
+) -> DataFrame:
     """The candidate set: distinct unordered ``(a_id, b_id)`` pairs
     sharing at least one ``(len, seg_idx, segment)`` key between the
     segment and substring sides. With ``seg_cap=None`` (default) this is
@@ -179,7 +183,7 @@ def candidate_pairs(s: DataFrame, d: int, seg_cap: int | None = None) -> DataFra
     seg_side = _segment_side(s, d, "a_id")
     sub_side = _substring_side(s, d, "b_id")
     if seg_cap is not None:
-        seg_side = _drop_hot_keys(seg_side, seg_cap)
+        seg_side = _drop_hot_keys(seg_side, seg_cap, guard=guard)
     main = (
         seg_side.join(sub_side, ["l", "i", "seg"])
         .filter(F.col("a_id") != F.col("b_id"))
@@ -234,6 +238,7 @@ def edit_distance_pairs(
     id_col: str = "id",
     s_col: str = "s",
     seg_cap: int | None = None,
+    guard: str = "window",
 ) -> DataFrame:
     """All unordered pairs ``(a_id < b_id)`` with ``levenshtein ≤ d``,
     plus the exact distance. Lossless by default: candidate generation
@@ -243,7 +248,7 @@ def edit_distance_pairs(
     s = df.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
         F.col("s").isNotNull()
     )
-    cand = candidate_pairs(s, d, seg_cap=seg_cap)
+    cand = candidate_pairs(s, d, seg_cap=seg_cap, guard=guard)
     sa = s.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
     sb = s.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
     return (
@@ -403,7 +408,11 @@ def fuzzy_part_desc_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def candidate_pairs_two_table(
-    left: DataFrame, right: DataFrame, d: int, seg_cap: int | None = None
+    left: DataFrame,
+    right: DataFrame,
+    d: int,
+    seg_cap: int | None = None,
+    guard: str = "window",
 ) -> DataFrame:
     """Lossless candidates for the two-table join: distinct
     ``(a_id, b_id)`` with a_id from ``left``, b_id from ``right``.
@@ -416,8 +425,8 @@ def candidate_pairs_two_table(
     seg1, sub1 = _segment_side(left, d, "a_id"), _substring_side(right, d, "b_id")
     seg2, sub2 = _segment_side(right, d, "b_id"), _substring_side(left, d, "a_id")
     if seg_cap is not None:
-        seg1 = _drop_hot_keys(seg1, seg_cap)
-        seg2 = _drop_hot_keys(seg2, seg_cap)
+        seg1 = _drop_hot_keys(seg1, seg_cap, guard=guard)
+        seg2 = _drop_hot_keys(seg2, seg_cap, guard=guard)
     c1 = seg1.join(sub1, ["l", "i", "seg"]).select("a_id", "b_id")
     c2 = seg2.join(sub2, ["l", "i", "seg"]).select("a_id", "b_id")
 
@@ -459,6 +468,7 @@ def edit_distance_join(
     id_col: str = "id",
     s_col: str = "s",
     seg_cap: int | None = None,
+    guard: str = "window",
 ) -> DataFrame:
     """All ``(a_id, b_id, dist)`` with a_id from ``left``, b_id from
     ``right`` and ``levenshtein <= d`` — the record-linkage form of
@@ -471,7 +481,7 @@ def edit_distance_join(
     rs = right.select(F.col(id_col).alias("id"), F.col(s_col).alias("s")).filter(
         F.col("s").isNotNull()
     )
-    cand = candidate_pairs_two_table(ls, rs, d, seg_cap=seg_cap)
+    cand = candidate_pairs_two_table(ls, rs, d, seg_cap=seg_cap, guard=guard)
     sa = ls.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"))
     sb = rs.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"))
     return (

@@ -183,6 +183,25 @@ def cap_hot_keys_salted(
     return df.join(F.broadcast(hot), cond, "left_anti")
 
 
+def hot_key_guard(
+    df: DataFrame, keys: list[str], cap: int, guard: str = "window"
+) -> DataFrame:
+    """The guard chooser consumers thread their ``guard=`` knob to:
+    ``"window"`` (default — one pass, exchange reused downstream,
+    single-task hot-key residual) or ``"salted"`` (two passes, no task
+    ever owns a hot key — the adversarial-distribution opt-in). Both
+    drop exactly the rows whose key-group frequency exceeds ``cap``.
+    Consumers that need the per-key COUNT value downstream (the TF-IDF
+    posting build) cannot use the salted form — re-joining the counts
+    is the subtree-replan shape r14 measured and rejected — and keep
+    the window inline."""
+    if guard == "window":
+        return cap_hot_keys(df, keys, cap)
+    if guard == "salted":
+        return cap_hot_keys_salted(df, keys, cap)
+    raise ValueError(f"guard must be 'window' or 'salted', got {guard!r}")
+
+
 def detect_hot_keys(
     df: DataFrame,
     key: str,

@@ -225,3 +225,61 @@ def test_cap_hot_keys_salted_plan_shape(spark):
     assert "windowspecdefinition" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "partial_count" in plan
+
+
+def test_guard_knob_salted_equals_window_through_consumers(spark, sf_dir):
+    """The guard= knob threaded through the filter-only consumers
+    (fuzzy seg_cap, jaccard/containment posting builds) is
+    result-identical between forms — the salted opt-in changes the
+    physical shape only."""
+    from datawarehouse_project_spark.operators.dedup import (
+        CONTAINMENT_T,
+        DF_CAP,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from datawarehouse_project_spark.operators.fuzzy import (
+        edit_distance_pairs,
+    )
+    from datawarehouse_project_spark.io import table
+    import pyspark.sql.functions as F
+
+    jw = sorted(map(tuple, ngram_jaccard_pairs(
+        spark, sf_dir, threshold=0.6, df_cap=DF_CAP, bounded=True
+    ).collect()))
+    js = sorted(map(tuple, ngram_jaccard_pairs(
+        spark, sf_dir, threshold=0.6, df_cap=DF_CAP, bounded=True,
+        guard="salted",
+    ).collect()))
+    assert jw == js and jw
+
+    cw = sorted(map(tuple, ngram_containment_pairs(
+        spark, sf_dir, CONTAINMENT_T, DF_CAP, bounded=True
+    ).collect()))
+    cs = sorted(map(tuple, ngram_containment_pairs(
+        spark, sf_dir, CONTAINMENT_T, DF_CAP, bounded=True, guard="salted",
+    ).collect()))
+    assert cw == cs and cw
+
+    # planted corpus: a hot shared suffix (above the cap) plus cold-head
+    # near-dup pairs that survive it — both guard forms must keep the
+    # same survivors
+    import hashlib
+
+    rows = [
+        (i, hashlib.md5(f"f{i}".encode()).hexdigest()[:12] + " COMMONTAIL")
+        for i in range(40)
+    ]
+    rows += [(100 + 2 * j, f"pairhead{j:02d}q COMMONTAIL") for j in range(5)]
+    rows += [(101 + 2 * j, f"pairhead{j:02d}x COMMONTAIL") for j in range(5)]
+    src = spark.createDataFrame(rows, "id bigint, s string")
+    fw = sorted(map(tuple, edit_distance_pairs(src, d=2, seg_cap=5).collect()))
+    fs = sorted(map(tuple, edit_distance_pairs(
+        src, d=2, seg_cap=5, guard="salted"
+    ).collect()))
+    assert fw == fs and fw
+
+    import pytest
+    with pytest.raises(ValueError, match="window.*salted|salted.*window"):
+        from datawarehouse_project_spark.operators.skew import hot_key_guard
+        hot_key_guard(src, ["id"], 5, guard="bogus")
