@@ -306,7 +306,11 @@ class IvfVectorIndex:
                     n_cur,
                     sum(1 for r in rows if r["base_n"] > 0),
                     sum(1 for r in rows if r["cur_n"] > 0),
-                    tv_num / (2.0 * n_base * n_cur) if n_base and n_cur else 0.0,
+                    # int / int: ONE correctly-rounded division of the
+                    # exact integers (a float 2.0*n_base*n_cur denominator
+                    # rounds twice first once the product passes 2^53 —
+                    # r15 review)
+                    tv_num / (2 * n_base * n_cur) if n_base and n_cur else 0.0,
                 )
             ],
             "n_base bigint, n_cur bigint, cells_base bigint, "

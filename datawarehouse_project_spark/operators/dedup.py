@@ -880,6 +880,12 @@ def ngram_jaccard_pairs(
     # attempt used interpreted array lambdas and lost; double-explode is
     # the codegen'd form). The dominant round-1 cost was the
     # InferFiltersFromGenerate pathology — see session.py.]
+    if guard != "window" and not bounded:
+        # the knob only exists on the bounded guard path; silently
+        # accepting it on the unbounded one-scan build would run the
+        # exact single-key buffer hazard it was passed to avoid (r15
+        # review)
+        raise ValueError("guard='salted' requires bounded=True")
     sh = doc_shingle_frame(spark, sf_dir)
     if df_cap is None:
         # Exact: per-doc size is len(sgs), known at explode time — it
@@ -1089,6 +1095,12 @@ def ngram_containment_pairs(
     exactly as in :func:`ngram_jaccard_pairs` (same single-key buffer
     hazard, same bit-identical results; unconditional at the registered
     entry)."""
+    if guard != "window" and not bounded:
+        # the knob only exists on the bounded guard path; silently
+        # accepting it on the unbounded one-scan build would run the
+        # exact single-key buffer hazard it was passed to avoid (r15
+        # review)
+        raise ValueError("guard='salted' requires bounded=True")
     sh = doc_shingle_frame(spark, sf_dir)
     inv = (
         sh.select("doc_id", F.explode("sgs").alias("sg"))

@@ -178,6 +178,8 @@ def candidate_pairs(
     module docstring for the recall contract). Exposed separately so
     tests can measure the pruning ratio the module docstring claims.
     ``s``: (id, s) with non-null strings."""
+    if seg_cap is None and guard != "window":
+        raise ValueError("guard= has no effect without seg_cap (r15 review)")
     slen = s.withColumn("l", F.length("s"))
 
     seg_side = _segment_side(s, d, "a_id")
@@ -422,6 +424,8 @@ def candidate_pairs_two_table(
     pigeonhole has no non-empty untouched segment) pairs DISTINCT
     values <= d against the other table's values <= 2d via a broadcast
     nested-loop, both directions, exactly like the self-join."""
+    if seg_cap is None and guard != "window":
+        raise ValueError("guard= has no effect without seg_cap (r15 review)")
     seg1, sub1 = _segment_side(left, d, "a_id"), _substring_side(right, d, "b_id")
     seg2, sub2 = _segment_side(right, d, "b_id"), _substring_side(left, d, "a_id")
     if seg_cap is not None:

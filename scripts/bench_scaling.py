@@ -137,11 +137,20 @@ def bench_dir(spark, sf_dir: str) -> dict:
 def main() -> None:
     global QUERY_SET
     args = sys.argv[1:]
-    if args and args[0] == "--names":
+    if "--names" in args:  # accepted at any position (r15 review)
+        i = args.index("--names")
+        if i + 1 >= len(args):
+            sys.exit("usage: bench_scaling.py [--names a,b,c] DIR [DIR ...]")
         reg = all_queries()
-        QUERY_SET = {n: reg[n] for n in args[1].split(",")}
-        args = args[2:]
+        names = args[i + 1].split(",")
+        unknown = [n for n in names if n not in reg]
+        if unknown:
+            sys.exit(f"unknown query names: {unknown} (see catalog.all_queries())")
+        QUERY_SET = {n: reg[n] for n in names}
+        args = args[:i] + args[i + 2 :]
     dirs = args
+    if not dirs:
+        sys.exit("usage: bench_scaling.py [--names a,b,c] DIR [DIR ...]")
     spark = get_spark("dwspark-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     results = []

@@ -50,9 +50,12 @@ def corpus(spark, n: int):
     A payload column makes row width realistic (the straggler cost is
     serializing ROWS, not counting them)."""
     n_hot = int(n * HOT_FRAC)
+    n_cold_keys = max(n // 50, 1)  # floor: n<50 must not modulo by zero
     base = spark.range(n).select(
         F.when(F.col("id") < n_hot, F.lit("HOT"))
-        .otherwise(F.concat(F.lit("k"), (F.col("id") % (n // 50)).cast("string")))
+        .otherwise(
+            F.concat(F.lit("k"), (F.col("id") % n_cold_keys).cast("string"))
+        )
         .alias("k"),
         F.sha2(F.col("id").cast("string"), 256).alias("payload"),
     )

@@ -175,7 +175,7 @@ def test_cap_hot_keys_salted_bit_identical(spark):
         (r.k, r.v) for r in cap_hot_keys_salted(df, ["k"], cap=5).collect()
     )
     assert want == got
-    assert ("edge", 0) in dict.fromkeys(want) or ("edge", 0) in want
+    assert ("edge", 0) in want  # on-the-cap group survives
     assert all(k != "hot" and k is not None for k, _ in got)
 
     # multi-key form agrees too
@@ -241,9 +241,6 @@ def test_guard_knob_salted_equals_window_through_consumers(spark, sf_dir):
     from datawarehouse_project_spark.operators.fuzzy import (
         edit_distance_pairs,
     )
-    from datawarehouse_project_spark.io import table
-    import pyspark.sql.functions as F
-
     jw = sorted(map(tuple, ngram_jaccard_pairs(
         spark, sf_dir, threshold=0.6, df_cap=DF_CAP, bounded=True
     ).collect()))
@@ -261,9 +258,14 @@ def test_guard_knob_salted_equals_window_through_consumers(spark, sf_dir):
     ).collect()))
     assert cw == cs and cw
 
-    # planted corpus: a hot shared suffix (above the cap) plus cold-head
-    # near-dup pairs that survive it — both guard forms must keep the
-    # same survivors
+    # planted corpus: the 40 filler strings (len 23) share a hot suffix
+    # segment "MONTAIL" at frequency 40 > cap — really dropped by the
+    # guard — while the planted pairs (len 22, a DIFFERENT length key)
+    # block on their "pairhead" segment at frequency 10 <= cap and
+    # survive. Both guard forms must keep the same survivors. (First
+    # draft put the planted pairs' every untouched segment above the
+    # cap, so BOTH forms returned empty and `and fw` failed — caught by
+    # the round's code review, verified by running the test.)
     import hashlib
 
     rows = [
@@ -273,11 +275,17 @@ def test_guard_knob_salted_equals_window_through_consumers(spark, sf_dir):
     rows += [(100 + 2 * j, f"pairhead{j:02d}q COMMONTAIL") for j in range(5)]
     rows += [(101 + 2 * j, f"pairhead{j:02d}x COMMONTAIL") for j in range(5)]
     src = spark.createDataFrame(rows, "id bigint, s string")
-    fw = sorted(map(tuple, edit_distance_pairs(src, d=2, seg_cap=5).collect()))
+    cap = 25  # filler seg freq 40 dropped; planted seg freq 10 kept
+    fw = sorted(map(tuple, edit_distance_pairs(src, d=2, seg_cap=cap).collect()))
+    fl = sorted(map(tuple, edit_distance_pairs(src, d=2).collect()))
     fs = sorted(map(tuple, edit_distance_pairs(
-        src, d=2, seg_cap=5, guard="salted"
+        src, d=2, seg_cap=cap, guard="salted"
     ).collect()))
     assert fw == fs and fw
+    # and the cap really dropped hot keys without losing these pairs
+    # (the planted pairs' blocking segment is cold): capped == lossless
+    # on this geometry while the filler suffix segment was dropped
+    assert fw == fl
 
     import pytest
     with pytest.raises(ValueError, match="window.*salted|salted.*window"):
