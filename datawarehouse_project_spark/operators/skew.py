@@ -156,9 +156,11 @@ def cap_hot_keys_salted(
     (a count-agg and a join over the same un-exchanged subtree do not
     get ReuseExchange — children differ). Measured on the planted
     30%-hot corpus (scripts/bench_straggler.py, local[32], cap=100):
-    1.05× at 2M rows (free), **0.74× — wins — at 8M rows**, where the
-    window task owning the 2.4M-row hot key is already the stage's
-    critical path. Registered posting builds keep the window form
+    1.05× at 2M rows (free), **0.74× — wins — at 8M**, 0.94× at 32M
+    (the window task owning the hot key is the stage's critical path;
+    the at-scale argument is the bound — the straggler grows linearly
+    in the hot key's df, this form's per-task work stays N/cores at
+    any df). Registered posting builds keep the window form
     because their df distributions are cap-bounded by construction
     (grams above df_cap are the minority mass); this is the opt-in for
     distributions where one key dominates. Envelope: the broadcast hot

@@ -14,10 +14,12 @@ best-of-2 ABAB wall times for both forms, so the crossover is a
 ledgered number like every other guard in this repo.
 
 Measured (local[32], 30%-hot key, cap=100): 2M rows → salted 1.05× the
-window form (free); 8M rows → salted 0.74× (WINS — the window task
-owning the 2.4M-row hot key is already the stage's critical path at
-single-digit-millions scale; at df=10⁹ the window form is unusable
-while the salted form's cost is flat).
+window form (free); 8M → 0.74× (WINS); 32M → 0.94× (still wins — the
+ratio narrows because on 32 cores the salted form's two balanced
+passes ≈ the window form's single 9.6M-row straggler task; the scale
+argument is the BOUND, not this box's ratio: the window straggler
+grows linearly in the hot key's df, the salted form's per-task work
+stays N/cores at any df).
 
 Usage: python scripts/bench_straggler.py [N ...]   (default 2e6 8e6)
 """
