@@ -291,3 +291,32 @@ def test_guard_knob_salted_equals_window_through_consumers(spark, sf_dir):
     with pytest.raises(ValueError, match="window.*salted|salted.*window"):
         from datawarehouse_project_spark.operators.skew import hot_key_guard
         hot_key_guard(src, ["id"], 5, guard="bogus")
+
+
+def test_guard_knob_raises_when_it_cannot_take_effect(spark, sf_dir):
+    """guard='salted' on a path that would not run any guard (unbounded
+    posting build, capless fuzzy) errors loudly instead of silently
+    running the hazard it was passed to avoid (r15 review)."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.dedup import (
+        CONTAINMENT_T,
+        DF_CAP,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from datawarehouse_project_spark.operators.fuzzy import candidate_pairs
+
+    with pytest.raises(ValueError, match="bounded=True"):
+        ngram_jaccard_pairs(
+            spark, sf_dir, threshold=0.6, df_cap=DF_CAP, bounded=False,
+            guard="salted",
+        )
+    with pytest.raises(ValueError, match="bounded=True"):
+        ngram_containment_pairs(
+            spark, sf_dir, CONTAINMENT_T, DF_CAP, bounded=False,
+            guard="salted",
+        )
+    s = spark.createDataFrame([(1, "abcdef")], "id bigint, s string")
+    with pytest.raises(ValueError, match="seg_cap"):
+        candidate_pairs(s, 2, seg_cap=None, guard="salted")
