@@ -148,14 +148,19 @@ def run_windowed_stream(
     watermark: str = "2 hours",
     files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
 ) -> None:
     """Drive ``windowed_counts`` over a file stream; ``sink(df, batch_id)``
-    receives the FULL window result set per trigger: this runner uses
-    COMPLETE output mode for the availableNow drain (simplest contract for
-    a sink that overwrites). Note complete mode never evicts window state
-    — the module's bounded-state claim applies to the long-running
-    append/update deployment of ``windowed_counts`` (watermark eviction
-    active), not to this finite-drain runner, which ends with the drain."""
+    receives the window rows per trigger. ``output_mode="complete"``
+    (default, the finite-drain harness) re-emits the FULL result set
+    every trigger and never evicts state — simplest contract for a sink
+    that overwrites, wrong for a deployment. ``"append"`` is the
+    long-running deployment: each window emitted exactly once when the
+    watermark passes its end, state evicted, beyond-watermark rows
+    dropped (same two-phase watermark detail as
+    :func:`run_session_stream` — the late filter lags eviction by one
+    batch). Pinned in
+    tests/test_streaming.py::test_windowed_stream_append_finalization."""
     prepare(spark)
     stream = (
         spark.readStream.schema(source_schema)
@@ -165,7 +170,7 @@ def run_windowed_stream(
     agg = windowed_counts(stream, window_duration, watermark)
 
     writer = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .foreachBatch(lambda df, bid: sink(df, bid))
         .trigger(availableNow=True)
     )

@@ -750,3 +750,85 @@ def test_session_stream_append_finalization(spark, tmp_path):
         )
     )
     assert got == {tuple(r) for r in twin.collect()}
+
+
+def test_windowed_stream_append_finalization(spark, tmp_path):
+    """The tumbling-window twin of the append-mode session pin: each
+    (window, event_type) row is emitted exactly once when the watermark
+    passes the window end, a beyond-watermark event neither re-emits
+    nor alters a finalized window, and the appended union equals the
+    batch twin over the surviving events. Same two-phase watermark
+    shape: a second sentinel chunk burns the late-filter lag."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse_project_spark.streaming.windows import (
+        run_windowed_stream,
+    )
+
+    src = tmp_path / "win_src"
+    src.mkdir()
+
+    def chunk(path, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    HOUR = 3600
+    t0 = time.time()
+    # window [0, 3600): two clicks; window [3600, 7200): one view
+    chunk(src / "f0.parquet",
+          [("click", 100, 1.5), ("view", 3700, 2.0)], t0 - 50)
+    # in-watermark late row lands in the FIRST window before it closes
+    chunk(src / "f1.parquet", [("click", 200, 0.5)], t0 - 40)
+    # sentinel far ahead: watermark (2h) passes both windows' ends
+    chunk(src / "f2.parquet", [("zz", 100_000, 0.0)], t0 - 30)
+    # second sentinel burns the late-filter phase lag
+    chunk(src / "f3.parquet", [("zz", 100_001, 0.0)], t0 - 20)
+    # beyond-watermark click for the finalized first window: dropped
+    chunk(src / "f4.parquet", [("click", 300, 9.9)], t0 - 10)
+
+    batches = []
+    run_windowed_stream(
+        spark,
+        str(src),
+        "event_type string, ts timestamp, value double",
+        sink=lambda df, bid: batches.append((bid, df.collect())),
+        window_duration="1 hour",
+        watermark="2 hours",
+        files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "ckpt_winapp"),
+        output_mode="append",
+    )
+
+    appended = [
+        (r.window_start_us, r.event_type, r.n_events, r.total_value)
+        for _, rows in batches
+        for r in rows
+    ]
+    assert len(appended) == len(set(appended)), appended  # exactly-once
+    got = set(appended)
+    US = 1_000_000
+    want = {
+        # late-but-in-watermark 0.5 merged; beyond-watermark 9.9 did NOT
+        (0, "click", 2, 2.0),
+        (HOUR * US, "view", 1, 2.0),
+    }
+    assert got == want, got
+    # sentinel windows stay open at drain end — never emitted
+    assert all(t != "zz" for _, t, *_ in got)
+    emitted_at = [bid for bid, rows in batches if rows]
+    assert emitted_at and min(emitted_at) >= 3, [
+        (b, len(r)) for b, r in batches
+    ]
