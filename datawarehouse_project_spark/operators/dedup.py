@@ -880,12 +880,12 @@ def ngram_jaccard_pairs(
     # attempt used interpreted array lambdas and lost; double-explode is
     # the codegen'd form). The dominant round-1 cost was the
     # InferFiltersFromGenerate pathology — see session.py.]
-    if guard != "window" and not bounded:
-        # the knob only exists on the bounded guard path; silently
-        # accepting it on the unbounded one-scan build would run the
-        # exact single-key buffer hazard it was passed to avoid (r15
-        # review)
-        raise ValueError("guard='salted' requires bounded=True")
+    if guard != "window" and (df_cap is None or not bounded):
+        # the knob only exists on the capped bounded guard path; silently
+        # accepting it on the uncapped or unbounded one-scan builds would
+        # run the exact single-key buffer hazard it was passed to avoid
+        # (r15 review)
+        raise ValueError("guard='salted' requires df_cap and bounded=True")
     sh = doc_shingle_frame(spark, sf_dir)
     if df_cap is None:
         # Exact: per-doc size is len(sgs), known at explode time — it
