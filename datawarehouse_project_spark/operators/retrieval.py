@@ -405,21 +405,34 @@ def lexical_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bounds the pair fan-out; same role as dedup.DF_CAP.
 TFIDF_DF_CAP = 20
 
-def tfidf_weight_sql(quantizer: int = 100, idf_cap: float | None = None) -> str:
+def tfidf_weight_sql(
+    quantizer: int = 100, idf_cap: float | None = None, integer: bool = True
+) -> str:
     """The integer-weight formula, parameterized (VERDICT r14 #5): a
     lower ``quantizer`` or a capped idf ratio (``least(sqrt(N/df),
     idf_cap)`` — standard practice for web-scale df=1 templated grams)
     shrinks every weight, pulling a corpus back inside the int64
     envelope. Both change scores, so they are deliberate caller
     choices; the default (100, None) IS ``TFIDF_WEIGHT`` — the shared
-    cross-engine formula string of the registered rows."""
+    cross-engine formula string of the registered rows.
+
+    ``integer=False`` returns the same floored value computed ENTIRELY
+    in DOUBLE — the overflow-proof domain the ``checked=True`` envelope
+    pre-flight evaluates in, so the check survives even a SINGLE weight
+    past int64, where the integer form dies with the opaque ANSI error
+    the check exists to pre-empt (advisor finding, r15). Spark's
+    ``FLOOR(double)`` itself returns BIGINT (and hence overflows too),
+    so the double form floors via ``p - (p % 1.0)`` — exact for the
+    nonnegative p here (fmod and the subtraction are both IEEE-exact;
+    for p ≥ 2⁵³ the fmod is 0 and p is already integral), identical to
+    the integer form wherever the integer form is defined."""
     idf = "sqrt(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
     if idf_cap is not None:
         idf = f"least({idf}, CAST({float(idf_cap)} AS DOUBLE))"
-    return (
-        f"CAST(FLOOR(CAST({int(quantizer)} AS DOUBLE) * CAST(tf AS DOUBLE)"
-        f" * {idf}) AS BIGINT)"
-    )
+    p = f"CAST({int(quantizer)} AS DOUBLE) * CAST(tf AS DOUBLE) * {idf}"
+    if integer:
+        return f"CAST(FLOOR({p}) AS BIGINT)"
+    return f"(({p}) - (({p}) % CAST(1 AS DOUBLE)))"
 
 
 #: Integer weight for one (doc, term): floor(100 * tf * sqrt(N/df)).
@@ -589,9 +602,14 @@ def tfidf_cosine_pairs(
     if checked:
         # eager envelope assertion: max per-doc Σwgt² in DOUBLE (cannot
         # overflow) vs 2⁶² — one bounded agg, 1 collected row. Opt-in
-        # because it is an extra pass over the capped postings.
+        # because it is an extra pass over the capped postings. The
+        # check's weight is the PURE-DOUBLE form (integer=False): the
+        # integer form's BIGINT cast would itself raise the opaque ANSI
+        # ArithmeticException on a single >int64 weight — exactly the
+        # failure the pre-flight exists to pre-empt (advisor, r15).
+        check_weight_sql = tfidf_weight_sql(quantizer, idf_cap, integer=False)
         row = (
-            flat.select("doc_id", F.expr(weight_sql).cast("double").alias("wd"))
+            flat.select("doc_id", F.expr(check_weight_sql).alias("wd"))
             .groupBy("doc_id")
             .agg(F.sum(F.col("wd") * F.col("wd")).alias("n2"))
             .agg(F.max("n2").alias("max_n2"))

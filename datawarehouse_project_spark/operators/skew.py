@@ -135,7 +135,7 @@ def cap_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
 
 
 def cap_hot_keys_salted(
-    df: DataFrame, keys: list[str], cap: int
+    df: DataFrame, keys: list[str], cap: int, max_hot_keys: int | None = None
 ) -> DataFrame:
     """Straggler-bounded twin of :func:`cap_hot_keys` (VERDICT r14 #2):
     identical output (drop rows whose key-group frequency exceeds
@@ -165,16 +165,41 @@ def cap_hot_keys_salted(
     (grams above df_cap are the minority mass); this is the opt-in for
     distributions where one key dominates. Envelope: the broadcast hot
     set holds ≤ Σrows/cap keys — at 10⁹ rows and cap=100 that is up to
-    10⁷ keys; raise the cap or drop the broadcast hint (AQE then picks
-    the join side) if the hot-set cardinality itself is extreme.
+    10⁷ keys. ``max_hot_keys`` GUARDS that envelope (VERDICT r15 #6):
+    when set, the hot-set cardinality is counted eagerly (one agg over
+    the already-fixed-width count rows — the same loud-contract shape
+    as the TF-IDF envelope ``checked=True`` pre-flight) and a
+    descriptive error names the mitigations (raise the cap, or drop
+    the broadcast hint so AQE picks the join side) instead of letting
+    the broadcast OOM the driver opaquely. Opt-in because it is an
+    eager extra job; None (default) keeps the call fully lazy.
     Equality is pinned bit-identical (incl. NULL-key groups and
     on-the-cap boundaries) in tests/test_bounded_postings.py."""
+    # collision-resistant working columns, mirroring cap_hot_keys' __dw_kf
+    # guard (advisor finding, r15): an input frame already carrying a
+    # __dw_hot_<key> column would make the anti-join condition reference
+    # an ambiguous/wrong attribute.
+    taken = {"__dw_kf", *(f"__dw_hot_{k}" for k in keys)}
+    clash = sorted(taken.intersection(df.columns))
+    if clash:
+        raise ValueError(
+            f"cap_hot_keys_salted: input already has {clash} column(s); rename"
+        )
     hot = (
         df.groupBy(*keys)
         .agg(F.count("*").alias("__dw_kf"))
         .filter(F.col("__dw_kf") > cap)
         .select(*[F.col(k).alias(f"__dw_hot_{k}") for k in keys])
     )
+    if max_hot_keys is not None:
+        n_hot = hot.count()
+        if n_hot > max_hot_keys:
+            raise ValueError(
+                f"cap_hot_keys_salted broadcast envelope exceeded: {n_hot} "
+                f"hot keys > max_hot_keys={max_hot_keys}; raise cap "
+                f"(currently {cap}) or call without max_hot_keys and drop "
+                f"the broadcast hint so AQE picks the join strategy"
+            )
     # null-safe condition: the window form groups NULL keys together, so
     # a hot NULL group must drop here too — a bare equi-anti-join would
     # keep every NULL-keyed row

@@ -320,3 +320,81 @@ def test_guard_knob_raises_when_it_cannot_take_effect(spark, sf_dir):
     s = spark.createDataFrame([(1, "abcdef")], "id bigint, s string")
     with pytest.raises(ValueError, match="seg_cap"):
         candidate_pairs(s, 2, seg_cap=None, guard="salted")
+
+
+def test_guard_knob_invalid_value_reported_up_front(spark, sf_dir):
+    """A typo'd guard value is reported as an invalid value on EVERY
+    path — including the uncapped/unbounded ones, where the old order
+    of checks misdirected it to the 'requires df_cap and bounded=True'
+    path-compatibility message (advisor finding, r15)."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from datawarehouse_project_spark.operators.fuzzy import candidate_pairs
+
+    # uncapped jaccard: the real problem is the value, not the path
+    with pytest.raises(ValueError, match="must be 'window' or 'salted'"):
+        ngram_jaccard_pairs(spark, sf_dir, threshold=0.6, guard="slated")
+    with pytest.raises(ValueError, match="must be 'window' or 'salted'"):
+        ngram_containment_pairs(
+            spark, sf_dir, bounded=False, guard="slated"
+        )
+    s = spark.createDataFrame([(1, "abcdef")], "id bigint, s string")
+    with pytest.raises(ValueError, match="must be 'window' or 'salted'"):
+        candidate_pairs(s, 2, seg_cap=None, guard="slated")
+    # the capped+bounded path still rejects it too (via hot_key_guard)
+    with pytest.raises(ValueError, match="window.*salted|salted.*window"):
+        ngram_jaccard_pairs(
+            spark, sf_dir, threshold=0.6, df_cap=50, bounded=True,
+            guard="slated",
+        )
+
+
+def test_cap_hot_keys_salted_rejects_working_column_collision(spark):
+    """The salted twin mirrors cap_hot_keys' collision contract
+    (advisor finding, r15): an input already carrying __dw_hot_<key> or
+    __dw_kf would make the null-safe anti-join condition reference an
+    ambiguous/wrong attribute, so it is refused loudly."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.skew import cap_hot_keys_salted
+
+    df = spark.createDataFrame([("a", 1)], "k string, __dw_hot_k int")
+    with pytest.raises(ValueError, match="__dw_hot_k"):
+        cap_hot_keys_salted(df, ["k"], cap=5)
+    df2 = spark.createDataFrame([("a", 1)], "k string, __dw_kf int")
+    with pytest.raises(ValueError, match="__dw_kf"):
+        cap_hot_keys_salted(df2, ["k"], cap=5)
+
+
+def test_cap_hot_keys_salted_broadcast_envelope_guard(spark):
+    """VERDICT r15 #6: max_hot_keys= promotes the broadcast envelope
+    from disclosed to guarded — on the boundary the call succeeds
+    unchanged; one past it, a descriptive error names the mitigations
+    (raise cap / drop the hint) instead of an opaque broadcast OOM."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.skew import (
+        cap_hot_keys,
+        cap_hot_keys_salted,
+    )
+
+    # 3 hot keys (freq 4 > cap=2), 2 cold
+    rows = [(f"h{i}", j) for i in range(3) for j in range(4)]
+    rows += [("c1", 0), ("c2", 0)]
+    df = spark.createDataFrame(rows, "k string, v int").repartition(4)
+
+    # exactly on the threshold: guarded call == unguarded == window form
+    want = sorted((r.k, r.v) for r in cap_hot_keys(df, ["k"], 2).collect())
+    got = sorted(
+        (r.k, r.v)
+        for r in cap_hot_keys_salted(df, ["k"], 2, max_hot_keys=3).collect()
+    )
+    assert got == want and got == [("c1", 0), ("c2", 0)]
+
+    # one past it: loud contract error naming the knobs
+    with pytest.raises(ValueError, match="broadcast envelope exceeded"):
+        cap_hot_keys_salted(df, ["k"], 2, max_hot_keys=2)

@@ -405,3 +405,39 @@ def test_tfidf_checked_is_noop_inside_envelope(spark, sf_dir):
         map(tuple, tfidf_cosine_pairs(counts, checked=True).collect())
     )
     assert base == checked and base
+
+
+def test_tfidf_checked_survives_single_weight_overflow(spark):
+    """Advisor r15: the checked=True pre-flight evaluates the weight in
+    pure DOUBLE (tfidf_weight_sql(integer=False)), so even a SINGLE
+    weight past int64 — where the integer formula's BIGINT cast would
+    itself die with the opaque ANSI ArithmeticException the check
+    exists to pre-empt — still yields the descriptive ValueError."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.retrieval import (
+        TFIDF_WEIGHT,
+        tfidf_cosine_pairs,
+        tfidf_weight_sql,
+    )
+
+    # one (doc, term) with tf=1e17, df=1, N=1 → weight = 1e19 > 2⁶³:
+    # the cast alone overflows before any sum does
+    counts = spark.createDataFrame(
+        [(1, 7, 10**17)], "doc_id bigint, w bigint, tf bigint"
+    )
+    n_docs = spark.createDataFrame([(1,)], "n_docs bigint")
+    with pytest.raises(ValueError, match="envelope exceeded"):
+        tfidf_cosine_pairs(counts, n_docs=n_docs, checked=True)
+
+    # the double form never touches an integer type (Spark's
+    # FLOOR(double) returns BIGINT, so it uses the fmod floor) and
+    # agrees with the integer form numerically inside the envelope
+    dbl = tfidf_weight_sql(integer=False)
+    assert "BIGINT" not in dbl and "FLOOR" not in dbl
+    probe = spark.createDataFrame(
+        [(3, 5, 20)], "tf bigint, df bigint, n_docs bigint"
+    ).selectExpr(
+        f"CAST({TFIDF_WEIGHT} AS DOUBLE) AS wi", f"{dbl} AS wd"
+    ).collect()[0]
+    assert probe.wi == probe.wd == 600.0  # floor(100*3*sqrt(4)) = 600
