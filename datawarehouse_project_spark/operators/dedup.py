@@ -290,7 +290,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "dedup_verified_near_dup",
-    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1).
+    # r16 rotation OUT (driver-green r10–r15): ceded its slot to
+    # lexical_bm25_from_stream; the oracle below still runs under pytest
+    # at both scale factors via all_queries().
+    driver_facing=False,
     oracle=f"""
 WITH {_DUCK_SIG},
 bands AS ({_duck_bands()}),

@@ -119,7 +119,10 @@ def run_session_stream(
       batch N), so the drop guarantee engages one batch after the
       emission one. Pinned (exactly-once, no resurrection, union ==
       batch twin over the surviving events) in
-      tests/test_streaming.py::test_session_stream_append_finalization.
+      tests/test_streaming.py::test_session_stream_append_finalization;
+      the exactly-once claim also survives a sink crash + resume on the
+      same ``checkpoint_dir`` (the failed epoch is re-delivered with
+      identical content — test_session_stream_restart_recovery).
     """
     prepare(spark)
     stream = (

@@ -59,7 +59,6 @@ def test_driver_catalog_fits_sweep_window():
         "corpus_select_token_budget",
         "text_idf_quality_scores",
         "sample_train_val_test",
-        "dedup_verified_near_dup",
         "bpe_token_counts",
         "events_daily_sketch_rollup",
         "multimodal_audio_features",
@@ -104,6 +103,10 @@ def test_driver_catalog_fits_sweep_window():
         # r12–r14, pytest oracles remain)
         "events_session_window_native",
         "fuzzy_part_desc_pairs_capped",
+        # r16 rotation IN (VERDICT r14 #7 / r15 next-1): the streamed-
+        # postings serving row (dedup_verified_near_dup ceded —
+        # driver-green r10–r15, pytest oracle remains)
+        "lexical_bm25_from_stream",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name

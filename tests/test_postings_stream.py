@@ -148,3 +148,95 @@ def test_streaming_shingle_store_serves_tfidf(spark, sf_dir, tmp_path):
     version = store.rollup.table.current_version()
     run()  # full replay
     assert store.rollup.table.current_version() == version
+
+
+def test_registered_stream_row_equals_batch_and_reuses_memo(spark, sf_dir):
+    """The r16 driver row: lexical_bm25_from_stream (a real availableNow
+    fold through StreamingPostingsStore under a ServingMemo) answers
+    identically to the compute-from-text operator, and a second call
+    serves from the memoized state without re-folding."""
+    from datawarehouse_project_spark.catalog import all_queries
+    from datawarehouse_project_spark.operators import retrieval as R
+
+    qs = all_queries()
+    first = _topk_set(qs["lexical_bm25_from_stream"](spark, sf_dir))
+    batch = _topk_set(qs["lexical_bm25_topk"](spark, sf_dir))
+    assert first == batch and first
+
+    # memo hit: same root object, no rebuild (the memo dict is stable)
+    root_before = R._SERVED_STREAM_POSTINGS_MEMO.roots[sf_dir][0]
+    again = _topk_set(qs["lexical_bm25_from_stream"](spark, sf_dir))
+    assert again == first
+    assert R._SERVED_STREAM_POSTINGS_MEMO.roots[sf_dir][0] == root_before
+
+
+def test_streaming_postings_restart_recovery(spark, sf_dir, tmp_path):
+    """VERDICT r15 next-4: the exactly-once claim survives a RESTART,
+    not just an in-session replay. The foreachBatch sink crashes AFTER
+    the state commit of epoch 1 but BEFORE the checkpoint acks it — the
+    classic at-least-once window — and a NEW SparkSession resuming on
+    the same checkpoint_dir re-delivers that epoch. The rollup's
+    (app_id, batch_id) ledger must absorb the re-delivery: final state
+    version and served top-k equal an uninterrupted run's."""
+    import pyspark.sql.types as T
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from datawarehouse_project_spark.catalog import all_queries
+    from datawarehouse_project_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.withColumn("part", (F.col("doc_id") % 4).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    ckpt = str(tmp_path / "ckpt")
+    store = StreamingPostingsStore(str(tmp_path / "postings"))
+
+    crashed = {"fired": False}
+
+    def poison(bdf, bid):
+        store.apply_batch(spark, bdf, batch_id=bid)
+        if bid == 1 and not crashed["fired"]:
+            crashed["fired"] = True
+            raise RuntimeError("injected crash after state commit")
+
+    def run(sess, sink):
+        (
+            sess.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    with pytest.raises(StreamingQueryException):
+        run(spark, poison)
+    assert crashed["fired"]
+    v_crash = store.rollup.table.current_version()
+
+    # resume with a NEW session on the same checkpoint: epoch 1 is
+    # re-delivered first (it never acked) — the ledger must make the
+    # re-apply a no-op before epochs 2..3 fold normally
+    spark2 = spark.newSession()
+    run(
+        spark2,
+        lambda bdf, bid: store.apply_batch(spark2, bdf, batch_id=bid),
+    )
+    v_final = store.rollup.table.current_version()
+    # epochs 0 and 1 committed pre-crash; only 2 and 3 commit post-resume
+    assert v_final == v_crash + 2
+
+    q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
+    resumed = _topk_set(store.topk(spark, q))
+    batch = _topk_set(all_queries()["lexical_bm25_topk"](spark, sf_dir))
+    assert resumed == batch

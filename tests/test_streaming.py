@@ -832,3 +832,112 @@ def test_windowed_stream_append_finalization(spark, tmp_path):
     assert emitted_at and min(emitted_at) >= 3, [
         (b, len(r)) for b, r in batches
     ]
+
+
+def test_session_stream_restart_recovery(spark, tmp_path):
+    """VERDICT r15 next-4, stateful twin: run_session_stream's
+    append-mode exactly-once claim survives a restart. The sink crashes
+    on its first NON-EMPTY delivery (rows seen, epoch never acked — the
+    at-least-once window); resuming on the same checkpoint_dir
+    re-delivers that epoch with IDENTICAL content (the state store
+    version for the failed epoch never committed, so the recompute is
+    deterministic), and one-delivery-per-epoch dedup yields exactly the
+    uninterrupted run's emission."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from datawarehouse_project_spark.streaming.windows import (
+        run_session_stream,
+    )
+
+    GAP_S = 600
+    src = tmp_path / "sess_src_restart"
+    src.mkdir()
+
+    def chunk(path, rows, mtime):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    t0 = time.time()
+    chunk(src / "f0.parquet", [(1, 1000), (1, 1100), (2, 1200)], t0 - 50)
+    chunk(src / "f1.parquet", [(1, 1300), (2, 5000)], t0 - 40)
+    # sentinel advances the watermark past every open session's close
+    chunk(src / "f2.parquet", [(99, 100_000)], t0 - 30)
+    chunk(src / "f3.parquet", [(99, 100_001)], t0 - 20)
+
+    ckpt = str(tmp_path / "ckpt_restart")
+    deliveries = []
+    crashed = {"fired": False}
+
+    def poison(df, bid):
+        rows = [
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in df.collect()
+        ]
+        deliveries.append((bid, rows))
+        if rows and not crashed["fired"]:
+            crashed["fired"] = True
+            raise RuntimeError("injected crash after delivery")
+
+    def run(sink):
+        run_session_stream(
+            spark,
+            str(src),
+            "user_id bigint, ts timestamp",
+            sink=sink,
+            gap_s=GAP_S,
+            watermark="2 hours",
+            files_per_trigger=1,
+            checkpoint_dir=ckpt,
+            output_mode="append",
+        )
+
+    with pytest.raises(StreamingQueryException):
+        run(poison)
+    assert crashed["fired"]
+
+    def clean(df, bid):
+        deliveries.append(
+            (bid, [
+                (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+                for r in df.collect()
+            ])
+        )
+
+    run(clean)
+
+    # the crashed epoch was re-delivered with identical content
+    by_bid = {}
+    redelivered = None
+    for bid, rows in deliveries:
+        if bid in by_bid and rows:
+            assert by_bid[bid] == rows, (bid, by_bid[bid], rows)
+            redelivered = bid
+        by_bid[bid] = rows
+    assert redelivered is not None
+
+    # one-delivery-per-epoch == the uninterrupted run's exactly-once set
+    US = 1_000_000
+    got = {t for rows in by_bid.values() for t in rows}
+    want = {
+        (1, 1000 * US, (1300 + GAP_S) * US, 3),
+        (2, 1200 * US, (1200 + GAP_S) * US, 1),
+        (2, 5000 * US, (5000 + GAP_S) * US, 1),
+    }
+    assert got == want, got
+    # and no epoch emitted a session row twice WITHIN a delivery
+    flat = [t for rows in by_bid.values() for t in rows]
+    assert len(flat) == len(set(flat))
