@@ -589,6 +589,7 @@ def tfidf_cosine_pairs(
     quantizer: int = 100,
     idf_cap: float | None = None,
     checked: bool = False,
+    guard: str = "window",
 ) -> DataFrame:
     """Document pairs (doc_a < doc_b) with TF-IDF cosine >= ``threshold``
     over postings ``(doc_id, w, tf)``.
@@ -649,9 +650,39 @@ def tfidf_cosine_pairs(
     defaults; the registered rows sit ~9 orders inside the envelope
     (boundary test: tests/test_retrieval.py).
 
+    STRAGGLER GUARD (``guard=``, VERDICT r15 #2): the window form
+    routes ALL rows of a key through one task before the cap filter
+    drops them — bounded memory (WindowExec spills) but a df=10⁹
+    boilerplate gram still serializes 10⁹ rows through one straggler.
+    This build needs the df VALUE downstream, so it cannot simply swap
+    in :func:`~.skew.cap_hot_keys_salted` (and re-joining counted
+    values is the subtree-replan shape r14 measured and rejected) —
+    but the HYBRID works because hot keys are DROPPED, not valued:
+    ``guard="salted"`` first removes every above-cap key's rows via the
+    salted count + broadcast anti-join (no task ever owns a hot key),
+    then runs the SAME count window over the cold mass only — where
+    every key has ≤ df_cap rows by construction, so the per-task skew
+    of the value-producing window is bounded by the cap. df values for
+    surviving keys are unchanged (whole keys drop, never partial
+    rows), so results are bit-identical (equality-tested). MEASURED
+    (scripts/bench_straggler.py --tfidf, PERFORMANCE r16): on local[32]
+    the window form wins at every size up to 32 M docs (1.71× → 1.44×,
+    trending to the hybrid) because the hybrid's two extra balanced
+    passes cost more than the single straggler sort when cores ≈
+    grams/doc; the crossover criterion is cores ≫ grams-per-doc — the
+    1000-executor regime — so the default stays "window" by
+    measurement and the knob is the cluster-scale opt-in.
+
     ``n_docs``: optional 1-row (n_docs BIGINT) frame; callers that know
     a cheaper equivalent (docs with >= 3 words needs no shingling)
     should pass it. Default derives it from ``counts``."""
+    if guard not in ("window", "salted"):
+        raise ValueError(f"guard must be 'window' or 'salted', got {guard!r}")
+    if guard != "window" and not bounded:
+        # the unbounded one-scan build has no guard to salt; silently
+        # accepting the knob would run the exact single-key buffer
+        # hazard it was passed to avoid
+        raise ValueError("guard='salted' requires bounded=True")
     if n_docs is None:
         n_docs = counts.select("doc_id").distinct().agg(
             F.count("*").cast("bigint").alias("n_docs")
@@ -665,8 +696,17 @@ def tfidf_cosine_pairs(
         # which replans the counts subtree twice (r14 review) — the
         # postings are scanned ONCE, with the window's exchange on w
         # reused by the pairing regroup.
+        base = counts
+        if guard == "salted":
+            # hybrid (docstring above): pre-drop hot keys under the
+            # salted guard, then let the window value the cold mass —
+            # the cap filter below is then vacuous but kept so both
+            # forms share the identical downstream plan
+            from .skew import cap_hot_keys_salted
+
+            base = cap_hot_keys_salted(counts, ["w"], df_cap)
         flat = (
-            counts.withColumn(
+            base.withColumn(
                 "df",
                 F.count("*").over(Window.partitionBy("w")).cast("bigint"),
             )

@@ -219,9 +219,13 @@ def hot_key_guard(
     ever owns a hot key — the adversarial-distribution opt-in). Both
     drop exactly the rows whose key-group frequency exceeds ``cap``.
     Consumers that need the per-key COUNT value downstream (the TF-IDF
-    posting build) cannot use the salted form — re-joining the counts
-    is the subtree-replan shape r14 measured and rejected — and keep
-    the window inline."""
+    posting build) cannot swap this chooser in directly — re-joining
+    counted values is the subtree-replan shape r14 measured and
+    rejected — but DO get straggler protection via the hybrid in
+    :func:`~.retrieval.tfidf_cosine_pairs` (``guard="salted"``):
+    salted pre-drop of the hot keys, then the value-producing window
+    over the cold mass only, where per-key row counts are ≤ cap by
+    construction (VERDICT r15 #2)."""
     if guard == "window":
         return cap_hot_keys(df, keys, cap)
     if guard == "salted":

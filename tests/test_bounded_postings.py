@@ -398,3 +398,60 @@ def test_cap_hot_keys_salted_broadcast_envelope_guard(spark):
     # one past it: loud contract error naming the knobs
     with pytest.raises(ValueError, match="broadcast envelope exceeded"):
         cap_hot_keys_salted(df, ["k"], 2, max_hot_keys=2)
+
+
+def test_tfidf_guard_salted_hybrid_equals_window(spark, sf_dir):
+    """VERDICT r15 #2: the count-consuming TF-IDF build gets straggler
+    protection via the hybrid — salted pre-drop of hot keys, then the
+    df-valuing window over the cold mass only. Bit-identical to the
+    window form on the registered fixture AND on a planted corpus with
+    an above-cap hot gram; the salted plan carries the anti-join and
+    never windows the full key set before the drop."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.retrieval import (
+        shingle_counts,
+        tfidf_cosine_pairs,
+    )
+
+    counts = shingle_counts(spark, sf_dir)
+    base = sorted(map(tuple, tfidf_cosine_pairs(counts).collect()))
+    salted = sorted(
+        map(tuple, tfidf_cosine_pairs(counts, guard="salted").collect())
+    )
+    assert base == salted and base
+
+    # planted: a hot gram above the cap shared by EVERY doc (dropped by
+    # both forms — its df must not contaminate surviving keys), plus a
+    # genuine near-dup pair on cold grams
+    rows = []
+    for d in range(30):
+        rows.append((d, 999, 1))            # hot gram, df=30 > cap=20
+        rows.append((d, 1000 + d, 2))       # unique cold gram
+    rows += [(100, 1, 3), (100, 2, 1), (101, 1, 3), (101, 2, 1),
+             (100, 999, 1), (101, 999, 1)]  # the pair shares cold grams 1,2
+    pc = spark.createDataFrame(rows, "doc_id bigint, w bigint, tf bigint")
+    w_form = sorted(map(tuple, tfidf_cosine_pairs(pc, threshold=0.9).collect()))
+    s_form = sorted(map(tuple, tfidf_cosine_pairs(
+        pc, threshold=0.9, guard="salted"
+    ).collect()))
+    assert w_form == s_form
+    assert [(a, b) for a, b, _ in w_form] == [(100, 101)]
+
+    # knob contract: invalid value up front; no effect on the unbounded
+    # build is an error, not a silent hazard
+    with pytest.raises(ValueError, match="must be 'window' or 'salted'"):
+        tfidf_cosine_pairs(counts, guard="slated")
+    with pytest.raises(ValueError, match="bounded=True"):
+        tfidf_cosine_pairs(counts, bounded=False, guard="salted")
+
+    # plan shape: the salted form pre-drops via broadcast anti-join with
+    # map-side partial counts; the window still exists (it VALUES df
+    # over the cold mass) — that is the hybrid's defining shape
+    plan = (
+        tfidf_cosine_pairs(pc, guard="salted")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "partial_count" in plan
+    assert "windowspecdefinition" in plan  # the df-valuing window remains
