@@ -31,6 +31,15 @@ Shuffle partitions auto-size with the scale factor (8 at sf<=0.2, else
 partition count is per-stage task-dispatch cost that small inputs never
 amortize (measured at sf0.1: cold sweep 18.2s at 16 partitions, 17.0s
 at 8, 17.8s at 4 — the knee is 8).
+
+Headline-set change (round 16, VERDICT r15 #5): the set grew from 15 to
+16 queries — `lexical_tfidf_cosine_pairs` joined so the lexical
+retrieval family's ratio is tracked per-round (its at-scale curve was
+previously measured only in ad-hoc scaling runs). TOTALS BEFORE AND
+AFTER THE CHANGE ARE NOT COMPARABLE (BENCH_r15 and earlier sum 15
+queries, BENCH_r16 onward 16); compare per-query values, or the r16+
+series against itself. Disclosed in PERFORMANCE.md's current-state
+header.
 """
 
 from __future__ import annotations

@@ -839,6 +839,12 @@ WHERE {TFIDF_COSINE} >= {TFIDF_THRESHOLD}
 @register(
     "lexical_tfidf_cosine_pairs",
     # r14 rotation IN (VERDICT r13 #1); events_rolling_24h ceded.
+    # r16: headline=True (VERDICT r15 #5) — the lexical family's
+    # corpus-sized representative joins the driver bench so its ratio
+    # is tracked round-over-round, not only in ad-hoc scaling runs.
+    # Totals across the set change are NOT comparable (disclosed in
+    # bench.py's methodology docstring and PERFORMANCE.md).
+    headline=True,
     oracle=_TFIDF_ORACLE,
 )
 def lexical_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
