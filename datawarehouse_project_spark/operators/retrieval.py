@@ -160,6 +160,76 @@ def lexical_topk_from_postings(
     )
 
 
+def lexical_topk_served(
+    counts: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """The PROBE-PROPORTIONAL serving plan (VERDICT r15 #3): top-``k``
+    per query from a maintained postings state ``(doc_id, w, tf)`` plus
+    the doc-length state ``(doc_id, dl)``.
+
+    Why a second table instead of :func:`lexical_topk_from_postings`:
+    that plan re-derives dl with a window over the WHOLE postings state
+    — a sort + exchange of every (doc, term) row to answer a 4-term
+    probe, which is why the store row converged to 1.3× DuckDB at sf10
+    instead of winning (profiled: execution, not dispatch). Here the
+    probe's cost is proportional to the rows it touches:
+
+    * the query TERMS (a bounded set by the broadcast-query contract)
+      are collected and applied as an ``isin`` LITERAL filter, which
+      pushes into the parquet scan of the state (PushedFilters, plan-
+      pinned) — at corpus scale the scan skips row groups without the
+      terms instead of reading the vocabulary;
+    * df per term is an aggregate of the MATCHED rows only (identical
+      values: whole posting lists match or don't);
+    * dl joins from the doc-sized table; corpus stats (n_docs, sum_dl)
+      are one tiny agg over it — never a postings-wide window.
+
+    Scores are bit-identical to the window form: same formula string
+    over the same (tf, df, dl, n_docs, sum_dl) values, so the shared
+    DuckDB oracle pins both plans."""
+    qterms = (
+        queries.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.explode(words("qtext")).alias("w"),
+        )
+        .groupBy("query_id", "w")
+        .agg(F.count("*").cast("bigint").alias("qtf"))
+    )
+    # bounded driver-side materialization of the query TERM SET (not
+    # data): the contract already broadcasts the query set, so its
+    # distinct terms are bounded; the literal list is what lets the
+    # filter reach the parquet scan
+    terms = [r.w for r in qterms.select("w").distinct().collect()]
+    matched = counts.filter(F.col("w").isin(terms))
+    dfm = matched.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    stats = doclens.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    scored = (
+        matched.join(doclens, "doc_id")
+        .join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfm), "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(BM25_CONTRIB) * F.col("qtf"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
 def queries_rows_sql() -> str:
     """The fixed query set as SQL VALUES rows — the single source for
     the DuckDB oracle AND the Spark-SQL twin (plans/sql_twins.py), so
@@ -273,23 +343,23 @@ def state_counts(state: DataFrame) -> DataFrame:
     )
 
 
-def served_postings(spark: SparkSession, sf_dir: str):
+def served_postings(spark: SparkSession, sf_dir: str) -> "StreamingPostingsStore":
     """The session's maintained inverted index over ``sf_dir``'s
-    documents: an IncrementalRollup keyed (doc_id, w) summing tf."""
-    from .incremental import IncrementalRollup
-
-    def handle(root: str) -> IncrementalRollup:
-        return IncrementalRollup(root, keys=["doc_id", "w"], sum_cols=["tf"])
+    documents: a :class:`StreamingPostingsStore` (postings rollup keyed
+    (doc_id, w) PLUS the doc-length rollup keyed doc_id — see the class
+    docstring for why the second table is the serving win) folded from
+    one batch."""
 
     def build(root: str) -> None:
         docs = table(spark, sf_dir, "documents").filter(
             F.col("text").isNotNull()
         )
-        handle(root).apply_batch(
-            spark, term_counts(docs), batch_id=0, app_id="served-postings"
+        StreamingPostingsStore(f"{root}/store").apply_batch(
+            spark, docs, batch_id=0, app_id="served-postings"
         )
 
-    return handle(_SERVED_POSTINGS_MEMO.get_or_build(sf_dir, build))
+    root = _SERVED_POSTINGS_MEMO.get_or_build(sf_dir, build)
+    return StreamingPostingsStore(f"{root}/store")
 
 
 class StreamingPostingsStore:
@@ -321,14 +391,32 @@ class StreamingPostingsStore:
     :func:`term_counts` streams the unigram BM25 postings; pass
     :func:`shingle_counts_of` to stream the word-3-gram store that
     serves TF-IDF pairs (any per-batch ``(doc_id, w, tf)`` builder whose
-    tf is additive works — the fold is the same rollup either way)."""
+    tf is additive works — the fold is the same rollup either way).
+
+    STORE LAYOUT (r16, VERDICT r15 #3): TWO rollups under ``root`` —
+    ``root/postings`` keyed (doc_id, w) and ``root/doclen`` keyed
+    doc_id, both summing tf (dl = Σtf per doc is additive under any
+    batching, exactly like tf itself). The doc-length table is what
+    makes serving PROBE-PROPORTIONAL: without it, every top-k probe
+    re-derived dl by window-sorting the ENTIRE postings state (the
+    state is vocabulary×doc-sized — 10-100× the doc count — and the
+    sort is the profiled cost of the 1.9×/1.3× sf10 residual); with
+    it, the probe scans only postings rows matching the query terms
+    (an ``isin`` literal filter that pushes to the parquet scan) and
+    joins dl from the doc-sized table. Each fold commits the two
+    tables separately with the SAME (app_id, batch_id): a crash
+    between the commits re-delivers the epoch, the postings ledger
+    absorbs it, the doclen fold applies — both tables converge."""
 
     def __init__(self, root: str, counts_fn=term_counts) -> None:
         from .incremental import IncrementalRollup
 
         self.counts_fn = counts_fn
         self.rollup = IncrementalRollup(
-            root, keys=["doc_id", "w"], sum_cols=["tf"]
+            f"{root}/postings", keys=["doc_id", "w"], sum_cols=["tf"]
+        )
+        self.doclen = IncrementalRollup(
+            f"{root}/doclen", keys=["doc_id"], sum_cols=["tf"]
         )
 
     def apply_batch(
@@ -339,13 +427,27 @@ class StreamingPostingsStore:
         app_id: str = "postings-stream",
     ) -> int:
         """Fold one micro-batch of ``(doc_id, text)`` rows into the
-        postings state; idempotent under replay with ``batch_id``."""
-        return self.rollup.apply_batch(
-            spark,
-            self.counts_fn(batch.filter(F.col("text").isNotNull())),
-            batch_id=batch_id,
-            app_id=app_id,
-        )
+        postings AND doc-length states; idempotent under replay with
+        ``batch_id``. Returns the postings table's committed version.
+        The batch's counts feed both folds, so they are cached for the
+        two passes (a micro-batch is bounded by construction)."""
+        c = self.counts_fn(batch.filter(F.col("text").isNotNull()))
+        c = c.persist()
+        try:
+            version = self.rollup.apply_batch(
+                spark, c, batch_id=batch_id, app_id=app_id
+            )
+            self.doclen.apply_batch(
+                spark,
+                c.groupBy("doc_id").agg(
+                    F.sum("tf").cast("bigint").alias("tf")
+                ),
+                batch_id=batch_id,
+                app_id=app_id,
+            )
+        finally:
+            c.unpersist()
+        return version
 
     def counts(self, spark: SparkSession) -> DataFrame:
         """The folded postings as ``(doc_id, w, tf)``."""
@@ -354,12 +456,24 @@ class StreamingPostingsStore:
             raise ValueError("empty postings store: no batch applied yet")
         return state_counts(state)
 
+    def doclens(self, spark: SparkSession) -> DataFrame:
+        """The folded per-doc lengths as ``(doc_id, dl)``."""
+        state = self.doclen.read(spark)
+        if state is None:
+            raise ValueError("empty postings store: no batch applied yet")
+        return state.select(
+            "doc_id", F.col("sum_tf").cast("bigint").alias("dl")
+        )
+
     def topk(
         self, spark: SparkSession, queries: DataFrame, k: int = LEXICAL_K
     ) -> DataFrame:
-        """Serve BM25 top-k from the streamed state (bit-identical to the
-        batch operator over the same corpus — equivalence-tested)."""
-        return lexical_topk_from_postings(self.counts(spark), queries, k=k)
+        """Serve BM25 top-k from the maintained state (bit-identical to
+        the batch operator over the same corpus — equivalence-tested)
+        via the probe-proportional plan (:func:`lexical_topk_served`)."""
+        return lexical_topk_served(
+            self.counts(spark), self.doclens(spark), queries, k=k
+        )
 
 
 @register(
@@ -373,11 +487,13 @@ class StreamingPostingsStore:
 def lexical_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 per query served from the maintained postings store — the
     corpus text is scanned once per ingest fold, never per query; the
-    query plan touches only the (doc_id, w, sum_tf) state."""
+    probe plan touches only the query terms' state rows (pushed isin
+    scan) plus the doc-length table (:func:`lexical_topk_served` —
+    VERDICT r15 #3)."""
     prepare(spark)
     store = served_postings(spark, sf_dir)
     q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
-    return lexical_topk_from_postings(state_counts(store.read(spark)), q, k=LEXICAL_K)
+    return store.topk(spark, q, k=LEXICAL_K)
 
 
 # Streamed-serving twin: same memo lifecycle, but the state is built by a

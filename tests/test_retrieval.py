@@ -441,3 +441,36 @@ def test_tfidf_checked_survives_single_weight_overflow(spark):
         f"CAST({TFIDF_WEIGHT} AS DOUBLE) AS wi", f"{dbl} AS wd"
     ).collect()[0]
     assert probe.wi == probe.wd == 600.0  # floor(100*3*sqrt(4)) = 600
+
+
+def test_served_plan_is_probe_proportional(spark, sf_correct_dir):
+    """VERDICT r15 #3: the store-serving plan (lexical_topk_served) is
+    probe-proportional — the query-term restriction reaches the parquet
+    scan of the state as a pushed In(w, ...) filter, dl comes from the
+    doc-length table instead of a window over the whole postings state
+    (no windowspecdefinition over doc_id anywhere in the plan; the only
+    window left is the per-query rank), and the two-table fold's states
+    agree with each other (Σ postings tf per doc == dl)."""
+    from datawarehouse_project_spark.catalog import all_queries
+    from datawarehouse_project_spark.operators.retrieval import (
+        served_postings,
+    )
+
+    df = all_queries()["lexical_bm25_from_store"](spark, sf_correct_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(w, [" in plan, plan[:2000]           # pushed term filter
+    assert "windowspecdefinition(doc_id" not in plan  # no state-wide dl sort
+    assert "windowspecdefinition(query_id" in plan    # rank window remains
+
+    store = served_postings(spark, sf_correct_dir)
+    from_postings = {
+        (r.doc_id, r.dl)
+        for r in store.counts(spark)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+        .collect()
+    }
+    from_doclens = {
+        (r.doc_id, r.dl) for r in store.doclens(spark).collect()
+    }
+    assert from_postings == from_doclens and from_postings
