@@ -382,10 +382,10 @@ class StreamingPostingsStore:
     epoch acked, and a NEW session resumes on the same checkpoint_dir
     (both pinned in tests/test_postings_stream.py: in-session replay
     and injected-crash restart recovery).
-    Serving reads the state through the same
-    :func:`lexical_topk_from_postings` plan as every other postings
-    consumer — df/dl/corpus stats derive from state, the corpus text is
-    never rescanned.
+    Serving reads the state through :func:`lexical_topk_served` — the
+    probe-proportional plan: pushed query-term filter on the postings
+    scan, df from the matched rows, dl and corpus stats from the
+    doc-length table; the corpus text is never rescanned.
 
     ``counts_fn`` generalizes the unit of state: the default
     :func:`term_counts` streams the unigram BM25 postings; pass
@@ -525,9 +525,10 @@ def served_stream_postings(
     corpus copy under the memo root is ingest-simulation glue only — at
     deployment the document stream already exists and the ``readStream
     → foreachBatch(store.apply_batch)`` wiring below is the whole
-    recipe; the state itself is the same (doc_id, w, sum_tf) rollup the
-    batch store maintains, so serving cost and exactly-once posture are
-    identical (ledger-replay-pinned in tests/test_postings_stream.py)."""
+    recipe; the state itself is the same table pair the batch store
+    maintains (postings keyed (doc_id, w) + doc lengths keyed doc_id),
+    so serving cost and exactly-once posture are identical
+    (ledger-replay-pinned in tests/test_postings_stream.py)."""
     import pyspark.sql.types as T
 
     def build(root: str) -> None:

@@ -26,9 +26,9 @@ stays N/cores at any df).
 (count window over ALL keys, filter) vs the hybrid (salted pre-drop of
 the hot gram, then the same window over the cold mass only — see
 tfidf_cosine_pairs' guard= docstring). N = documents; each doc carries
-5 cold grams (df≈5) and 30% of docs share ONE hot gram (df = 0.3·N ≫
-cap) — the web-boilerplate shape. Both forms produce the same flat
-row set (bit-identical operator results pinned in
+5 cold grams (df≈5) and EVERY doc shares ONE hot gram (df = N ≫ cap)
+— the web-boilerplate shape. Both forms produce the same flat row set
+(bit-identical operator results pinned in
 tests/test_bounded_postings.py).
 
 Usage: python scripts/bench_straggler.py [--tfidf] [N ...]   (default 2e6 8e6)
