@@ -195,7 +195,12 @@ class StreamingLshDedup:
     absorbs the duplicate commit, and the signature commit then
     completes the batch. The pair stream is therefore append-exact:
     every near-dup pair of the whole stream appears exactly once, at
-    the batch where its LATER member arrived."""
+    the batch where its LATER member arrived. That between-commits
+    window is pinned as a RESTART fact, not just an argument: an
+    injected crash exactly there, resumed by a new session on the same
+    checkpoint_dir, converges both tables to the uninterrupted run's
+    (tests/test_dedup_incremental.py::
+    test_streaming_lsh_dedup_restart_recovery_between_commits)."""
 
     def __init__(self, root: str) -> None:
         from ..sources.sinks import VersionedParquetTable

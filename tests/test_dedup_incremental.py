@@ -141,3 +141,85 @@ def test_streaming_lsh_dedup_converges_and_replays_exactly_once(
     assert dedup.signatures.current_version() == v_sig
     assert dedup.pairs.current_version() == v_pairs
     assert _pairs_set(dedup.pairs.read(spark)) == streamed
+
+
+def test_streaming_lsh_dedup_restart_recovery_between_commits(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r15 next-4, third store family — and the SHARPEST window:
+    the writer dies BETWEEN the pairs commit and the signatures commit
+    of one epoch (the exact at-least-once gap the class docstring
+    reasons about). Resuming on the same checkpoint_dir re-delivers the
+    epoch; because the signature store still lacks that batch, the
+    recomputation produces IDENTICAL pairs, the pairs ledger absorbs
+    the duplicate commit, and the signatures commit completes the
+    batch — final tables equal an uninterrupted run's."""
+    import pyspark.sql.types as T
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from datawarehouse_project_spark.operators.dedup_incremental import (
+        StreamingLshDedup,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.withColumn("part", (F.col("doc_id") % 3).cast("int")).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    ckpt = str(tmp_path / "ckpt")
+    dedup = StreamingLshDedup(str(tmp_path / "dedup"))
+
+    # crash injection: the signatures commit of epoch 1 fails ONCE —
+    # pairs for epoch 1 are already committed at that point
+    orig_upsert = dedup.signatures.upsert
+    state = {"crashed": False}
+
+    def flaky(spark_, incoming, pk, *args, txn=None, **kw):
+        if txn is not None and txn[1] == 1 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash between pairs and signatures")
+        return orig_upsert(spark_, incoming, pk, *args, txn=txn, **kw)
+
+    dedup.signatures.upsert = flaky
+
+    def run(sess):
+        (
+            sess.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: dedup.apply_batch(sess, bdf, batch_id=bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    with pytest.raises(StreamingQueryException):
+        run(spark)
+    assert state["crashed"]
+    v_pairs_crash = dedup.pairs.current_version()
+
+    # resume with a NEW session: epoch 1 re-delivers, its recomputed
+    # pairs duplicate-commit is absorbed by the ledger (version must NOT
+    # bump for it), signatures complete, epoch 2 folds normally
+    spark2 = spark.newSession()
+    run(spark2)
+
+    streamed = _pairs_set(dedup.pairs.read(spark))
+    assert streamed == _pairs_set(dedup_minhash_lsh_pairs(spark, sf_dir))
+    # pairs: epochs 0,1 committed pre-crash; only epoch 2 commits after
+    assert dedup.pairs.current_version() == v_pairs_crash + 1
+    # signatures cover the whole corpus exactly once
+    sigs = dedup.signatures.read(spark)
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    assert sigs.count() == n_docs
+    assert sigs.select("doc_id").distinct().count() == n_docs
