@@ -406,7 +406,13 @@ class StreamingPostingsStore:
     joins dl from the doc-sized table. Each fold commits the two
     tables separately with the SAME (app_id, batch_id): a crash
     between the commits re-delivers the epoch, the postings ledger
-    absorbs it, the doclen fold applies — both tables converge."""
+    absorbs it, the doclen fold applies — both tables converge.
+    MAINTENANCE: a long-lived streamed store accumulates interleaved
+    term layouts across commits; ``store.rollup.table.compact(spark,
+    cluster_keys=["w"])`` range-clusters the state so the probe's
+    pushed In(w) filter skips whole FILES — rows, serving answer, and
+    the replay ledger survive the rewrite (composition-pinned in
+    tests/test_postings_stream.py)."""
 
     def __init__(self, root: str, counts_fn=term_counts) -> None:
         from .incremental import IncrementalRollup

@@ -240,3 +240,59 @@ def test_streaming_postings_restart_recovery(spark, sf_dir, tmp_path):
     resumed = _topk_set(store.topk(spark, q))
     batch = _topk_set(all_queries()["lexical_bm25_topk"](spark, sf_dir))
     assert resumed == batch
+
+
+def test_postings_store_optimize_clusters_for_the_probe(spark, sf_dir, tmp_path):
+    """Maintenance composition (r16): OPTIMIZE the postings state with
+    cluster_keys=["w"] and the probe-proportional serving plan's pushed
+    In(w, ...) filter gets DISJOINT per-file term ranges to skip — the
+    file-level pruning a probe over a many-commit streamed store needs
+    at corpus scale. Rows, serving answer, and the replay ledger are
+    all unchanged by the rewrite."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datawarehouse_project_spark.catalog import all_queries
+    from datawarehouse_project_spark.io import table as load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = StreamingPostingsStore(str(tmp_path / "store"))
+    # several commits so the pre-OPTIMIZE layout interleaves terms
+    for i in range(3):
+        store.apply_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), batch_id=i
+        )
+    q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
+    before = _topk_set(store.topk(spark, q))
+    assert before == _topk_set(all_queries()["lexical_bm25_topk"](spark, sf_dir))
+
+    t = store.rollup.table
+    t.compact(spark, target_files=4, cluster_keys=["w"])
+
+    # per-file w ranges disjoint => the pushed In(w) filter skips files
+    files = sorted(
+        e.path
+        for e in os.scandir(t.current_path())
+        if e.name.endswith(".parquet")
+    )
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        wi = md.schema.names.index("w")
+        ks = [
+            (md.row_group(i).column(wi).statistics.min,
+             md.row_group(i).column(wi).statistics.max)
+            for i in range(md.num_row_groups)
+        ]
+        ranges.append((min(lo for lo, _ in ks), max(hi for _, hi in ks)))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file term ranges overlap: {ranges}"
+
+    # serving answer and ledger unchanged; a replayed epoch still absorbs
+    assert _topk_set(store.topk(spark, q)) == before
+    v = t.current_version()
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
+    assert t.current_version() == v
