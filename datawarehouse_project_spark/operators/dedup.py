@@ -49,6 +49,7 @@ from ..functions.text import (
     words_sql,
 )
 from ..io import require_small, table
+from .skew import validate_guard
 from ..session import prepare
 from ..plans.registry import register
 
@@ -884,10 +885,7 @@ def ngram_jaccard_pairs(
     # attempt used interpreted array lambdas and lost; double-explode is
     # the codegen'd form). The dominant round-1 cost was the
     # InferFiltersFromGenerate pathology — see session.py.]
-    if guard not in ("window", "salted"):
-        # invalid-value first: a typo'd guard must not be misdirected to
-        # the path-compatibility message below (advisor finding, r15)
-        raise ValueError(f"guard must be 'window' or 'salted', got {guard!r}")
+    validate_guard(guard)
     if guard != "window" and (df_cap is None or not bounded):
         # the knob only exists on the capped bounded guard path; silently
         # accepting it on the uncapped or unbounded one-scan builds would
@@ -1103,10 +1101,7 @@ def ngram_containment_pairs(
     exactly as in :func:`ngram_jaccard_pairs` (same single-key buffer
     hazard, same bit-identical results; unconditional at the registered
     entry)."""
-    if guard not in ("window", "salted"):
-        # invalid-value first: a typo'd guard must not be misdirected to
-        # the path-compatibility message below (advisor finding, r15)
-        raise ValueError(f"guard must be 'window' or 'salted', got {guard!r}")
+    validate_guard(guard)
     if guard != "window" and not bounded:
         # the knob only exists on the bounded guard path; silently
         # accepting it on the unbounded one-scan build would run the

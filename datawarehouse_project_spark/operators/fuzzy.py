@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import table
+from .skew import validate_guard
 from ..plans.registry import register
 from ..session import prepare
 
@@ -178,10 +179,7 @@ def candidate_pairs(
     module docstring for the recall contract). Exposed separately so
     tests can measure the pruning ratio the module docstring claims.
     ``s``: (id, s) with non-null strings."""
-    if guard not in ("window", "salted"):
-        # invalid-value first, so a typo is not misdirected to the
-        # no-effect message below (advisor finding, r15)
-        raise ValueError(f"guard must be 'window' or 'salted', got {guard!r}")
+    validate_guard(guard)
     if seg_cap is None and guard != "window":
         raise ValueError("guard= has no effect without seg_cap (r15 review)")
     slen = s.withColumn("l", F.length("s"))
@@ -428,10 +426,7 @@ def candidate_pairs_two_table(
     pigeonhole has no non-empty untouched segment) pairs DISTINCT
     values <= d against the other table's values <= 2d via a broadcast
     nested-loop, both directions, exactly like the self-join."""
-    if guard not in ("window", "salted"):
-        # invalid-value first, so a typo is not misdirected to the
-        # no-effect message below (advisor finding, r15)
-        raise ValueError(f"guard must be 'window' or 'salted', got {guard!r}")
+    validate_guard(guard)
     if seg_cap is None and guard != "window":
         raise ValueError("guard= has no effect without seg_cap (r15 review)")
     seg1, sub1 = _segment_side(left, d, "a_id"), _substring_side(right, d, "b_id")

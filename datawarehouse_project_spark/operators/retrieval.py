@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import words
 from ..io import spread, table
+from .skew import validate_guard
 from ..plans.registry import register
 from ..session import prepare
 
@@ -105,6 +106,48 @@ def lexical_topk(
     return lexical_topk_from_postings(term_counts(docs), queries, k=k)
 
 
+def _qterms(queries: DataFrame) -> DataFrame:
+    """``(query_id, w, qtf)`` from the bounded query set — the shared
+    probe side of both scoring plans (one definition so the two plans'
+    bit-identity contract cannot drift on qtf semantics; r16 review)."""
+    return (
+        queries.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.explode(words("qtext")).alias("w"),
+        )
+        .groupBy("query_id", "w")
+        .agg(F.count("*").cast("bigint").alias("qtf"))
+    )
+
+
+def _score_and_rank(
+    postings: DataFrame,
+    qterms: DataFrame,
+    dfm: DataFrame,
+    stats: DataFrame,
+    k: int,
+) -> DataFrame:
+    """The shared scoring tail of both plans: broadcast-probe the
+    postings (which must carry tf and dl), sum the scaled-integer BM25
+    contributions per (query, doc), two-stage rank-filter to top-k."""
+    scored = (
+        postings.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfm), "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(BM25_CONTRIB) * F.col("qtf"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
 def lexical_topk_from_postings(
     counts: DataFrame,
     queries: DataFrame,
@@ -124,14 +167,7 @@ def lexical_topk_from_postings(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    qterms = (
-        queries.select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            F.explode(words("qtext")).alias("w"),
-        )
-        .groupBy("query_id", "w")
-        .agg(F.count("*").cast("bigint").alias("qtf"))
-    )
+    qterms = _qterms(queries)
     # df is the TRUE corpus document frequency, but only the (bounded)
     # query terms' rows are ever probed — semi-restrict the postings to
     # those terms BEFORE the vocab-wide agg, so the broadcast below
@@ -142,22 +178,7 @@ def lexical_topk_from_postings(
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("df"))
     )
-    scored = (
-        postings.join(F.broadcast(qterms), "w")
-        .join(F.broadcast(dfm), "w")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("contrib", F.expr(BM25_CONTRIB) * F.col("qtf"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("contrib").cast("bigint").alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "doc_id", "score", "rnk")
-    )
+    return _score_and_rank(postings, qterms, dfm, stats, k)
 
 
 def lexical_topk_served(
@@ -188,16 +209,11 @@ def lexical_topk_served(
       are one tiny agg over it — never a postings-wide window.
 
     Scores are bit-identical to the window form: same formula string
-    over the same (tf, df, dl, n_docs, sum_dl) values, so the shared
-    DuckDB oracle pins both plans."""
-    qterms = (
-        queries.select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            F.explode(words("qtext")).alias("w"),
-        )
-        .groupBy("query_id", "w")
-        .agg(F.count("*").cast("bigint").alias("qtf"))
-    )
+    over the same (tf, df, dl, n_docs, sum_dl) values (the probe side
+    and scoring tail are literally shared — :func:`_qterms` /
+    :func:`_score_and_rank`), so the shared DuckDB oracle pins both
+    plans."""
+    qterms = _qterms(queries)
     # bounded driver-side materialization of the query TERM SET (not
     # data): the contract already broadcasts the query set, so its
     # distinct terms are bounded; the literal list is what lets the
@@ -211,23 +227,7 @@ def lexical_topk_served(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    scored = (
-        matched.join(doclens, "doc_id")
-        .join(F.broadcast(qterms), "w")
-        .join(F.broadcast(dfm), "w")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("contrib", F.expr(BM25_CONTRIB) * F.col("qtf"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("contrib").cast("bigint").alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "doc_id", "score", "rnk")
-    )
+    return _score_and_rank(matched.join(doclens, "doc_id"), qterms, dfm, stats, k)
 
 
 def queries_rows_sql() -> str:
@@ -404,9 +404,20 @@ class StreamingPostingsStore:
     it, the probe scans only postings rows matching the query terms
     (an ``isin`` literal filter that pushes to the parquet scan) and
     joins dl from the doc-sized table. Each fold commits the two
-    tables separately with the SAME (app_id, batch_id): a crash
-    between the commits re-delivers the epoch, the postings ledger
-    absorbs it, the doclen fold applies — both tables converge.
+    tables separately with the SAME (app_id, batch_id), in a
+    DELIBERATE ORDER — doclen first, postings last (r16 review): the
+    serving join is ``matched postings ⋈ doclens``, so with postings
+    as the completion marker a torn read (crash between the commits,
+    or a concurrent serve during ingest) NEVER drops a served doc or
+    sees a df without its doc — the half-applied batch's docs simply
+    don't match yet, and the only tear is that n_docs/sum_dl already
+    count them (a bounded, monotone idf/avg-dl shift toward the
+    post-batch values; torn-state semantics pinned in
+    tests/test_postings_stream.py). On re-delivery the doclen ledger
+    absorbs its duplicate and the postings fold completes the epoch —
+    both tables converge. The reverse order would serve df(t) rows
+    whose docs vanish from the inner join: wrong results, not stale
+    ones.
     MAINTENANCE: a long-lived streamed store accumulates interleaved
     term layouts across commits; ``store.rollup.table.compact(spark,
     cluster_keys=["w"])`` range-clusters the state so the probe's
@@ -433,16 +444,15 @@ class StreamingPostingsStore:
         app_id: str = "postings-stream",
     ) -> int:
         """Fold one micro-batch of ``(doc_id, text)`` rows into the
-        postings AND doc-length states; idempotent under replay with
-        ``batch_id``. Returns the postings table's committed version.
-        The batch's counts feed both folds, so they are cached for the
-        two passes (a micro-batch is bounded by construction)."""
+        doc-length AND postings states — in that order; postings commit
+        LAST as the batch-completion marker (see the class docstring's
+        torn-read argument). Idempotent under replay with ``batch_id``.
+        Returns the postings table's committed version. The batch's
+        counts feed both folds, so they are cached for the two passes
+        (a micro-batch is bounded by construction)."""
         c = self.counts_fn(batch.filter(F.col("text").isNotNull()))
         c = c.persist()
         try:
-            version = self.rollup.apply_batch(
-                spark, c, batch_id=batch_id, app_id=app_id
-            )
             self.doclen.apply_batch(
                 spark,
                 c.groupBy("doc_id").agg(
@@ -450,6 +460,9 @@ class StreamingPostingsStore:
                 ),
                 batch_id=batch_id,
                 app_id=app_id,
+            )
+            version = self.rollup.apply_batch(
+                spark, c, batch_id=batch_id, app_id=app_id
             )
         finally:
             c.unpersist()
@@ -799,8 +812,7 @@ def tfidf_cosine_pairs(
     ``n_docs``: optional 1-row (n_docs BIGINT) frame; callers that know
     a cheaper equivalent (docs with >= 3 words needs no shingling)
     should pass it. Default derives it from ``counts``."""
-    if guard not in ("window", "salted"):
-        raise ValueError(f"guard must be 'window' or 'salted', got {guard!r}")
+    validate_guard(guard)
     if guard != "window" and not bounded:
         # the unbounded one-scan build has no guard to salt; silently
         # accepting the knob would run the exact single-key buffer

@@ -210,6 +210,17 @@ def cap_hot_keys_salted(
     return df.join(F.broadcast(hot), cond, "left_anti")
 
 
+def validate_guard(guard: str) -> None:
+    """Shared up-front check for every ``guard=`` knob entry point
+    (jaccard, containment, both fuzzy blockers, the TF-IDF build, and
+    :func:`hot_key_guard` itself): a typo'd value must be reported AS an
+    invalid value, never misdirected to a path-compatibility message
+    (advisor finding, r15; single definition so a future guard mode is
+    one edit, r16 review)."""
+    if guard not in ("window", "salted"):
+        raise ValueError(f"guard must be 'window' or 'salted', got {guard!r}")
+
+
 def hot_key_guard(
     df: DataFrame, keys: list[str], cap: int, guard: str = "window"
 ) -> DataFrame:
@@ -226,11 +237,10 @@ def hot_key_guard(
     salted pre-drop of the hot keys, then the value-producing window
     over the cold mass only, where per-key row counts are ≤ cap by
     construction (VERDICT r15 #2)."""
+    validate_guard(guard)
     if guard == "window":
         return cap_hot_keys(df, keys, cap)
-    if guard == "salted":
-        return cap_hot_keys_salted(df, keys, cap)
-    raise ValueError(f"guard must be 'window' or 'salted', got {guard!r}")
+    return cap_hot_keys_salted(df, keys, cap)
 
 
 def detect_hot_keys(

@@ -17,11 +17,18 @@ point, is the claim to check.
 
 Usage: python scripts/bench_scaling.py [--names a,b,c] DIR [DIR ...]
 
-``--names`` sweeps an explicit registry query set instead of the 15
-headline queries — the SAME protocol (interleave, warm pass, medians)
-over a different family; added for the lexical-retrieval crossover
-measurement (VERDICT r14 #1). The default invocation is byte-identical
-to the frozen recipe.
+``--names`` sweeps an explicit registry query set instead of the
+FROZEN 15-query scaling set — the SAME protocol (interleave, warm
+pass, medians) over a different family; added for the lexical-
+retrieval crossover measurement (VERDICT r14 #1).
+
+The default set is PINNED BY NAME (`FROZEN_SCALING_SET`), not derived
+from `headline_queries()`: bench.py's headline set grew 15 → 16 in
+round 16 (`lexical_tfidf_cosine_pairs`), and deriving the scaling set
+from it would have silently broken comparability with every earlier
+curve (r16 review finding). The default invocation therefore stays
+byte-identical to the frozen recipe; the lexical family has its own
+`--names` curve.
 """
 
 from __future__ import annotations
@@ -39,7 +46,6 @@ import duckdb  # noqa: E402
 from datawarehouse_project_spark.catalog import (  # noqa: E402
     all_oracle_sql,
     all_queries,
-    headline_queries,
 )
 from datawarehouse_project_spark.io import TABLES  # noqa: E402
 from datawarehouse_project_spark.session import get_spark  # noqa: E402
@@ -48,12 +54,37 @@ from datawarehouse_project_spark.session import get_spark  # noqa: E402
 #: pass each): median of 3 is robust to a single disturbed rep.
 REPS = 3
 
-#: The query set for one run: headline by default, or the --names list.
+#: The FROZEN default scaling set — the 15 queries every curve since the
+#: ABAB protocol landed has summed. Pinned by name so changes to
+#: bench.py's headline flag can never silently alter this recipe (see
+#: module docstring).
+FROZEN_SCALING_SET = [
+    "asof_join_last_order",
+    "dedup_exact_md5",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_capped",
+    "events_hourly_windows",
+    "events_sessionization",
+    "q01_top_revenue_products",
+    "q02_quarterly_growth_store",
+    "q03_supplier_contribution",
+    "q05_monthly_volatility",
+    "q06_product_affinity",
+    "q07_rollup_yearly",
+    "q09_daily_spikes",
+    "similarity_ann_cosine_topk",
+    "text_stats_by_lang",
+]
+
+#: The query set for one run: the frozen set by default, or --names.
 QUERY_SET: dict | None = None
 
 
 def _query_set() -> dict:
-    return QUERY_SET if QUERY_SET is not None else headline_queries()
+    if QUERY_SET is not None:
+        return QUERY_SET
+    reg = all_queries()
+    return {n: reg[n] for n in FROZEN_SCALING_SET}
 
 
 def sweep_spark(spark, sf_dir: str) -> dict[str, float]:

@@ -53,7 +53,10 @@ def bench_pair(spark, sf_dir: str, family: str) -> dict:
 
         n_source = table(spark, sf_dir, "documents").count()
         t0 = time.perf_counter()
-        roll = served_postings(spark, sf_dir)  # one-time fold
+        # one-time fold; .rollup = the postings table, so the generic
+        # state_rows read below works (served_postings returns the
+        # two-table StreamingPostingsStore since r16 — review finding)
+        roll = served_postings(spark, sf_dir).rollup
         build_sec = time.perf_counter() - t0
         variants = {
             "recompute": qs["lexical_bm25_topk"],

@@ -296,3 +296,55 @@ def test_postings_store_optimize_clusters_for_the_probe(spark, sf_dir, tmp_path)
     v = t.current_version()
     store.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
     assert t.current_version() == v
+
+
+def test_torn_read_between_commits_is_benign(spark, tmp_path):
+    """r16 review finding: the two-table fold is not atomic, so a read
+    between the commits of one epoch must be BENIGN, not wrong. Commit
+    order is doclen-first / postings-last, so in the torn state the
+    half-applied batch's docs are invisible to the serving join (they
+    never match postings) and no previously-served doc drops or sees an
+    inconsistent df; the only tear is n_docs/sum_dl already counting
+    the incoming docs (a bounded idf/avg-dl shift). Completing the
+    epoch converges to the full answer."""
+    store = StreamingPostingsStore(str(tmp_path / "torn"))
+    b0 = spark.createDataFrame(
+        [(1, "dup row dup"), (2, "key row")], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, "dup dup dup scan")], "doc_id bigint, text string"
+    )
+    q = spark.createDataFrame([(0, "dup"), (1, "row")],
+                              "query_id bigint, qtext string")
+    store.apply_batch(spark, b0, batch_id=0)
+    full0 = _topk_set(store.topk(spark, q))
+    assert {d for _, d, _, _ in full0} == {1, 2}
+
+    # simulate the torn state: epoch 1's doclen committed, postings not
+    # (exactly what a crash between the two commits leaves behind)
+    from datawarehouse_project_spark.operators.retrieval import term_counts
+
+    c1 = term_counts(b1)
+    store.doclen.apply_batch(
+        spark,
+        c1.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("tf")),
+        batch_id=1,
+        app_id="postings-stream",
+    )
+    torn = _topk_set(store.topk(spark, q))
+    # no doc appears or vanishes: doc 3 is not served until its postings
+    # commit, docs 1 and 2 are all still there with consistent tf/df/dl
+    assert {(qid, d) for qid, d, _, _ in torn} == {
+        (qid, d) for qid, d, _, _ in full0
+    }
+
+    # re-delivering the epoch (the resume path) completes it: the doclen
+    # ledger absorbs its duplicate, the postings fold lands, and the
+    # answer now includes doc 3 exactly as an uninterrupted run would
+    store.apply_batch(spark, b1, batch_id=1)
+    done = _topk_set(store.topk(spark, q))
+    control = StreamingPostingsStore(str(tmp_path / "ctl"))
+    control.apply_batch(spark, b0, batch_id=0)
+    control.apply_batch(spark, b1, batch_id=1)
+    assert done == _topk_set(control.topk(spark, q))
+    assert any(d == 3 for _, d, _, _ in done)
