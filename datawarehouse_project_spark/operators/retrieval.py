@@ -535,19 +535,13 @@ def reset_served_stream_postings() -> None:
     _SERVED_STREAM_POSTINGS_MEMO.reset()
 
 
-def served_stream_postings(
-    spark: SparkSession, sf_dir: str
+def _stream_fold(
+    spark: SparkSession, sf_dir: str, memo: _ServingMemo, counts_fn
 ) -> StreamingPostingsStore:
-    """The session's STREAMED inverted index over ``sf_dir``'s documents:
-    :class:`StreamingPostingsStore` fed by an ``availableNow`` file
-    stream of the corpus in ``_STREAM_CHUNKS`` micro-batches. The
-    corpus copy under the memo root is ingest-simulation glue only — at
-    deployment the document stream already exists and the ``readStream
-    → foreachBatch(store.apply_batch)`` wiring below is the whole
-    recipe; the state itself is the same table pair the batch store
-    maintains (postings keyed (doc_id, w) + doc lengths keyed doc_id),
-    so serving cost and exactly-once posture are identical
-    (ledger-replay-pinned in tests/test_postings_stream.py)."""
+    """Build (once per memo key) a :class:`StreamingPostingsStore` by a
+    REAL ``availableNow`` file stream of ``sf_dir``'s documents in
+    ``_STREAM_CHUNKS`` micro-batches — the shared ingest glue of both
+    streamed-serving rows (unigram BM25 and 3-gram TF-IDF)."""
     import pyspark.sql.types as T
 
     def build(root: str) -> None:
@@ -561,7 +555,7 @@ def served_stream_postings(
             .mode("overwrite")
             .parquet(src)
         )
-        store = StreamingPostingsStore(f"{root}/postings")
+        store = StreamingPostingsStore(f"{root}/postings", counts_fn=counts_fn)
         schema = T.StructType(
             [
                 T.StructField("doc_id", T.LongType()),
@@ -581,8 +575,24 @@ def served_stream_postings(
             .awaitTermination()
         )
 
-    root = _SERVED_STREAM_POSTINGS_MEMO.get_or_build(sf_dir, build)
-    return StreamingPostingsStore(f"{root}/postings")
+    root = memo.get_or_build(sf_dir, build)
+    return StreamingPostingsStore(f"{root}/postings", counts_fn=counts_fn)
+
+
+def served_stream_postings(
+    spark: SparkSession, sf_dir: str
+) -> StreamingPostingsStore:
+    """The session's STREAMED inverted index over ``sf_dir``'s documents:
+    :class:`StreamingPostingsStore` fed by an ``availableNow`` file
+    stream of the corpus in ``_STREAM_CHUNKS`` micro-batches. The
+    corpus copy under the memo root is ingest-simulation glue only — at
+    deployment the document stream already exists and the ``readStream
+    → foreachBatch(store.apply_batch)`` wiring in :func:`_stream_fold`
+    is the whole recipe; the state itself is the same table pair the
+    batch store maintains (postings keyed (doc_id, w) + doc lengths
+    keyed doc_id), so serving cost and exactly-once posture are
+    identical (ledger-replay-pinned in tests/test_postings_stream.py)."""
+    return _stream_fold(spark, sf_dir, _SERVED_STREAM_POSTINGS_MEMO, term_counts)
 
 
 @register(
@@ -1057,3 +1067,37 @@ def lexical_tfidf_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     store = served_shingle_postings(spark, sf_dir)
     return tfidf_cosine_pairs(state_counts(store.read(spark)), bounded=True)
+
+
+_SERVED_STREAM_SHINGLES_MEMO = _ServingMemo(
+    "dw-shingles-stream-", ["documents"]
+)
+
+
+def reset_served_stream_shingles() -> None:
+    """Drop (and delete) every memoized streamed shingle store."""
+    _SERVED_STREAM_SHINGLES_MEMO.reset()
+
+
+@register(
+    "lexical_tfidf_from_stream",
+    # r16: the TF-IDF twin of lexical_bm25_from_stream — the streamed
+    # 3-gram shingle store serves the pairs query with the SAME oracle
+    # as the batch forms. driver_facing=False: the streamed-serving
+    # class already holds a driver slot via the BM25 twin; this row is
+    # pytest-oracle-checked at both scale factors (the demotion
+    # precedent of the sketch/exact twins).
+    driver_facing=False,
+    oracle=_TFIDF_ORACLE,
+)
+def lexical_tfidf_from_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs served from a shingle-postings store
+    maintained by a Structured Streaming fold of the corpus (the
+    ``counts_fn=shingle_counts_of`` form of the same availableNow →
+    foreachBatch → exactly-once rollup recipe as the BM25 streamed
+    row)."""
+    prepare(spark)
+    store = _stream_fold(
+        spark, sf_dir, _SERVED_STREAM_SHINGLES_MEMO, shingle_counts_of
+    )
+    return tfidf_cosine_pairs(store.counts(spark), bounded=True)

@@ -348,3 +348,41 @@ def test_torn_read_between_commits_is_benign(spark, tmp_path):
     control.apply_batch(spark, b1, batch_id=1)
     assert done == _topk_set(control.topk(spark, q))
     assert any(d == 3 for _, d, _, _ in done)
+
+
+def test_streamed_stores_rebuild_on_source_rewrite(spark, tmp_path):
+    """ServingMemo lifecycle for BOTH streamed stores (the same
+    rewrite-staleness contract every other store family carries): a
+    rewritten documents source invalidates the memo's mtime token and
+    the next query re-folds the stream over the new corpus."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    sf = str(tmp_path / "sfs")
+
+    def write(docs):
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string"
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    q = all_queries()["lexical_bm25_from_stream"]
+    write([(1, "dup key"), (2, "key row")])
+    first = {(r.query_id, r.doc_id) for r in q(spark, sf).collect()}
+    assert (0, 1) in first  # query 0 is "dup row detection"
+    write([(7, "dup dup dup"), (8, "scan table")])
+    second = {(r.query_id, r.doc_id) for r in q(spark, sf).collect()}
+    assert (0, 7) in second and not any(d in (1, 2) for _, d in second)
+
+
+def test_tfidf_stream_row_equals_batch(spark, sf_dir):
+    """The streamed shingle store answers the pairs query identically to
+    the compute-from-text registered row (shared oracle)."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    qs = all_queries()
+    streamed = sorted(
+        map(tuple, qs["lexical_tfidf_from_stream"](spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(tuple, qs["lexical_tfidf_cosine_pairs"](spark, sf_dir).collect())
+    )
+    assert streamed == batch and streamed
