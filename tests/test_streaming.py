@@ -941,3 +941,101 @@ def test_session_stream_restart_recovery(spark, tmp_path):
     # and no epoch emitted a session row twice WITHIN a delivery
     flat = [t for rows in by_bid.values() for t in rows]
     assert len(flat) == len(set(flat))
+
+
+def test_windowed_stream_restart_recovery(spark, tmp_path):
+    """Tumbling twin of the session restart pin (r16): the sink crashes
+    on its first non-empty delivery (rows seen, epoch unacked); resuming
+    on the same checkpoint_dir re-delivers that epoch with identical
+    content, and one-delivery-per-epoch dedup equals the uninterrupted
+    run's exactly-once emission."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from datawarehouse_project_spark.streaming.windows import (
+        run_windowed_stream,
+    )
+
+    src = tmp_path / "win_src_restart"
+    src.mkdir()
+
+    def chunk(path, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    HOUR = 3600
+    t0 = time.time()
+    chunk(src / "f0.parquet",
+          [("click", 100, 1.5), ("view", 3700, 2.0)], t0 - 50)
+    chunk(src / "f1.parquet", [("click", 200, 0.5)], t0 - 40)
+    chunk(src / "f2.parquet", [("zz", 100_000, 0.0)], t0 - 30)
+    chunk(src / "f3.parquet", [("zz", 100_001, 0.0)], t0 - 20)
+
+    ckpt = str(tmp_path / "ckpt_winrestart")
+    deliveries = []
+    crashed = {"fired": False}
+
+    def row_tuples(df):
+        return [
+            (r.window_start_us, r.event_type, r.n_events, r.total_value)
+            for r in df.collect()
+        ]
+
+    def poison(df, bid):
+        rows = row_tuples(df)
+        deliveries.append((bid, rows))
+        if rows and not crashed["fired"]:
+            crashed["fired"] = True
+            raise RuntimeError("injected crash after delivery")
+
+    def run(sink):
+        run_windowed_stream(
+            spark,
+            str(src),
+            "event_type string, ts timestamp, value double",
+            sink=sink,
+            window_duration="1 hour",
+            watermark="2 hours",
+            files_per_trigger=1,
+            checkpoint_dir=ckpt,
+            output_mode="append",
+        )
+
+    with pytest.raises(StreamingQueryException):
+        run(poison)
+    assert crashed["fired"]
+
+    run(lambda df, bid: deliveries.append((bid, row_tuples(df))))
+
+    by_bid = {}
+    redelivered = None
+    for bid, rows in deliveries:
+        if bid in by_bid and rows:
+            assert by_bid[bid] == rows, (bid, by_bid[bid], rows)
+            redelivered = bid
+        by_bid[bid] = rows
+    assert redelivered is not None
+
+    US = 1_000_000
+    got = {t for rows in by_bid.values() for t in rows}
+    want = {
+        (0, "click", 2, 2.0),
+        (HOUR * US, "view", 1, 2.0),
+    }
+    assert got == want, got
+    flat = [t for rows in by_bid.values() for t in rows]
+    assert len(flat) == len(set(flat))
