@@ -122,7 +122,10 @@ def run_session_stream(
       tests/test_streaming.py::test_session_stream_append_finalization;
       the exactly-once claim also survives a sink crash + resume on the
       same ``checkpoint_dir`` (the failed epoch is re-delivered with
-      identical content — test_session_stream_restart_recovery).
+      identical content — test_session_stream_restart_recovery), and the
+      resume is pinned from a NEW PROCESS as well (fresh JVM, so the
+      state store genuinely recovers from disk rather than a cached
+      version — test_session_stream_restart_recovery_across_processes).
     """
     prepare(spark)
     stream = (

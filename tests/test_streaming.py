@@ -1039,3 +1039,112 @@ def test_windowed_stream_restart_recovery(spark, tmp_path):
     assert got == want, got
     flat = [t for rows in by_bid.values() for t in rows]
     assert len(flat) == len(set(flat))
+
+
+def test_session_stream_restart_recovery_across_processes(tmp_path):
+    """The strongest form of the restart pin: the resume happens in a
+    NEW PROCESS (fresh JVM), so the state-store recovery is genuinely
+    from the on-disk checkpoint — within one JVM the HDFS-backed state
+    store provider can serve a cached version, which the in-session
+    restart test cannot rule out. Phase 1 crashes the sink on its first
+    non-empty delivery; phase 2 (separate interpreter + JVM) resumes on
+    the same checkpoint_dir; the parent asserts identical re-delivered
+    content and the exactly-once union."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    GAP_S = 600
+    src = tmp_path / "sess_src_xproc"
+    src.mkdir()
+
+    def chunk(path, rows, mtime):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    t0 = time.time()
+    chunk(src / "f0.parquet", [(1, 1000), (1, 1100), (2, 1200)], t0 - 50)
+    chunk(src / "f1.parquet", [(1, 1300), (2, 5000)], t0 - 40)
+    chunk(src / "f2.parquet", [(99, 100_000)], t0 - 30)
+    chunk(src / "f3.parquet", [(99, 100_001)], t0 - 20)
+
+    ckpt = str(tmp_path / "ckpt_xproc")
+    out = str(tmp_path / "deliveries.jsonl")
+    driver = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from datawarehouse_project_spark.streaming.windows import run_session_stream
+
+mode, src, ckpt, out = sys.argv[1:5]
+spark = (SparkSession.builder.master("local[4]")
+         .appName("xproc-" + mode).config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+
+def sink(df, bid):
+    rows = [[r.user_id, r.session_start_us, r.session_end_us, r.n_events]
+            for r in df.collect()]
+    with open(out, "a") as f:
+        f.write(json.dumps({{"mode": mode, "bid": bid, "rows": rows}}) + "\n")
+    if mode == "crash" and rows:
+        raise RuntimeError("injected crash after delivery")
+
+try:
+    run_session_stream(spark, src, "user_id bigint, ts timestamp",
+                       sink=sink, gap_s=600, watermark="2 hours",
+                       files_per_trigger=1, checkpoint_dir=ckpt,
+                       output_mode="append")
+    print("DRAINED")
+except Exception as e:
+    print("DIED:" + type(e).__name__)
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def phase(mode):
+        return subprocess.run(
+            [sys.executable, "-c", driver, mode, str(src), ckpt, out],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    p1 = phase("crash")
+    assert "DIED:" in p1.stdout, (p1.stdout[-500:], p1.stderr[-500:])
+    p2 = phase("resume")
+    assert "DRAINED" in p2.stdout, (p2.stdout[-500:], p2.stderr[-500:])
+
+    deliveries = [json.loads(line) for line in open(out)]
+    crash_bids = {d["bid"]: d["rows"] for d in deliveries if d["mode"] == "crash"}
+    # the crashed epoch was re-delivered BY THE NEW PROCESS with
+    # identical content (state recovered from disk, not a JVM cache)
+    redelivered = [
+        d for d in deliveries
+        if d["mode"] == "resume" and d["bid"] in crash_bids and d["rows"]
+    ]
+    assert redelivered, deliveries
+    for d in redelivered:
+        assert d["rows"] == crash_bids[d["bid"]], (d, crash_bids[d["bid"]])
+
+    by_bid = {}
+    for d in deliveries:
+        by_bid[d["bid"]] = d["rows"]  # last delivery per epoch
+    US = 1_000_000
+    got = {tuple(t) for rows in by_bid.values() for t in rows}
+    want = {
+        (1, 1000 * US, (1300 + GAP_S) * US, 3),
+        (2, 1200 * US, (1200 + GAP_S) * US, 1),
+        (2, 5000 * US, (5000 + GAP_S) * US, 1),
+    }
+    assert got == want, got
+    flat = [tuple(t) for rows in by_bid.values() for t in rows]
+    assert len(flat) == len(set(flat))
