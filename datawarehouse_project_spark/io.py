@@ -147,7 +147,16 @@ class ServingMemo:
                 del self.roots[sf_dir]
                 self.retired.append(root)  # deferred delete; see __init__
             root = tempfile.mkdtemp(prefix=self.prefix)
-            build(root)
+            try:
+                build(root)
+            except BaseException:
+                # a failed build leaves the fresh root unregistered —
+                # retire it so atexit reset reclaims it (advisor, r16);
+                # deferred rather than rmtree'd here because the failed
+                # build may have returned lazy handles before raising
+                # (e.g. the injected-crash restart tests resume on it)
+                self.retired.append(root)
+                raise
             self.roots[sf_dir] = (root, tok)
             return root
 

@@ -181,11 +181,22 @@ def lexical_topk_from_postings(
     return _score_and_rank(postings, qterms, dfm, stats, k)
 
 
+#: Loud-contract bound on the served probe's distinct query-term set
+#: (advisor, r16): the serving plan collects the terms to the driver and
+#: inlines them as a pushed ``In(w, …)`` literal — correct ONLY while the
+#: query set is bounded. Past this many distinct terms the caller is
+#: violating the broadcast-query contract and gets a descriptive error
+#: instead of an unbounded driver collect + megabyte ``In()`` predicate
+#: (the ``max_hot_keys`` pattern).
+MAX_PROBE_TERMS = 10_000
+
+
 def lexical_topk_served(
     counts: DataFrame,
     doclens: DataFrame,
     queries: DataFrame,
     k: int = LEXICAL_K,
+    max_probe_terms: int = MAX_PROBE_TERMS,
 ) -> DataFrame:
     """The PROBE-PROPORTIONAL serving plan (VERDICT r15 #3): top-``k``
     per query from a maintained postings state ``(doc_id, w, tf)`` plus
@@ -217,8 +228,20 @@ def lexical_topk_served(
     # bounded driver-side materialization of the query TERM SET (not
     # data): the contract already broadcasts the query set, so its
     # distinct terms are bounded; the literal list is what lets the
-    # filter reach the parquet scan
-    terms = [r.w for r in qterms.select("w").distinct().collect()]
+    # filter reach the parquet scan. The limit() bounds the collect
+    # ITSELF, so a contract-violating caller never materializes the
+    # oversized set before the error fires.
+    terms = [
+        r.w
+        for r in qterms.select("w").distinct().limit(max_probe_terms + 1).collect()
+    ]
+    if len(terms) > max_probe_terms:
+        raise ValueError(
+            f"lexical_topk_served probe exceeds the broadcast-query "
+            f"contract: > {max_probe_terms} distinct query terms would be "
+            f"collected and inlined as the pushed In(w) filter; batch the "
+            f"query set, or raise max_probe_terms if the driver can hold it"
+        )
     matched = counts.filter(F.col("w").isin(terms))
     dfm = matched.groupBy("w").agg(
         F.count("*").cast("bigint").alias("df")
@@ -409,11 +432,17 @@ class StreamingPostingsStore:
     serving join is ``matched postings ⋈ doclens``, so with postings
     as the completion marker a torn read (crash between the commits,
     or a concurrent serve during ingest) NEVER drops a served doc or
-    sees a df without its doc — the half-applied batch's docs simply
-    don't match yet, and the only tear is that n_docs/sum_dl already
-    count them (a bounded, monotone idf/avg-dl shift toward the
-    post-batch values; torn-state semantics pinned in
-    tests/test_postings_stream.py). On re-delivery the doclen ledger
+    sees a df without its doc. For a batch adding NEW docs that is the
+    whole tear: the half-applied batch's docs simply don't match yet,
+    and n_docs/sum_dl already count them (a bounded, monotone
+    idf/avg-dl shift toward the post-batch values). For a batch
+    RE-TOUCHING an existing doc_id (split-doc micro-batching), the
+    tear is one notch wider (advisor, r16): that doc serves with its
+    UPDATED dl against its stale tf until the postings commit lands —
+    a transiently understated score for that doc only, bounded by the
+    one uncommitted batch and gone at the next read after the
+    completion marker. Both cases pinned in
+    tests/test_postings_stream.py. On re-delivery the doclen ledger
     absorbs its duplicate and the postings fold completes the epoch —
     both tables converge. The reverse order would serve df(t) rows
     whose docs vanish from the inner join: wrong results, not stale
@@ -425,15 +454,24 @@ class StreamingPostingsStore:
     the replay ledger survive the rewrite (composition-pinned in
     tests/test_postings_stream.py)."""
 
-    def __init__(self, root: str, counts_fn=term_counts) -> None:
+    def __init__(
+        self, root: str, counts_fn=term_counts, with_doclen: bool = True
+    ) -> None:
         from .incremental import IncrementalRollup
 
         self.counts_fn = counts_fn
         self.rollup = IncrementalRollup(
             f"{root}/postings", keys=["doc_id", "w"], sum_cols=["tf"]
         )
-        self.doclen = IncrementalRollup(
-            f"{root}/doclen", keys=["doc_id"], sum_cols=["tf"]
+        # with_doclen=False drops the doc-length rollup entirely
+        # (advisor, r16): serving paths that never read dl — the TF-IDF
+        # shingle store derives norms from the postings themselves —
+        # otherwise pay an extra agg + second versioned commit per
+        # micro-batch as pure ingest overhead.
+        self.doclen = (
+            IncrementalRollup(f"{root}/doclen", keys=["doc_id"], sum_cols=["tf"])
+            if with_doclen
+            else None
         )
 
     def apply_batch(
@@ -449,8 +487,13 @@ class StreamingPostingsStore:
         torn-read argument). Idempotent under replay with ``batch_id``.
         Returns the postings table's committed version. The batch's
         counts feed both folds, so they are cached for the two passes
-        (a micro-batch is bounded by construction)."""
+        (a micro-batch is bounded by construction; with
+        ``with_doclen=False`` there is one fold and no extra pass)."""
         c = self.counts_fn(batch.filter(F.col("text").isNotNull()))
+        if self.doclen is None:
+            return self.rollup.apply_batch(
+                spark, c, batch_id=batch_id, app_id=app_id
+            )
         c = c.persist()
         try:
             self.doclen.apply_batch(
@@ -477,6 +520,11 @@ class StreamingPostingsStore:
 
     def doclens(self, spark: SparkSession) -> DataFrame:
         """The folded per-doc lengths as ``(doc_id, dl)``."""
+        if self.doclen is None:
+            raise ValueError(
+                "store built with with_doclen=False maintains no doc-length "
+                "table; BM25 serving needs with_doclen=True"
+            )
         state = self.doclen.read(spark)
         if state is None:
             raise ValueError("empty postings store: no batch applied yet")
@@ -536,12 +584,17 @@ def reset_served_stream_postings() -> None:
 
 
 def _stream_fold(
-    spark: SparkSession, sf_dir: str, memo: _ServingMemo, counts_fn
+    spark: SparkSession,
+    sf_dir: str,
+    memo: _ServingMemo,
+    counts_fn,
+    with_doclen: bool = True,
 ) -> StreamingPostingsStore:
     """Build (once per memo key) a :class:`StreamingPostingsStore` by a
     REAL ``availableNow`` file stream of ``sf_dir``'s documents in
     ``_STREAM_CHUNKS`` micro-batches — the shared ingest glue of both
-    streamed-serving rows (unigram BM25 and 3-gram TF-IDF)."""
+    streamed-serving rows (unigram BM25 and 3-gram TF-IDF; the latter
+    passes ``with_doclen=False`` — its serving path never reads dl)."""
     import pyspark.sql.types as T
 
     def build(root: str) -> None:
@@ -555,7 +608,9 @@ def _stream_fold(
             .mode("overwrite")
             .parquet(src)
         )
-        store = StreamingPostingsStore(f"{root}/postings", counts_fn=counts_fn)
+        store = StreamingPostingsStore(
+            f"{root}/postings", counts_fn=counts_fn, with_doclen=with_doclen
+        )
         schema = T.StructType(
             [
                 T.StructField("doc_id", T.LongType()),
@@ -576,7 +631,9 @@ def _stream_fold(
         )
 
     root = memo.get_or_build(sf_dir, build)
-    return StreamingPostingsStore(f"{root}/postings", counts_fn=counts_fn)
+    return StreamingPostingsStore(
+        f"{root}/postings", counts_fn=counts_fn, with_doclen=with_doclen
+    )
 
 
 def served_stream_postings(
@@ -1098,6 +1155,10 @@ def lexical_tfidf_from_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     row)."""
     prepare(spark)
     store = _stream_fold(
-        spark, sf_dir, _SERVED_STREAM_SHINGLES_MEMO, shingle_counts_of
+        spark,
+        sf_dir,
+        _SERVED_STREAM_SHINGLES_MEMO,
+        shingle_counts_of,
+        with_doclen=False,
     )
     return tfidf_cosine_pairs(store.counts(spark), bounded=True)

@@ -135,7 +135,11 @@ def cap_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
 
 
 def cap_hot_keys_salted(
-    df: DataFrame, keys: list[str], cap: int, max_hot_keys: int | None = None
+    df: DataFrame,
+    keys: list[str],
+    cap: int,
+    max_hot_keys: int | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Straggler-bounded twin of :func:`cap_hot_keys` (VERDICT r14 #2):
     identical output (drop rows whose key-group frequency exceeds
@@ -169,10 +173,15 @@ def cap_hot_keys_salted(
     when set, the hot-set cardinality is counted eagerly (one agg over
     the already-fixed-width count rows — the same loud-contract shape
     as the TF-IDF envelope ``checked=True`` pre-flight) and a
-    descriptive error names the mitigations (raise the cap, or drop
-    the broadcast hint so AQE picks the join side) instead of letting
-    the broadcast OOM the driver opaquely. Opt-in because it is an
-    eager extra job; None (default) keeps the call fully lazy.
+    descriptive error names the mitigations instead of letting the
+    broadcast OOM the driver opaquely. Opt-in because it is an eager
+    extra job; None (default) keeps the call fully lazy.
+    ``broadcast=False`` is the escape hatch the error names (VERDICT
+    r16 #3 — the message used to advise a knob that didn't exist):
+    the hint is dropped and AQE picks the anti-join strategy from the
+    hot set's runtime size — shuffled if it is genuinely too big to
+    broadcast, broadcast anyway if AQE's own threshold admits it.
+    Same null-safe condition, bit-identical output either way.
     Equality is pinned bit-identical (incl. NULL-key groups and
     on-the-cap boundaries) in tests/test_bounded_postings.py."""
     # collision-resistant working columns, mirroring cap_hot_keys' __dw_kf
@@ -197,8 +206,9 @@ def cap_hot_keys_salted(
             raise ValueError(
                 f"cap_hot_keys_salted broadcast envelope exceeded: {n_hot} "
                 f"hot keys > max_hot_keys={max_hot_keys}; raise cap "
-                f"(currently {cap}) or call without max_hot_keys and drop "
-                f"the broadcast hint so AQE picks the join strategy"
+                f"(currently {cap}) or pass broadcast=False to let AQE "
+                f"pick the anti-join strategy from the hot set's runtime "
+                f"size"
             )
     # null-safe condition: the window form groups NULL keys together, so
     # a hot NULL group must drop here too — a bare equi-anti-join would
@@ -207,7 +217,7 @@ def cap_hot_keys_salted(
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"__dw_hot_{k}"))
         cond = c if cond is None else (cond & c)
-    return df.join(F.broadcast(hot), cond, "left_anti")
+    return df.join(F.broadcast(hot) if broadcast else hot, cond, "left_anti")
 
 
 def validate_guard(guard: str) -> None:

@@ -395,9 +395,62 @@ def test_cap_hot_keys_salted_broadcast_envelope_guard(spark):
     )
     assert got == want and got == [("c1", 0), ("c2", 0)]
 
-    # one past it: loud contract error naming the knobs
-    with pytest.raises(ValueError, match="broadcast envelope exceeded"):
+    # one past it: loud contract error naming the knobs — and the
+    # mitigation it names must EXIST on the signature (VERDICT r16 #3)
+    with pytest.raises(ValueError, match="broadcast=False"):
         cap_hot_keys_salted(df, ["k"], 2, max_hot_keys=2)
+
+
+def test_cap_hot_keys_salted_broadcast_false_drops_the_hint(spark):
+    """VERDICT r16 #3: ``broadcast=False`` is the escape hatch the
+    envelope error names — the hint is genuinely dropped (with auto-
+    broadcast disabled the anti-join plans as a shuffle join, where the
+    hinted form still forces BroadcastHashJoin) and the output stays
+    bit-identical to the window form, hot NULL group included."""
+    from datawarehouse_project_spark.operators.skew import (
+        cap_hot_keys,
+        cap_hot_keys_salted,
+    )
+
+    rows = (
+        [("hot", i) for i in range(40)]
+        + [("cold", 0), ("cold", 1)]
+        + [(None, i) for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "k string, v int").repartition(8)
+
+    keep = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", ""
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # frames built AFTER the conf change (a DataFrame pins its
+        # QueryExecution at first plan access)
+        hinted = cap_hot_keys_salted(df, ["k"], cap=5)
+        free = cap_hot_keys_salted(df, ["k"], cap=5, broadcast=False)
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        fplan = free._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hplan  # the hint still forces it
+        assert "BroadcastHashJoin" not in fplan  # the knob really drops it
+        assert "LeftAnti" in fplan
+        want = sorted(
+            ((r.k is None, r.k, r.v)
+             for r in cap_hot_keys(df, ["k"], cap=5).collect()),
+        )
+        got = sorted(((r.k is None, r.k, r.v) for r in free.collect()))
+        assert want == got
+    finally:
+        for k, v in keep.items():
+            if v:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def test_tfidf_guard_salted_hybrid_equals_window(spark, sf_dir):

@@ -116,7 +116,8 @@ def test_streaming_shingle_store_serves_tfidf(spark, sf_dir, tmp_path):
         ]
     )
     store = StreamingPostingsStore(
-        str(tmp_path / "shingles"), counts_fn=shingle_counts_of
+        str(tmp_path / "shingles"), counts_fn=shingle_counts_of,
+        with_doclen=False,  # TF-IDF serving never reads dl (advisor, r16)
     )
 
     def run():
@@ -148,6 +149,16 @@ def test_streaming_shingle_store_serves_tfidf(spark, sf_dir, tmp_path):
     version = store.rollup.table.current_version()
     run()  # full replay
     assert store.rollup.table.current_version() == version
+
+    # with_doclen=False really skips the second rollup: no doclen state
+    # was ever written, and asking for it is loud, not a crash downstream
+    import os
+
+    import pytest
+
+    assert not os.path.exists(str(tmp_path / "shingles" / "doclen"))
+    with pytest.raises(ValueError, match="with_doclen"):
+        store.doclens(spark)
 
 
 def test_registered_stream_row_equals_batch_and_reuses_memo(spark, sf_dir):
@@ -348,6 +359,59 @@ def test_torn_read_between_commits_is_benign(spark, tmp_path):
     control.apply_batch(spark, b1, batch_id=1)
     assert done == _topk_set(control.topk(spark, q))
     assert any(d == 3 for _, d, _, _ in done)
+
+
+def test_torn_read_update_batch_tear_is_bounded(spark, tmp_path):
+    """Advisor r16: for a batch RE-TOUCHING an existing doc_id (split-doc
+    micro-batching) the torn state is wider than the new-doc case — the
+    touched doc serves with its UPDATED dl against its stale tf, an
+    understated score for that doc only. In the torn state the corpus
+    stats (n_docs, sum_dl) are already the POST-batch values (doclen is
+    fully committed), so the sharp pins are against the COMPLETED
+    answer: no doc appears or vanishes, untouched docs already serve
+    their final scores, the touched doc alone understates (stale tf
+    under the final dl/stats), and completing the epoch converges to an
+    uninterrupted control."""
+    from datawarehouse_project_spark.operators.retrieval import term_counts
+
+    store = StreamingPostingsStore(str(tmp_path / "upd"))
+    b0 = spark.createDataFrame(
+        [(1, "dup row dup"), (2, "key row")], "doc_id bigint, text string"
+    )
+    # epoch 1 re-touches doc 1: two more "dup" tokens (dl 3 → 5)
+    b1 = spark.createDataFrame([(1, "dup dup")], "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(0, "dup"), (1, "row")], "query_id bigint, qtext string"
+    )
+    store.apply_batch(spark, b0, batch_id=0)
+    full0 = {(qid, d): s for qid, d, s, _ in _topk_set(store.topk(spark, q))}
+
+    # torn state: epoch 1's doclen committed, postings not
+    c1 = term_counts(b1)
+    store.doclen.apply_batch(
+        spark,
+        c1.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("tf")),
+        batch_id=1,
+        app_id="postings-stream",
+    )
+    torn = {(qid, d): s for qid, d, s, _ in _topk_set(store.topk(spark, q))}
+    assert set(torn) == set(full0)  # no doc appears or vanishes
+
+    # completing the epoch converges to the uninterrupted control
+    store.apply_batch(spark, b1, batch_id=1)
+    control = StreamingPostingsStore(str(tmp_path / "uctl"))
+    control.apply_batch(spark, b0, batch_id=0)
+    control.apply_batch(spark, b1, batch_id=1)
+    done = _topk_set(store.topk(spark, q))
+    assert done == _topk_set(control.topk(spark, q))
+    final = {(qid, d): s for qid, d, s, _ in done}
+    # untouched doc 2 already served its FINAL scores through the tear
+    # (its tf/df/dl and the corpus stats were all post-batch values)
+    assert torn[(1, 2)] == final[(1, 2)]
+    assert torn[(1, 1)] == final[(1, 1)]  # doc 1's un-touched term too
+    # the touched (doc, term): stale tf under the final dl/stats —
+    # understated relative to the completed answer, the one-notch tear
+    assert torn[(0, 1)] < final[(0, 1)]
 
 
 def test_streamed_stores_rebuild_on_source_rewrite(spark, tmp_path):

@@ -474,3 +474,31 @@ def test_served_plan_is_probe_proportional(spark, sf_correct_dir):
         (r.doc_id, r.dl) for r in store.doclens(spark).collect()
     }
     assert from_postings == from_doclens and from_postings
+
+
+def test_served_probe_term_cap_is_loud(spark):
+    """Advisor r16: the serving plan's driver-side term collect is
+    bounded BY the contract check itself — a probe past max_probe_terms
+    raises the descriptive contract error (and the limit() means the
+    oversized set is never materialized first); at the boundary the
+    probe serves normally."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.retrieval import (
+        lexical_topk_served,
+    )
+
+    counts = spark.createDataFrame(
+        [(1, f"t{i}", 1) for i in range(8)], "doc_id bigint, w string, tf bigint"
+    )
+    doclens = spark.createDataFrame([(1, 8)], "doc_id bigint, dl bigint")
+    six_terms = spark.createDataFrame(
+        [(0, "t0 t1 t2 t3 t4 t5")], "query_id bigint, qtext string"
+    )
+    with pytest.raises(ValueError, match="broadcast-query"):
+        lexical_topk_served(counts, doclens, six_terms, max_probe_terms=5)
+    # exactly on the cap: served, not refused
+    got = lexical_topk_served(
+        counts, doclens, six_terms, max_probe_terms=6
+    ).collect()
+    assert [(r.query_id, r.doc_id) for r in got] == [(0, 1)]

@@ -233,3 +233,38 @@ def test_serving_memo_retires_stale_roots_without_deleting(spark, tmp_path):
     memo.reset()
     assert not os.path.exists(root1) and not os.path.exists(root2)
     assert memo.retired == []
+
+
+def test_serving_memo_failed_build_root_is_retired(spark, tmp_path):
+    """A build() that raises must not LEAK its fresh temp root (advisor,
+    r16): the dir is retired — still on disk for any handle the failed
+    build handed out (the injected-crash restart tests resume on it) —
+    and reclaimed at reset() like every other displaced root."""
+    import os
+
+    import pytest
+
+    from datawarehouse_project_spark.io import ServingMemo
+
+    memo = ServingMemo("dwtest-failbuild-", ["events"])
+    sf = str(tmp_path / "sff")
+    _write_events(spark, sf, 10, 1.0)
+
+    seen = []
+
+    def crash(root):
+        seen.append(root)
+        raise RuntimeError("injected build crash")
+
+    with pytest.raises(RuntimeError, match="injected build crash"):
+        memo.get_or_build(sf, crash)
+    (failed,) = seen
+    assert failed in memo.retired  # registered for reclamation...
+    assert os.path.isdir(failed)  # ...but not deleted out from under
+    assert sf not in memo.roots  # and never served as a built root
+
+    # a retry builds a FRESH root (no half-built state is ever reused)
+    ok = memo.get_or_build(sf, lambda root: None)
+    assert ok != failed
+    memo.reset()
+    assert not os.path.exists(failed) and not os.path.exists(ok)
