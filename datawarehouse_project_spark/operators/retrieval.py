@@ -1143,11 +1143,11 @@ def reset_served_stream_shingles() -> None:
     "lexical_tfidf_from_stream",
     # r16: the TF-IDF twin of lexical_bm25_from_stream — the streamed
     # 3-gram shingle store serves the pairs query with the SAME oracle
-    # as the batch forms. driver_facing=False: the streamed-serving
-    # class already holds a driver slot via the BM25 twin; this row is
-    # pytest-oracle-checked at both scale factors (the demotion
-    # precedent of the sketch/exact twins).
-    driver_facing=False,
+    # as the batch forms. r17 rotation IN (VERDICT r16 #5): promoted to
+    # a driver slot so BOTH streamed stores are driver-checkable
+    # (sample_train_val_test ceded — driver-green r10–r16, pytest
+    # oracle remains); pre-validated with the plain-session driver-sim
+    # recipe before the swap.
     oracle=_TFIDF_ORACLE,
 )
 def lexical_tfidf_from_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,7 +79,12 @@ _SPLIT_SALT = "split:"
 
 @register(
     "sample_train_val_test",
-    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1).
+    # r17 rotation OUT: ceded the slot to lexical_tfidf_from_stream
+    # (VERDICT r16 #5) after seven consecutive driver-green rounds
+    # (r10–r16); the oracle below still runs under pytest at both
+    # scale factors via all_queries().
+    driver_facing=False,
     oracle=f"""
 WITH h AS (
     SELECT doc_id, lang,

@@ -58,7 +58,6 @@ def test_driver_catalog_fits_sweep_window():
         "dq_audit_orders_lineitem",
         "corpus_select_token_budget",
         "text_idf_quality_scores",
-        "sample_train_val_test",
         "bpe_token_counts",
         "events_daily_sketch_rollup",
         "multimodal_audio_features",
@@ -107,6 +106,10 @@ def test_driver_catalog_fits_sweep_window():
         # postings serving row (dedup_verified_near_dup ceded —
         # driver-green r10–r15, pytest oracle remains)
         "lexical_bm25_from_stream",
+        # r17 rotation IN (VERDICT r16 #5): the second streamed store
+        # becomes driver-checkable (sample_train_val_test ceded —
+        # driver-green r10–r16, pytest oracle remains)
+        "lexical_tfidf_from_stream",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
