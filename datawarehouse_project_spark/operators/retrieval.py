@@ -6,19 +6,29 @@ ann_index.py): score documents against a query set through TERM POSTINGS
 pairwise. Training-data pipelines use exactly this for quality-biased
 corpus selection and retrieval-based decontamination.
 
-Plan shape (all Catalyst, zero Python in the row path):
-  1. postings: explode(words(text)) → groupBy(doc_id, term) count = tf —
-     one corpus scan, partial aggs throughout;
-  2. per-doc length dl: a window SUM over the postings (no second corpus
-     scan) — at scale this is one exchange on doc_id;
-  3. df map + (N, Σdl) corpus stats: aggregates OVER THE POSTINGS, which
-     are orders of magnitude smaller than the corpus text;
-  4. score: query terms (a bounded, BROADCAST set) equi-join the postings
-     on term — the inverted-index probe; contributions aggregate per
-     (query, doc);
+Plan shape (all Catalyst, zero Python in the row path) — the
+PROBE-PROPORTIONAL text form (r17; see :func:`lexical_topk`):
+  1. matched postings: explode(words(text)) → broadcast-semi-restrict to
+     the query terms BEFORE any aggregate → groupBy(doc_id, term) = tf,
+     with dl = size(words(text)) riding the tokens — one corpus scan
+     whose aggregated/shuffled rows are proportional to the PROBE, not
+     the vocabulary;
+  2. df map: an aggregate of the matched rows only (identical values —
+     whole posting lists match or don't);
+  3. (N, Σdl) corpus stats: a second corpus scan that projects only
+     size(words(text)) and partial-aggregates to ONE row per partition —
+     the cheapest possible full pass, and the only full pass;
+  4. score: query terms (a bounded, BROADCAST set) equi-join the matched
+     postings on term — the inverted-index probe; contributions
+     aggregate per (query, doc);
   5. top-k per query: rank-filter, which Spark executes as
      WindowGroupLimit (partial per-partition top-k BEFORE the shuffle on
      query_id — the two-stage top-k, plan-pinned in tests).
+Nothing vocabulary-wide is ever aggregated, sorted, or shuffled: the
+pre-r17 form built the FULL postings then window-sorted them for dl
+(the profiled 1.9–3.0×-vs-DuckDB residual at sf10); the same
+restriction-first layout that made the store row win (VERDICT r15 #3)
+applies to the text form because the registered query set is bounded.
 
 Scoring is the BM25 shape with two deliberate substitutions for
 cross-engine bit-exactness (the registry's determinism discipline):
@@ -102,8 +112,56 @@ def lexical_topk(
 ) -> DataFrame:
     """Top-``k`` documents per query under the scaled-integer BM25
     score, computed from the corpus text. ``queries``: (query_id BIGINT,
-    qtext STRING) — a bounded set, broadcast to the postings probe."""
-    return lexical_topk_from_postings(term_counts(docs), queries, k=k)
+    qtext STRING) — a bounded set, broadcast to the postings probe.
+
+    PROBE-PROPORTIONAL (r17, VERDICT r16 #2): the query-term
+    restriction is applied to the exploded tokens BEFORE any aggregate,
+    so the only rows ever grouped, shuffled, or joined are the ones the
+    probe touches; dl = size(words(text)) rides the tokens instead of a
+    window over vocabulary-wide postings; df rides the MATCHED postings
+    (a count window partitioned by term over probe-sized rows — a
+    separate dfm subtree would re-scan the corpus, since Catalyst
+    shares no unexchanged subplan); corpus stats come from a
+    one-row-per-partition partial agg over a projection-only second
+    scan — the plan's only full pass. Same restriction-first layout
+    that made the store form win (:func:`lexical_topk_served`) —
+    bit-identical scores, same oracle (tf/df/dl/n_docs/sum_dl values
+    are unchanged; only the plan is). The pre-r17 window form survives
+    as :func:`lexical_topk_from_postings` for already-built state.
+
+    Contract: one row per doc_id (the documents-PK shape every caller
+    has). Duplicate ids in the OLD form merged into one synthetic doc
+    via the postings fold — an artifact of deriving dl from the fold,
+    not a feature; here each row is its own document.
+
+    Null-text rows contribute nothing either way (explode of the null
+    token array drops them) — the stats branch filters them explicitly
+    so n_docs/sum_dl agree with the postings-derived values."""
+    live = docs.filter(F.col("text").isNotNull())
+    qterms = _qterms(queries)
+    toks = live.select(
+        "doc_id", words("text").alias("ws")
+    ).select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("dl"),
+        F.explode("ws").alias("w"),
+    )
+    matched = (
+        toks.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn(
+            "df",
+            F.count("*").over(Window.partitionBy("w")).cast("bigint"),
+        )
+    )
+    stats = live.select(
+        F.size(words("text")).cast("bigint").alias("dl")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    return _score_and_rank(matched, qterms, None, stats, k)
 
 
 def _qterms(queries: DataFrame) -> DataFrame:
@@ -123,17 +181,22 @@ def _qterms(queries: DataFrame) -> DataFrame:
 def _score_and_rank(
     postings: DataFrame,
     qterms: DataFrame,
-    dfm: DataFrame,
+    dfm: DataFrame | None,
     stats: DataFrame,
     k: int,
 ) -> DataFrame:
-    """The shared scoring tail of both plans: broadcast-probe the
-    postings (which must carry tf and dl), sum the scaled-integer BM25
-    contributions per (query, doc), two-stage rank-filter to top-k."""
+    """The shared scoring tail of every plan: broadcast-probe the
+    postings (which must carry tf and dl — and df already riding when
+    ``dfm`` is None), sum the scaled-integer BM25 contributions per
+    (query, doc), two-stage rank-filter to top-k. The contribution
+    expression is one shared string over the same column names either
+    way, so the bit-identity contract cannot drift on WHERE df was
+    computed."""
+    probe = postings.join(F.broadcast(qterms), "w")
+    if dfm is not None:
+        probe = probe.join(F.broadcast(dfm), "w")
     scored = (
-        postings.join(F.broadcast(qterms), "w")
-        .join(F.broadcast(dfm), "w")
-        .crossJoin(F.broadcast(stats))
+        probe.crossJoin(F.broadcast(stats))
         .withColumn("contrib", F.expr(BM25_CONTRIB) * F.col("qtf"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").cast("bigint").alias("score"))
@@ -154,8 +217,14 @@ def lexical_topk_from_postings(
     k: int = LEXICAL_K,
 ) -> DataFrame:
     """The scoring plan over ALREADY-BUILT postings ``(doc_id, w, tf)``
-    — the serving form: df map, corpus stats, and dl all derive from the
-    postings (vocabulary × doc-sized), so no corpus text is touched.
+    when no doc-length table exists: df map, corpus stats, and dl all
+    derive from the postings (vocabulary × doc-sized), so no corpus
+    text is touched — but dl costs a window over the WHOLE state, which
+    is why serving paths with a doclen table use
+    :func:`lexical_topk_served` (probe-proportional) and the text form
+    (:func:`lexical_topk`) derives dl from the corpus scan it already
+    pays for; this form remains for bare IncrementalRollup postings
+    (e.g. the batch-additivity pin).
 
     Tokenization note: both engines split ''/'   ' to ``['']`` (one
     empty token — verified against DuckDB regexp_split_to_array), so

@@ -75,8 +75,24 @@ def test_plan_shape_windowgrouplimit_and_broadcasts(spark, sf_dir):
     df = _topk(spark, sf_dir, [(0, "hash join agg")])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # qterms + dfm probes
+    assert plan.count("BroadcastHashJoin") >= 2  # term restrict + qterms
     assert "CartesianProduct" not in plan  # stats joins as broadcast-1-row
+
+
+def test_text_plan_is_probe_proportional(spark, sf_dir):
+    """VERDICT r16 #2: the compute-from-text form is itself
+    probe-proportional — the exploded tokens are broadcast-restricted to
+    the query terms BEFORE any aggregate, dl rides the tokens (never a
+    window over vocabulary-wide postings: no windowspecdefinition over
+    doc_id), df rides the matched postings (window over w — probe-sized
+    rows), and the plan's only full passes are the two corpus scans
+    (matched branch + the projection-only stats branch)."""
+    df = _topk(spark, sf_dir, [(0, "hash join agg")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(doc_id" not in plan  # no postings-wide dl sort
+    assert "windowspecdefinition(w" in plan           # df over matched only
+    assert "windowspecdefinition(query_id" in plan    # rank window remains
+    assert plan.count("Scan parquet") == 2            # matched + stats, no dfm re-scan
 
 
 def test_from_store_equals_from_text(spark, sf_correct_dir):
