@@ -200,7 +200,12 @@ class StreamingLshDedup:
     injected crash exactly there, resumed by a new session on the same
     checkpoint_dir, converges both tables to the uninterrupted run's
     (tests/test_dedup_incremental.py::
-    test_streaming_lsh_dedup_restart_recovery_between_commits)."""
+    test_streaming_lsh_dedup_restart_recovery_between_commits) — and in
+    its strongest form the resume runs in a NEW PROCESS (fresh
+    interpreter + JVM, r17), so the convergence provably comes from the
+    on-disk checkpoint + txn ledger rather than any same-JVM cached
+    state (…_restart_recovery_across_processes: the re-delivered
+    epoch's duplicate pairs commit is version-pinned absorbed)."""
 
     def __init__(self, root: str) -> None:
         from ..sources.sinks import VersionedParquetTable

@@ -166,7 +166,11 @@ def run_windowed_stream(
     dropped (same two-phase watermark detail as
     :func:`run_session_stream` — the late filter lags eviction by one
     batch). Pinned in
-    tests/test_streaming.py::test_windowed_stream_append_finalization."""
+    tests/test_streaming.py::test_windowed_stream_append_finalization;
+    the exactly-once claim survives a sink crash + resume on the same
+    ``checkpoint_dir`` (test_windowed_stream_restart_recovery) — in its
+    strongest form from a NEW PROCESS (fresh JVM, r17:
+    test_windowed_stream_restart_recovery_across_processes)."""
     prepare(spark)
     stream = (
         spark.readStream.schema(source_schema)
