@@ -1234,3 +1234,215 @@ def lexical_tfidf_from_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_doclen=False,
     )
     return tfidf_cosine_pairs(store.counts(spark), bounded=True)
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval fusion: reciprocal-rank fusion (RRF) of two retrievers
+# with genuinely different rankings over the same corpus — the standard
+# way a training-data pipeline combines retrieval signals (Cormack,
+# Clarke & Buettcher, SIGIR 2009: RRF outperforms individual rankers and
+# needs no score calibration, only ranks). Retriever A is the BM25 top-k
+# (tf saturation + length normalization); retriever B is the
+# unnormalized scaled-integer TF-IDF dot product (no saturation, no
+# length norm — long keyword-dense docs rank differently). Both run the
+# probe-proportional text plan; ranks are integers, so the only floats
+# are the two reciprocals, added in one fixed textual order — the same
+# expression string builds the Spark plan and the DuckDB oracle.
+
+#: Standard RRF smoothing constant (k=60 in the original paper).
+RRF_K = 60
+
+#: rrf = 1/(K+rank_a) + 1/(K+rank_b); a doc outside one retriever's
+#: top-k contributes 0 from that retriever (truncated-list RRF). One
+#: shared formula string — fixed operand order, bit-identical across
+#: engines.
+RRF_SCORE = (
+    f"CAST(COALESCE(CAST(1 AS DOUBLE) / (CAST({RRF_K} AS DOUBLE)"
+    f" + CAST(rnk_bm25 AS DOUBLE)), CAST(0 AS DOUBLE))"
+    f" + COALESCE(CAST(1 AS DOUBLE) / (CAST({RRF_K} AS DOUBLE)"
+    f" + CAST(rnk_tfidf AS DOUBLE)), CAST(0 AS DOUBLE)) AS DOUBLE)"
+)
+
+
+def tfidf_dot_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """Top-``k`` documents per query under the UNNORMALIZED
+    scaled-integer TF-IDF dot product Σ_t qtf·floor(100·tf·sqrt(N/df))
+    — retriever B of the RRF pair. Same probe-proportional layout as
+    :func:`lexical_topk` (restrict-before-aggregate, df riding the
+    matched rows, stats from a projection-only scan), minus dl — this
+    scorer has no length normalization BY DESIGN, which is exactly what
+    makes its ranking diverge from BM25's and the fusion informative."""
+    live = docs.filter(F.col("text").isNotNull())
+    qterms = _qterms(queries)
+    matched = (
+        live.select("doc_id", F.explode(words("text")).alias("w"))
+        .join(F.broadcast(qterms.select("w").distinct()), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn(
+            "df",
+            F.count("*").over(Window.partitionBy("w")).cast("bigint"),
+        )
+    )
+    stats = live.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        matched.join(F.broadcast(qterms), "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(TFIDF_WEIGHT) * F.col("qtf"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """Truncated-list reciprocal-rank fusion of two ``(query_id,
+    doc_id, …, rnk)`` rankings: full-outer join on (query_id, doc_id)
+    (a doc one retriever missed still scores from the other), RRF_SCORE
+    in one fixed expression, re-rank to top-``k`` per query. The join
+    inputs are top-k lists — bounded per query by construction — so
+    this is a fusion of tiny frames regardless of corpus size."""
+    a = ranked_a.select(
+        "query_id", "doc_id", F.col("rnk").alias("rnk_bm25")
+    )
+    b = ranked_b.select(
+        "query_id", "doc_id", F.col("rnk").alias("rnk_tfidf")
+    )
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score", F.expr(RRF_SCORE)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rnk")
+    )
+
+
+_RRF_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+),
+tokens AS (SELECT doc_id, unnest(ws) AS w FROM d),
+postings AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tokens GROUP BY 1, 2
+),
+withdl AS (
+    SELECT doc_id, w, tf,
+           CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+    FROM postings
+),
+dfm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM (SELECT DISTINCT doc_id, dl FROM withdl)
+),
+qterms AS (
+    SELECT CAST(query_id AS BIGINT) AS query_id, w,
+           CAST(COUNT(*) AS BIGINT) AS qtf
+    FROM (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS w
+        FROM {_queries_values_sql()}
+    )
+    GROUP BY 1, 2
+),
+bm25_scored AS (
+    SELECT q.query_id, p.doc_id,
+           CAST(SUM({BM25_CONTRIB} * qtf) AS BIGINT) AS score
+    FROM qterms q
+    JOIN withdl p ON p.w = q.w
+    JOIN dfm ON dfm.w = q.w
+    CROSS JOIN stats
+    GROUP BY 1, 2
+),
+bm25_ranked AS (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rnk_bm25
+    FROM bm25_scored
+),
+tdot_scored AS (
+    SELECT q.query_id, p.doc_id,
+           CAST(SUM({TFIDF_WEIGHT} * qtf) AS BIGINT) AS score
+    FROM qterms q
+    JOIN postings p ON p.w = q.w
+    JOIN dfm ON dfm.w = q.w
+    CROSS JOIN stats
+    GROUP BY 1, 2
+),
+tdot_ranked AS (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rnk_tfidf
+    FROM tdot_scored
+),
+fused AS (
+    SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           a.rnk_bm25, b.rnk_tfidf
+    FROM (SELECT * FROM bm25_ranked WHERE rnk_bm25 <= {LEXICAL_K}) a
+    FULL OUTER JOIN
+         (SELECT * FROM tdot_ranked WHERE rnk_tfidf <= {LEXICAL_K}) b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+),
+rrf AS (
+    SELECT query_id, doc_id, {RRF_SCORE} AS rrf_score
+    FROM fused
+)
+SELECT query_id, doc_id, rrf_score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT query_id, doc_id, rrf_score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS rnk
+    FROM rrf
+)
+WHERE rnk <= {LEXICAL_K}
+"""
+
+
+@register(
+    "retrieval_rrf_fusion",
+    # r17: hybrid-retrieval extension row. driver_facing=False at birth
+    # (the 50-slot window is full; rotation candidate) — the oracle
+    # runs under pytest at both scale factors via all_queries().
+    driver_facing=False,
+    oracle=_RRF_ORACLE,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-10 and the unnormalized
+    TF-IDF-dot top-10 per fixed query — the hybrid-retrieval composition
+    (rrf = Σ 1/(60+rank), truncated lists, ties by doc_id). Both legs
+    run the probe-proportional text plan; the fusion joins two ≤k-row
+    frames per query."""
+    prepare(spark)
+    docs = spread(spark, table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
+    return rrf_fuse(
+        lexical_topk(docs, q, k=LEXICAL_K),
+        tfidf_dot_topk(docs, q, k=LEXICAL_K),
+        k=LEXICAL_K,
+    )

@@ -518,3 +518,66 @@ def test_served_probe_term_cap_is_loud(spark):
         counts, doclens, six_terms, max_probe_terms=6
     ).collect()
     assert [(r.query_id, r.doc_id) for r in got] == [(0, 1)]
+
+
+# --------------------------------------------------------------------------
+# RRF hybrid fusion
+
+
+def test_rrf_fusion_handles_single_list_docs_and_diverging_ranks(spark):
+    """Truncated-list semantics on a planted corpus: the two retrievers
+    must genuinely disagree (BM25's length normalization demotes the
+    long doc the unnormalized dot promotes), a doc present in only ONE
+    top-k list still scores (NULL leg -> 0, not NULL), and rrf equals
+    the hand-computed 1/(60+ra) + 1/(60+rb)."""
+    from datawarehouse_project_spark.operators.retrieval import (
+        lexical_topk,
+        rrf_fuse,
+        tfidf_dot_topk,
+    )
+
+    # doc 1: short, one 'dup' -> BM25 likes it (length norm)
+    # doc 2: long, many 'dup' -> unnormalized dot likes it (tf piles up)
+    docs = spark.createDataFrame(
+        [
+            (1, "dup pad"),
+            (2, "dup dup dup dup " + " ".join(f"x{i}" for i in range(40))),
+            (3, "other words entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame([(0, "dup")], "query_id bigint, qtext string")
+    a = {r.doc_id: r.rnk for r in lexical_topk(docs, q, k=2).collect()}
+    b = {r.doc_id: r.rnk for r in tfidf_dot_topk(docs, q, k=2).collect()}
+    assert a == {1: 1, 2: 2}, a   # BM25: short doc first
+    assert b == {2: 1, 1: 2}, b   # dot: high-tf doc first
+
+    fused = {
+        r.doc_id: (r.rrf_score, r.rnk)
+        for r in rrf_fuse(
+            lexical_topk(docs, q, k=2), tfidf_dot_topk(docs, q, k=1)
+        ).collect()
+    }
+    # doc 1 appears only in the BM25 list (k=1 truncated the dot list)
+    assert fused[1][0] == 1.0 / 61.0
+    assert fused[2][0] == 1.0 / 62.0 + 1.0 / 61.0
+    assert fused[2][1] == 1 and fused[1][1] == 2
+
+
+def test_rrf_registered_query_covers_both_retrievers(spark, sf_dir):
+    """Every fused row ranks within both legs' union; per-query output
+    is exactly top-k with dense ranks; both legs contribute somewhere
+    (the fixture corpus makes the rankings diverge)."""
+    from datawarehouse_project_spark.catalog import all_queries
+    from datawarehouse_project_spark.operators.retrieval import LEXICAL_K
+
+    rows = all_queries()["retrieval_rrf_fusion"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= LEXICAL_K
+        assert rs == sorted(rs, key=lambda r: (-r.rrf_score, r.doc_id))
