@@ -1628,3 +1628,97 @@ FROM win a JOIN win b
   ON a.id < b.id
  AND a.start_d <= b.end_d AND b.start_d <= a.end_d
 """
+
+
+def _spark_rrf_sql() -> str:
+    from ..functions.text import words_sql
+    from ..operators.retrieval import (
+        BM25_CONTRIB,
+        LEXICAL_K,
+        RRF_SCORE,
+        TFIDF_WEIGHT,
+        queries_rows_sql,
+    )
+
+    rows = queries_rows_sql()
+    return f"""
+WITH d AS (
+    SELECT doc_id, {words_sql("text")} AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+tokens AS (SELECT doc_id, explode(ws) AS w FROM d),
+postings AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tokens GROUP BY 1, 2
+),
+withdl AS (
+    SELECT doc_id, w, tf,
+           CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+    FROM postings
+),
+dfm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM (SELECT DISTINCT doc_id, dl FROM withdl)
+),
+qterms AS (
+    SELECT CAST(query_id AS BIGINT) AS query_id, w,
+           CAST(COUNT(*) AS BIGINT) AS qtf
+    FROM (
+        SELECT query_id, explode({words_sql("qtext")}) AS w
+        FROM VALUES {rows} AS q(query_id, qtext)
+    )
+    GROUP BY 1, 2
+),
+bm25_ranked AS (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rnk_bm25
+    FROM (
+        SELECT q.query_id, p.doc_id,
+               CAST(SUM({BM25_CONTRIB} * qtf) AS BIGINT) AS score
+        FROM qterms q
+        JOIN withdl p ON p.w = q.w
+        JOIN dfm ON dfm.w = q.w
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+),
+tdot_ranked AS (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rnk_tfidf
+    FROM (
+        SELECT q.query_id, p.doc_id,
+               CAST(SUM({TFIDF_WEIGHT} * qtf) AS BIGINT) AS score
+        FROM qterms q
+        JOIN postings p ON p.w = q.w
+        JOIN dfm ON dfm.w = q.w
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+),
+fused AS (
+    SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           a.rnk_bm25, b.rnk_tfidf
+    FROM (SELECT * FROM bm25_ranked WHERE rnk_bm25 <= {LEXICAL_K}) a
+    FULL OUTER JOIN
+         (SELECT * FROM tdot_ranked WHERE rnk_tfidf <= {LEXICAL_K}) b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+)
+SELECT query_id, doc_id, rrf_score, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT query_id, doc_id, rrf_score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS rnk
+    FROM (SELECT query_id, doc_id, {RRF_SCORE} AS rrf_score FROM fused)
+)
+WHERE rnk <= {LEXICAL_K}
+"""
+
+
+SPARK_SQL["retrieval_rrf_fusion"] = _spark_rrf_sql()
