@@ -1433,10 +1433,11 @@ WHERE rnk <= {LEXICAL_K}
 
 @register(
     "retrieval_rrf_fusion",
-    # r17: hybrid-retrieval extension row. driver_facing=False at birth
-    # (the 50-slot window is full; rotation candidate) — the oracle
-    # runs under pytest at both scale factors via all_queries().
-    driver_facing=False,
+    # r17: hybrid-retrieval extension row, rotated IN the same round
+    # (second swap, the r14 precedent): text_top_bigrams ceded after
+    # five driver-green rounds. Pre-validated with the plain-session
+    # dress rehearsal before the swap; oracle also pinned at sf0.001/
+    # 0.01/0.1 during development.
     oracle=_RRF_ORACLE,
 )
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -534,6 +534,11 @@ TOP_BIGRAMS_K = 20
 
 @register(
     "text_top_bigrams",
+    # r17 rotation OUT (second swap): ceded the slot to
+    # retrieval_rrf_fusion after five driver-green rounds (r12–r16);
+    # the textstats family keeps six other driver rows and this oracle
+    # still runs under pytest at both scale factors via all_queries().
+    driver_facing=False,
     order_by=["-n", "bigram"],
     oracle=f"""
 WITH {{docwords}},

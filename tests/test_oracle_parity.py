@@ -62,8 +62,9 @@ def test_driver_catalog_fits_sweep_window():
         "events_daily_sketch_rollup",
         "multimodal_audio_features",
         # the three rows the r11 oversubscription silently truncated out —
-        # restored to the gate this round (VERDICT r11 what's-wrong #1)
-        "text_top_bigrams",
+        # restored to the gate in r12 (VERDICT r11 what's-wrong #1);
+        # text_top_bigrams ceded its slot in r17 (second swap, five
+        # driver-green rounds) to retrieval_rrf_fusion
         "text_word_rarity_scores",
         "unpivot_store_priority",
         # r12 rotation IN: the r10 crop, finally driver-proven
@@ -110,6 +111,10 @@ def test_driver_catalog_fits_sweep_window():
         # becomes driver-checkable (sample_train_val_test ceded —
         # driver-green r10–r16, pytest oracle remains)
         "lexical_tfidf_from_stream",
+        # r17 rotation IN, second swap: the round's new hybrid-retrieval
+        # operator (text_top_bigrams ceded — driver-green r12–r16,
+        # pytest oracle remains)
+        "retrieval_rrf_fusion",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
