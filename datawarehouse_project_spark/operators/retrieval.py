@@ -109,10 +109,12 @@ def lexical_topk(
     docs: DataFrame,
     queries: DataFrame,
     k: int = LEXICAL_K,
+    bounded_queries: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query under the scaled-integer BM25
     score, computed from the corpus text. ``queries``: (query_id BIGINT,
-    qtext STRING) — a bounded set, broadcast to the postings probe.
+    qtext STRING) — a bounded set, broadcast to the postings probe (by
+    default — see ``bounded_queries`` below for the unbounded path).
 
     PROBE-PROPORTIONAL (r17, VERDICT r16 #2): the query-term
     restriction is applied to the exploded tokens BEFORE any aggregate,
@@ -136,9 +138,20 @@ def lexical_topk(
 
     Null-text rows contribute nothing either way (explode of the null
     token array drops them) — the stats branch filters them explicitly
-    so n_docs/sum_dl agree with the postings-derived values."""
+    so n_docs/sum_dl agree with the postings-derived values.
+
+    ``bounded_queries=False`` is the UNBOUNDED-workload escape hatch
+    (the salted-guard knob pattern): the default broadcast hints on the
+    query-side joins assume the broadcast-query contract; a batch-
+    scoring workload with millions of queries would OOM the driver
+    shipping them. With the knob off, the same plan carries no hints —
+    AQE picks the join strategy (shuffle join on w for a genuinely
+    large query set, auto-broadcast when it measures small) — and
+    results are bit-identical (plan-only knob, equality- and
+    hint-pinned). The 1-row stats frame stays broadcast either way."""
     live = docs.filter(F.col("text").isNotNull())
     qterms = _qterms(queries)
+    hint = F.broadcast if bounded_queries else (lambda df: df)
     toks = live.select(
         "doc_id", words("text").alias("ws")
     ).select(
@@ -147,7 +160,7 @@ def lexical_topk(
         F.explode("ws").alias("w"),
     )
     matched = (
-        toks.join(F.broadcast(qterms.select("w").distinct()), "w")
+        toks.join(hint(qterms.select("w").distinct()), "w")
         .groupBy("doc_id", "dl", "w")
         .agg(F.count("*").cast("bigint").alias("tf"))
         .withColumn(
@@ -161,7 +174,9 @@ def lexical_topk(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    return _score_and_rank(matched, qterms, None, stats, k)
+    return _score_and_rank(
+        matched, qterms, None, stats, k, bounded_queries=bounded_queries
+    )
 
 
 def _qterms(queries: DataFrame) -> DataFrame:
@@ -184,17 +199,22 @@ def _score_and_rank(
     dfm: DataFrame | None,
     stats: DataFrame,
     k: int,
+    bounded_queries: bool = True,
 ) -> DataFrame:
-    """The shared scoring tail of every plan: broadcast-probe the
-    postings (which must carry tf and dl — and df already riding when
-    ``dfm`` is None), sum the scaled-integer BM25 contributions per
-    (query, doc), two-stage rank-filter to top-k. The contribution
-    expression is one shared string over the same column names either
-    way, so the bit-identity contract cannot drift on WHERE df was
-    computed."""
-    probe = postings.join(F.broadcast(qterms), "w")
+    """The shared scoring tail of every plan: probe the postings (which
+    must carry tf and dl — and df already riding when ``dfm`` is None),
+    sum the scaled-integer BM25 contributions per (query, doc),
+    two-stage rank-filter to top-k. ``bounded_queries`` keeps the
+    broadcast hints on the query-side joins (the default contract);
+    False drops them so AQE picks the strategy for an unbounded query
+    set — the 1-row stats frame stays broadcast regardless. The
+    contribution expression is one shared string over the same column
+    names either way, so the bit-identity contract cannot drift on
+    WHERE df was computed or HOW the probe was joined."""
+    hint = F.broadcast if bounded_queries else (lambda df: df)
+    probe = postings.join(hint(qterms), "w")
     if dfm is not None:
-        probe = probe.join(F.broadcast(dfm), "w")
+        probe = probe.join(hint(dfm), "w")
     scored = (
         probe.crossJoin(F.broadcast(stats))
         .withColumn("contrib", F.expr(BM25_CONTRIB) * F.col("qtf"))

@@ -581,3 +581,29 @@ def test_rrf_registered_query_covers_both_retrievers(spark, sf_dir):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         assert len(rs) <= LEXICAL_K
         assert rs == sorted(rs, key=lambda r: (-r.rrf_score, r.doc_id))
+
+
+def test_bounded_queries_knob_drops_hints_and_preserves_results(spark, sf_dir):
+    """The unbounded-workload escape hatch (the salted-guard knob
+    pattern): bounded_queries=False must change ONLY the plan — no
+    broadcast hints on the query-side joins (AQE picks the strategy for
+    a query set too large to ship to every executor), the 1-row stats
+    broadcast retained — with bit-identical results."""
+    from datawarehouse_project_spark.operators.retrieval import (
+        LEXICAL_K,
+        LEXICAL_QUERIES,
+        lexical_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
+    dflt = lexical_topk(docs, q, k=LEXICAL_K)
+    knob = lexical_topk(docs, q, k=LEXICAL_K, bounded_queries=False)
+    assert sorted(map(tuple, dflt.collect())) == sorted(
+        map(tuple, knob.collect())
+    )
+    # term-restrict + qterms probe + stats = 3 hints; knob keeps stats only
+    pa = dflt._jdf.queryExecution().analyzed().toString()
+    pb = knob._jdf.queryExecution().analyzed().toString()
+    assert pa.count("ResolvedHint") == 3
+    assert pb.count("ResolvedHint") == 1
