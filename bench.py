@@ -40,6 +40,19 @@ AFTER THE CHANGE ARE NOT COMPARABLE (BENCH_r15 and earlier sum 15
 queries, BENCH_r16 onward 16); compare per-query values, or the r16+
 series against itself. Disclosed in PERFORMANCE.md's current-state
 header.
+
+Self-normalizing control (round 18, VERDICT r17 #2): the JSON line now
+carries a SAME-SESSION DuckDB sweep over the same queries' oracles —
+``queries_duck`` (per-query median of 3 after one untimed warm pass,
+the scripts/bench_scaling.py protocol), ``duck_total_sec``, and
+``ratio_vs_duck`` = warm Spark total / DuckDB total over the
+oracle-covered names. Four of the last ten rounds needed judge-side
+controls to adjudicate slow-box days (r8/r9, r13/r14, r16/r17 —
+absolute seconds on this VM drift ±15-20 % and occasionally +30-50 %
+box-wide); the in-run ratio makes every BENCH_r{N}.json
+self-adjudicating: if both engines move together it is the box, and
+only a ratio move indicates the code. The control runs AFTER the timed
+Spark sweeps, so warm/cold measure exactly what they always did.
 """
 
 from __future__ import annotations
@@ -280,6 +293,43 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         warm[name] = round(best, 3)
 
+    # same-session DuckDB control (r18, VERDICT r17 #2) — runs after
+    # every timed Spark sweep so warm/cold are untouched; see docstring.
+    import statistics
+
+    import duckdb
+
+    from datawarehouse_project_spark.catalog import all_oracle_sql
+    from datawarehouse_project_spark.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = all_oracle_sql()
+    duck_names = [n for n in builds if n in oracles]
+
+    def duck_sweep() -> dict[str, float]:
+        out = {}
+        for n in duck_names:
+            t0 = time.perf_counter()
+            con.execute(oracles[n]).fetchall()
+            out[n] = time.perf_counter() - t0
+        return out
+
+    duck_sweep()  # one untimed warm pass (plan compilation, FS cache)
+    duck_reps = [duck_sweep() for _ in range(3)]
+    duck = {
+        n: round(statistics.median(r[n] for r in duck_reps), 3)
+        for n in duck_names
+    }
+    duck_total = round(sum(duck.values()), 3)
+    ratio = round(
+        sum(warm[n] for n in duck_names) / max(duck_total, 1e-9), 2
+    )
+
     print(
         json.dumps(
             {
@@ -293,11 +343,18 @@ def main() -> None:
                 "queries_cold": cold,
                 "cache_build_sec": cache_build,
                 "shuffle_partitions": shuffle_partitions,
+                "duck_total_sec": duck_total,
+                "queries_duck": duck,
+                "ratio_vs_duck": ratio,
                 "methodology": (
                     "cold: single-shot, plan+exec in timer, no shared caches. "
                     "warm (=value): shared fact/signature/shingle/events "
                     "frames cached (cost disclosed in cache_build_sec), plan "
-                    f"built once, best-of-{N_WARM_RUNS} exec into noop sink."
+                    f"built once, best-of-{N_WARM_RUNS} exec into noop sink. "
+                    "duck control: same-session DuckDB over the same "
+                    "queries' oracles, 1 untimed warm pass then median of "
+                    "3; ratio_vs_duck = warm Spark / duck_total over "
+                    "oracle-covered names (box-drift self-adjudication)."
                 ),
             }
         )

@@ -1674,7 +1674,7 @@ bm25_ranked AS (
     SELECT query_id, doc_id,
            CAST(row_number() OVER (
                PARTITION BY query_id ORDER BY score DESC, doc_id
-           ) AS BIGINT) AS rnk_bm25
+           ) AS BIGINT) AS rnk_a
     FROM (
         SELECT q.query_id, p.doc_id,
                CAST(SUM({BM25_CONTRIB} * qtf) AS BIGINT) AS score
@@ -1689,7 +1689,7 @@ tdot_ranked AS (
     SELECT query_id, doc_id,
            CAST(row_number() OVER (
                PARTITION BY query_id ORDER BY score DESC, doc_id
-           ) AS BIGINT) AS rnk_tfidf
+           ) AS BIGINT) AS rnk_b
     FROM (
         SELECT q.query_id, p.doc_id,
                CAST(SUM({TFIDF_WEIGHT} * qtf) AS BIGINT) AS score
@@ -1703,10 +1703,10 @@ tdot_ranked AS (
 fused AS (
     SELECT COALESCE(a.query_id, b.query_id) AS query_id,
            COALESCE(a.doc_id, b.doc_id) AS doc_id,
-           a.rnk_bm25, b.rnk_tfidf
-    FROM (SELECT * FROM bm25_ranked WHERE rnk_bm25 <= {LEXICAL_K}) a
+           a.rnk_a, b.rnk_b
+    FROM (SELECT * FROM bm25_ranked WHERE rnk_a <= {LEXICAL_K}) a
     FULL OUTER JOIN
-         (SELECT * FROM tdot_ranked WHERE rnk_tfidf <= {LEXICAL_K}) b
+         (SELECT * FROM tdot_ranked WHERE rnk_b <= {LEXICAL_K}) b
     ON a.query_id = b.query_id AND a.doc_id = b.doc_id
 )
 SELECT query_id, doc_id, rrf_score, CAST(rnk AS BIGINT) AS rnk

@@ -607,3 +607,117 @@ def test_bounded_queries_knob_drops_hints_and_preserves_results(spark, sf_dir):
     pb = knob._jdf.queryExecution().analyzed().toString()
     assert pa.count("ResolvedHint") == 3
     assert pb.count("ResolvedHint") == 1
+
+
+def test_tfidf_dot_bounded_queries_knob(spark, sf_dir):
+    """VERDICT r17 #5: the unbounded-workload escape hatch now covers
+    the dot leg too — bounded_queries=False drops the query-side
+    broadcast hints (term restrict + qterms probe; the 1-row stats
+    broadcast is retained) with bit-identical results, so batch-scoring
+    RRF against a query set too large to broadcast has a story on BOTH
+    retrievers."""
+    from datawarehouse_project_spark.operators.retrieval import (
+        LEXICAL_K,
+        LEXICAL_QUERIES,
+        tfidf_dot_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
+    dflt = tfidf_dot_topk(docs, q, k=LEXICAL_K)
+    knob = tfidf_dot_topk(docs, q, k=LEXICAL_K, bounded_queries=False)
+    assert sorted(map(tuple, dflt.collect())) == sorted(
+        map(tuple, knob.collect())
+    )
+    pa = dflt._jdf.queryExecution().analyzed().toString()
+    pb = knob._jdf.queryExecution().analyzed().toString()
+    assert pa.count("ResolvedHint") == 3
+    assert pb.count("ResolvedHint") == 1
+
+
+def test_rrf_from_store_equals_text_form(spark, sf_correct_dir):
+    """VERDICT r17 #4: the served fusion must answer bit-for-bit like
+    the compute-from-text fusion (shared oracle) — the BM25 leg through
+    lexical_topk_served and the dot leg through tfidf_dot_topk_served,
+    both probing the SAME maintained postings + doclen state."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    a = all_queries()["retrieval_rrf_fusion"](spark, sf_correct_dir).collect()
+    b = all_queries()["retrieval_rrf_from_store"](
+        spark, sf_correct_dir
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_rrf_from_store_plan_touches_no_corpus_text(spark, sf_correct_dir):
+    """Hybrid retrieval as a serving composition: no documents scan
+    anywhere in the executed plan — both legs read the maintained
+    state (the 4-corpus-scan text form becomes two pushed probes)."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    df = all_queries()["retrieval_rrf_from_store"](spark, sf_correct_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+
+
+def test_dot_served_probe_term_cap_is_loud(spark):
+    """The dot leg's serving probe shares the bounded term-collect
+    contract (same _probe_terms head as lexical_topk_served): past the
+    cap, a descriptive error naming THIS caller; at the cap, served."""
+    import pytest
+
+    from datawarehouse_project_spark.operators.retrieval import (
+        tfidf_dot_topk_served,
+    )
+
+    counts = spark.createDataFrame(
+        [(1, f"t{i}", 1) for i in range(8)], "doc_id bigint, w string, tf bigint"
+    )
+    doclens = spark.createDataFrame([(1, 8)], "doc_id bigint, dl bigint")
+    six_terms = spark.createDataFrame(
+        [(0, "t0 t1 t2 t3 t4 t5")], "query_id bigint, qtext string"
+    )
+    with pytest.raises(ValueError, match="tfidf_dot_topk_served"):
+        tfidf_dot_topk_served(counts, doclens, six_terms, max_probe_terms=5)
+    got = tfidf_dot_topk_served(
+        counts, doclens, six_terms, max_probe_terms=6
+    ).collect()
+    assert [(r.query_id, r.doc_id) for r in got] == [(0, 1)]
+
+
+def test_lexical_topk_duplicate_doc_ids_score_as_independent_docs(spark):
+    """Advisor r17: pin the r17 contract change — the text form scores
+    each input ROW as its own document (the old postings-fold form
+    merged duplicate ids into one synthetic doc). With duplicate ids of
+    DISTINCT text, corpus stats (n_docs, sum_dl, df) count the rows
+    independently, and the final per-doc_id score is the SUM of what
+    the same texts would score under distinct ids — so a non-PK caller
+    has a regression signal, and the documents-PK contract stays
+    documented behavior rather than silence."""
+    from datawarehouse_project_spark.operators.retrieval import (
+        lexical_topk,
+    )
+
+    q = spark.createDataFrame([(0, "dup")], "query_id bigint, qtext string")
+    schema = "doc_id bigint, text string"
+    # corpus A: all-distinct ids; corpus B: rows 10/11 share id 1
+    texts = [(10, "dup pad"), (11, "dup dup filler words here"), (2, "dup")]
+    a = {
+        r.doc_id: r.score
+        for r in lexical_topk(
+            spark.createDataFrame(texts, schema), q, k=10
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.score
+        for r in lexical_topk(
+            spark.createDataFrame(
+                [(1, texts[0][1]), (1, texts[1][1]), (2, texts[2][1])], schema
+            ),
+            q,
+            k=10,
+        ).collect()
+    }
+    assert set(b) == {1, 2}
+    assert b[1] == a[10] + a[11]
+    assert b[2] == a[2]
