@@ -1154,6 +1154,10 @@ def ngram_containment_pairs(
 @register(
     "dedup_containment_pairs",
     # r12 rotation: promoted to the driver window (VERDICT r11 next-round #1).
+    # r18 rotation OUT: ceded its slot to retrieval_rrf_from_store after
+    # six driver-green rounds (r12-r17); the full DuckDB oracle keeps
+    # running in pytest at sf0.1 + sf0.01 via tests/test_oracle_parity.py.
+    driver_facing=False,
     oracle=f"""
 WITH {DUCK_DOCWORDS},
 inv AS (SELECT doc_id, unnest(sgs) AS sg FROM docshingles),

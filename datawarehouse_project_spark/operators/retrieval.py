@@ -1552,12 +1552,14 @@ def tfidf_dot_topk_served(
     # both RRF legs answered from the maintained postings state, no
     # corpus text anywhere in the query plan. Same oracle as
     # retrieval_rrf_fusion: the served fusion must equal the
-    # compute-from-text fusion exactly. Registered driver_facing=False
-    # as the next rotation candidate (the r14 store-twin precedent):
-    # promote after a full pytest round, pre-validated with the
-    # plain-session dress rehearsal.
+    # compute-from-text fusion exactly. Rotation IN the same round per
+    # VERDICT r17 #7's recipe: full pytest round green first (707-pass
+    # suite with the row registered), plain-session dress rehearsal
+    # green (driver-sim, value-identical vs DuckDB at sf0.01), pin list
+    # updated; dedup_containment_pairs ceded after six driver-green
+    # rounds (pytest oracle remains). sf10: 0.77x vs its DuckDB control,
+    # 2.10x over the two-leg text recompute (PERFORMANCE.md r18).
     oracle=_RRF_ORACLE,
-    driver_facing=False,
 )
 def retrieval_rrf_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion served from the maintained postings store:

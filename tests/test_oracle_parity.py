@@ -68,7 +68,9 @@ def test_driver_catalog_fits_sweep_window():
         "text_word_rarity_scores",
         "unpivot_store_priority",
         # r12 rotation IN: the r10 crop, finally driver-proven
-        "dedup_containment_pairs",
+        # (dedup_containment_pairs ceded its slot in r18 after six
+        # driver-green rounds to retrieval_rrf_from_store; pytest
+        # oracle remains)
         "cms_word_count_estimates",
         "overlap_shipping_windows",
         "bpe_merge_rules",
@@ -115,6 +117,11 @@ def test_driver_catalog_fits_sweep_window():
         # operator (text_top_bigrams ceded — driver-green r12–r16,
         # pytest oracle remains)
         "retrieval_rrf_fusion",
+        # r18 rotation IN (VERDICT r17 #4/#7): the store-served fusion —
+        # full pytest round + dress rehearsal green before the swap
+        # (dedup_containment_pairs ceded — driver-green r12–r17, pytest
+        # oracle remains)
+        "retrieval_rrf_from_store",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
