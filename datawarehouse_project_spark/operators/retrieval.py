@@ -673,6 +673,23 @@ class StreamingPostingsStore:
             self.counts(spark), self.doclens(spark), queries, k=k
         )
 
+    def rrf_topk(
+        self, spark: SparkSession, queries: DataFrame, k: int = LEXICAL_K
+    ) -> DataFrame:
+        """Serve HYBRID top-k from the maintained state (r18): BM25 and
+        the unnormalized TF-IDF dot both probe THIS store's two tables
+        (:func:`lexical_topk_served` / :func:`tfidf_dot_topk_served`),
+        fused by truncated-list RRF — the one-liner behind the
+        registered ``retrieval_rrf_from_store`` row. Requires
+        ``with_doclen=True`` (BM25's length normalization)."""
+        counts = self.counts(spark)
+        doclens = self.doclens(spark)
+        return rrf_fuse(
+            lexical_topk_served(counts, doclens, queries, k=k),
+            tfidf_dot_topk_served(counts, doclens, queries, k=k),
+            k=k,
+        )
+
 
 @register(
     "lexical_bm25_from_store",
@@ -1574,11 +1591,5 @@ def retrieval_rrf_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan)."""
     prepare(spark)
     store = served_postings(spark, sf_dir)
-    counts = store.counts(spark)
-    doclens = store.doclens(spark)
     q = spark.createDataFrame(LEXICAL_QUERIES, "query_id bigint, qtext string")
-    return rrf_fuse(
-        lexical_topk_served(counts, doclens, q, k=LEXICAL_K),
-        tfidf_dot_topk_served(counts, doclens, q, k=LEXICAL_K),
-        k=LEXICAL_K,
-    )
+    return store.rrf_topk(spark, q, k=LEXICAL_K)
