@@ -15,12 +15,25 @@ per-query scheduling/codegen cost that dominates at toy scale; DuckDB's
 runtime scales with data. The ratio trend across sf, not the sf0.1
 point, is the claim to check.
 
-Usage: python scripts/bench_scaling.py [--names a,b,c] DIR [DIR ...]
+Usage: python scripts/bench_scaling.py [--names a,b,c] [--engine E] DIR [DIR ...]
 
 ``--names`` sweeps an explicit registry query set instead of the
 FROZEN 15-query scaling set — the SAME protocol (interleave, warm
 pass, medians) over a different family; added for the lexical-
 retrieval crossover measurement (VERDICT r14 #1).
+
+``--engine spark|duck|both`` (default both) runs ONE engine's half of
+the protocol — the SERIAL protocol for controls whose plans spill
+(r18: the interleaved recipe alternates each DuckDB rep with a full
+Spark sweep, and the Spark scans evict the control's working pages
+from the OS cache between reps; for the TF-IDF shingle oracle at sf10
+that turned a 43–84 s external window sort into a killed >27-min,
+45 GB-spill run — diagnosed in PERFORMANCE.md's r18 pathology entry).
+Run ``--engine spark`` to completion, let the process exit, then
+``--engine duck`` on the same dirs; each half keeps the per-engine
+recipe (1 untimed warm pass, REPS timed sweeps, medians). No ratio is
+printed in single-engine mode — compute it across the pair, same day,
+same box.
 
 The default set is PINNED BY NAME (`FROZEN_SCALING_SET`), not derived
 from `headline_queries()`: bench.py's headline set grew 15 → 16 in
@@ -118,13 +131,46 @@ def _stats(totals: list[float]) -> dict[str, float]:
     }
 
 
-def bench_dir(spark, sf_dir: str) -> dict:
+def bench_dir(spark, sf_dir: str, engine: str = "both") -> dict:
+    if engine == "spark":
+        sweep_spark(spark, sf_dir)  # untimed warm pass (state builds land here)
+        sp_reps = [sweep_spark(spark, sf_dir) for _ in range(REPS)]
+        sp_med = {
+            n: round(statistics.median(r[n] for r in sp_reps), 3)
+            for n in sp_reps[0]
+        }
+        return {
+            "sf_dir": sf_dir,
+            "engine": "spark",
+            "spark_total": _stats([sum(r.values()) for r in sp_reps]),
+            "spark": sp_med,
+            "reps": REPS,
+            "protocol": "SERIAL spark half: 1 untimed warm pass, then "
+            f"{REPS} timed sweeps, medians (see --engine docstring)",
+        }
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    if engine == "duck":
+        names = [n for n in _query_set() if n in all_oracle_sql()]
+        sweep_duck(con, names)  # untimed warm pass
+        du_reps = [sweep_duck(con, names) for _ in range(REPS)]
+        du_med = {
+            n: round(statistics.median(r[n] for r in du_reps), 3)
+            for n in du_reps[0]
+        }
+        return {
+            "sf_dir": sf_dir,
+            "engine": "duck",
+            "duck_total": _stats([sum(r.values()) for r in du_reps]),
+            "duck": du_med,
+            "reps": REPS,
+            "protocol": "SERIAL duck half: 1 untimed warm pass, then "
+            f"{REPS} timed sweeps, medians (see --engine docstring)",
+        }
     # one untimed warm pass per engine (plan compilation, FS cache)
     warm_names = list(sweep_spark(spark, sf_dir))
     sweep_duck(con, warm_names)
@@ -186,34 +232,44 @@ def main() -> None:
             sys.exit("usage: bench_scaling.py [--json-out FILE] DIR [DIR ...]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    engine = "both"
+    if "--engine" in args:
+        i = args.index("--engine")
+        if i + 1 >= len(args) or args[i + 1] not in ("spark", "duck", "both"):
+            sys.exit("usage: bench_scaling.py [--engine spark|duck|both] DIR ...")
+        engine = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     dirs = args
     if not dirs:
         sys.exit("usage: bench_scaling.py [--names a,b,c] DIR [DIR ...]")
-    spark = get_spark("dwspark-scaling")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = None
+    if engine != "duck":  # the duck half must run with NO JVM resident
+        spark = get_spark("dwspark-scaling")
+        spark.sparkContext.setLogLevel("ERROR")
     results = []
     for sf_dir in dirs:
-        row = bench_dir(spark, sf_dir)
+        row = bench_dir(spark, sf_dir, engine=engine)
         results.append(row)
         print(json.dumps(row), flush=True)
-    print("\n| sf dir | Spark median (min–max) | DuckDB median (min–max) | ratio |")
-    print("|---|---|---|---|")
-    for r in results:
-        s, d = r["spark_total"], r["duck_total"]
-        print(
-            f"| {r['sf_dir']} | {s['median']} ({s['min']}–{s['max']}) "
-            f"| {d['median']} ({d['min']}–{d['max']}) | {r['ratio']}x |"
-        )
-    print("\nper-query medians (spark/duck):")
-    names = sorted(results[0]["duck"])
-    print("| query | " + " | ".join(r["sf_dir"].split("/")[-1] for r in results) + " |")
-    print("|---|" + "---|" * len(results))
-    for n in names:
-        cells = []
+    if engine == "both":
+        print("\n| sf dir | Spark median (min–max) | DuckDB median (min–max) | ratio |")
+        print("|---|---|---|---|")
         for r in results:
-            s, d = r["spark"].get(n), r["duck"].get(n)
-            cells.append(f"{s}/{d} = {round(s / max(d, 1e-9), 1)}x" if d else f"{s}/-")
-        print(f"| {n} | " + " | ".join(cells) + " |")
+            s, d = r["spark_total"], r["duck_total"]
+            print(
+                f"| {r['sf_dir']} | {s['median']} ({s['min']}–{s['max']}) "
+                f"| {d['median']} ({d['min']}–{d['max']}) | {r['ratio']}x |"
+            )
+        print("\nper-query medians (spark/duck):")
+        names = sorted(results[0]["duck"])
+        print("| query | " + " | ".join(r["sf_dir"].split("/")[-1] for r in results) + " |")
+        print("|---|" + "---|" * len(results))
+        for n in names:
+            cells = []
+            for r in results:
+                s, d = r["spark"].get(n), r["duck"].get(n)
+                cells.append(f"{s}/{d} = {round(s / max(d, 1e-9), 1)}x" if d else f"{s}/-")
+            print(f"| {n} | " + " | ".join(cells) + " |")
     # machine-readable summary LAST so `tail -1` of a run parses as JSON
     # (VERDICT r15 "What's wrong" #3 — the markdown tables above used to
     # be the final lines and silently fed a table row to captures);
