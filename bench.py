@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: a detail line (per-query maps + full methodology) followed by
+a compact FINAL summary line (the driver-parsed contract: metric/value/
+unit/queries/sf + totals + ratios). Split as of round 19 — r18's single
+fat line overflowed the driver's fixed tail-capture window and BENCH_r18
+recorded "parsed": null (VERDICT r18 #1).
 
 Methodology (fixed as of round 3 — dual-reported so rounds compare
 apples-to-apples forever):
@@ -46,7 +50,10 @@ carries a SAME-SESSION DuckDB sweep over the same queries' oracles —
 ``queries_duck`` (per-query median of 3 after one untimed warm pass,
 the scripts/bench_scaling.py protocol), ``duck_total_sec``, and
 ``ratio_vs_duck`` = warm Spark total / DuckDB total over the
-oracle-covered names. Four of the last ten rounds needed judge-side
+oracle-covered names, plus (r19, ADVICE r18) ``ratio_vs_duck_median``
+using the median warm rep as the numerator — protocol-continuous with
+the pre-r18 median-vs-median judge-pair series, where best-of-N vs
+median is not. Four of the last ten rounds needed judge-side
 controls to adjudicate slow-box days (r8/r9, r13/r14, r16/r17 —
 absolute seconds on this VM drift ±15-20 % and occasionally +30-50 %
 box-wide); the in-run ratio makes every BENCH_r{N}.json
@@ -283,15 +290,16 @@ def main() -> None:
     cache_build = round(time.perf_counter() - t0, 3)
 
     warm: dict[str, float] = {}
+    warm_median: dict[str, float] = {}
     for name, build in builds.items():
         df = build(spark, sf_dir)  # plan built once, outside the timer
-        best = None
+        reps = []
         for _ in range(N_WARM_RUNS):
             t0 = time.perf_counter()
             _noop(df)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        warm[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        warm[name] = round(min(reps), 3)
+        warm_median[name] = round(sorted(reps)[len(reps) // 2], 3)
 
     # same-session DuckDB control (r18, VERDICT r17 #2) — runs after
     # every timed Spark sweep so warm/cold are untouched; see docstring.
@@ -325,11 +333,49 @@ def main() -> None:
         n: round(statistics.median(r[n] for r in duck_reps), 3)
         for n in duck_names
     }
+    con.close()
     duck_total = round(sum(duck.values()), 3)
     ratio = round(
         sum(warm[n] for n in duck_names) / max(duck_total, 1e-9), 2
     )
+    ratio_median = round(
+        sum(warm_median[n] for n in duck_names) / max(duck_total, 1e-9), 2
+    )
 
+    # Two stdout lines (VERDICT r18 #1): the driver's tail capture is a
+    # fixed window, and r18's single fat line overflowed it (BENCH_r18
+    # "parsed": null). The per-query detail maps and the long methodology
+    # string print FIRST on their own line; the FINAL line is a compact
+    # JSON summary (contract fields + totals + ratios) guaranteed to fit.
+    print(
+        json.dumps(
+            {
+                "detail": "per-query maps for the final summary line",
+                "queries_cold": cold,
+                "queries_warm_median": warm_median,
+                "queries_duck": duck,
+                "methodology": (
+                    "cold: single-shot, plan+exec in timer, no shared caches. "
+                    "warm (=value): shared fact/signature/shingle/events "
+                    "frames cached (cost disclosed in cache_build_sec), plan "
+                    f"built once, best-of-{N_WARM_RUNS} exec into noop sink. "
+                    "duck control: same-session DuckDB over the same "
+                    "queries' oracles, 1 untimed warm pass then median of "
+                    "3; ratio_vs_duck = best-of-N warm Spark / duck_total "
+                    "over oracle-covered names; ratio_vs_duck_median = "
+                    "median warm Spark / duck_total (protocol-continuous "
+                    "with the pre-r18 median-vs-median judge pairs). "
+                    "Caveats: the control is co-resident with the warmed "
+                    "Spark JVM (mild at sf0.1 non-spilling oracles, bias "
+                    "direction flatters Spark — see PERFORMANCE.md r18 "
+                    "pathology entry); at sf0.1 the ratio composition is "
+                    "floor-biased (sub-second OLAP rows sit on 2-4x "
+                    "dispatch floors whose families are at-or-below parity "
+                    "at sf10 — see PERFORMANCE.md scaling entries)."
+                ),
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -340,22 +386,12 @@ def main() -> None:
                 "sf": sf,
                 "value_warm": round(sum(warm.values()), 3),
                 "value_cold": round(sum(cold.values()), 3),
-                "queries_cold": cold,
                 "cache_build_sec": cache_build,
                 "shuffle_partitions": shuffle_partitions,
                 "duck_total_sec": duck_total,
-                "queries_duck": duck,
                 "ratio_vs_duck": ratio,
-                "methodology": (
-                    "cold: single-shot, plan+exec in timer, no shared caches. "
-                    "warm (=value): shared fact/signature/shingle/events "
-                    "frames cached (cost disclosed in cache_build_sec), plan "
-                    f"built once, best-of-{N_WARM_RUNS} exec into noop sink. "
-                    "duck control: same-session DuckDB over the same "
-                    "queries' oracles, 1 untimed warm pass then median of "
-                    "3; ratio_vs_duck = warm Spark / duck_total over "
-                    "oracle-covered names (box-drift self-adjudication)."
-                ),
+                "ratio_vs_duck_median": ratio_median,
+                "methodology": "see preceding detail line + PERFORMANCE.md",
             }
         )
     )

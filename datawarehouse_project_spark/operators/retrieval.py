@@ -682,6 +682,12 @@ class StreamingPostingsStore:
         fused by truncated-list RRF — the one-liner behind the
         registered ``retrieval_rrf_from_store`` row. Requires
         ``with_doclen=True`` (BM25's length normalization)."""
+        if self.doclen is None:
+            raise ValueError(
+                "rrf_topk needs a store built with with_doclen=True: the "
+                "BM25 leg's length normalization reads the doc-length "
+                "table this store was folded without"
+            )
         counts = self.counts(spark)
         doclens = self.doclens(spark)
         return rrf_fuse(

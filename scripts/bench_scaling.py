@@ -139,14 +139,24 @@ def bench_dir(spark, sf_dir: str, engine: str = "both") -> dict:
             n: round(statistics.median(r[n] for r in sp_reps), 3)
             for n in sp_reps[0]
         }
+        # ADVICE r18: the duck half filters to oracle-covered names, so
+        # the cross-half ratio must be computed over the SAME set — emit
+        # an oracle-covered subtotal alongside the full-set total.
+        oracle_names = [n for n in sp_reps[0] if n in all_oracle_sql()]
         return {
             "sf_dir": sf_dir,
             "engine": "spark",
             "spark_total": _stats([sum(r.values()) for r in sp_reps]),
+            "spark_total_oracle_covered": _stats(
+                [sum(r[n] for n in oracle_names) for r in sp_reps]
+            ),
+            "oracle_covered_names": oracle_names,
             "spark": sp_med,
             "reps": REPS,
             "protocol": "SERIAL spark half: 1 untimed warm pass, then "
-            f"{REPS} timed sweeps, medians (see --engine docstring)",
+            f"{REPS} timed sweeps, medians; cross-half ratios use "
+            "spark_total_oracle_covered over the duck half's name set "
+            "(see --engine docstring)",
         }
     con = duckdb.connect()
     for t in TABLES:

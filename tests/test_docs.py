@@ -97,9 +97,26 @@ def test_performance_bench_prose_fresh():
         ".json exists — update the prose"
     )
 
-    bench = json.load(
-        open(f"/root/repo/BENCH_r{cited_round:02d}.json")
-    )["parsed"]
+    rec = json.load(open(f"/root/repo/BENCH_r{cited_round:02d}.json"))
+    bench = rec["parsed"]
+    if bench is None:
+        # r18 contingency: the round-18 artifact has parsed:null because
+        # bench.py's single JSON line overflowed the driver's tail-capture
+        # window (VERDICT r18 #1). The numbers are still in the captured
+        # tail — extract the cited scalar fields by regex so the prose can
+        # cite the newest round rather than freeze one round behind.
+        tail = rec.get("tail", "")
+        bench = {
+            k: float(v)
+            for k, v in re.findall(
+                r'"(sf|value_warm|value_cold|cache_build_sec)": ([\d.]+)',
+                tail,
+            )
+        }
+        assert len(bench) == 4, (
+            f"BENCH_r{cited_round:02d}.json has parsed:null and its tail "
+            "lacks the cited fields"
+        )
     assert float(m.group(2)) == bench["sf"]
     assert float(m.group(3)) == bench["value_warm"]
     assert float(m.group(4)) == bench["value_cold"]

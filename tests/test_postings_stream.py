@@ -159,6 +159,12 @@ def test_streaming_shingle_store_serves_tfidf(spark, sf_dir, tmp_path):
     assert not os.path.exists(str(tmp_path / "shingles" / "doclen"))
     with pytest.raises(ValueError, match="with_doclen"):
         store.doclens(spark)
+    # rrf_topk guards the same contract AT ENTRY (VERDICT r18 #4): the
+    # BM25 leg needs doc lengths, and the error names the knob instead
+    # of failing inside lexical_topk_served on a missing table.
+    q = spark.createDataFrame([(1, "x")], "query_id bigint, qtext string")
+    with pytest.raises(ValueError, match="with_doclen=True"):
+        store.rrf_topk(spark, q)
 
 
 def test_registered_stream_row_equals_batch_and_reuses_memo(spark, sf_dir):
