@@ -28,6 +28,7 @@ from .operators import multimodal as _multimodal  # noqa: F401
 from .operators import quality as _quality  # noqa: F401
 from .operators import relational as _relational  # noqa: F401
 from .operators import retrieval as _retrieval  # noqa: F401
+from .operators import retrieval_eval as _retrieval_eval  # noqa: F401
 from .operators import sampling as _sampling  # noqa: F401
 from .operators import scd as _scd  # noqa: F401
 from .operators import similarity as _similarity  # noqa: F401

@@ -1422,8 +1422,11 @@ def rrf_fuse(
     )
 
 
-_RRF_ORACLE = f"""
-WITH d AS (
+#: Shared hybrid-retrieval oracle CTEs (r19: factored so the RRF rows and
+#: the eval row recompute the SAME two legs and fusion — one text, no
+#: drift): tokenize -> postings -> dl/df/stats -> query terms -> BM25 and
+#: dot legs scored+ranked -> truncated full-outer fusion -> RRF re-rank.
+_HYBRID_CTES = f"""d AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
     FROM documents
 ),
@@ -1496,16 +1499,19 @@ fused AS (
 rrf AS (
     SELECT query_id, doc_id, {RRF_SCORE} AS rrf_score
     FROM fused
-)
-SELECT query_id, doc_id, rrf_score,
-       CAST(rnk AS BIGINT) AS rnk
-FROM (
+),
+rrf_ranked AS (
     SELECT query_id, doc_id, rrf_score,
-           row_number() OVER (
+           CAST(row_number() OVER (
                PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
-           ) AS rnk
+           ) AS BIGINT) AS rnk
     FROM rrf
-)
+)"""
+
+_RRF_ORACLE = f"""
+WITH {_HYBRID_CTES}
+SELECT query_id, doc_id, rrf_score, rnk
+FROM rrf_ranked
 WHERE rnk <= {LEXICAL_K}
 """
 

@@ -1,0 +1,277 @@
+"""Retrieval-quality evaluation: MRR / recall@k over the three hybrid
+retrievers (BM25, unnormalized TF-IDF dot, their RRF fusion) against
+deterministic corpus-derived qrels — the measurement half of the
+LLM-pipeline retrieval family (VERDICT r18 #5).
+
+Qrels are derived from the corpus itself, so the eval is reproducible
+in any engine with no side-channel label file: a document is RELEVANT
+to a query iff it contains at least ``EVAL_MIN_MATCH`` distinct query
+terms (term-containment relevance — the standard boolean-match proxy
+when no human judgments exist; every fixed query has >= 2 in-vocabulary
+distinct terms, so the rule is non-degenerate for all of them).
+
+Both metrics are emitted as integers so the DuckDB oracle matches
+bit-for-bit (the registry's determinism discipline):
+
+* ``rr_scaled``        = floor(1e6 / rank of the first relevant hit),
+                         0 when the top-k list has no relevant doc —
+                         sum/mean over queries gives (scaled) MRR@k;
+* ``recall_at_k_scaled`` = floor(1e6 * hits_at_k / n_rel), 0 when the
+                         query has no relevant docs.
+
+Scale story (the reason this lives on the SERVED plans): the whole
+eval is probe-proportional — the ranked lists come from the maintained
+postings store via pushed ``In(w)`` probes (:func:`lexical_topk_served`
+/ :func:`tfidf_dot_topk_served`), and the qrels themselves are computed
+from the SAME probe (matched postings grouped per (query, doc)), so no
+part of the plan scans corpus text or is corpus-wide except the
+doc-count aggregate both scorers already need. Evaluating q queries
+against a 100 TB corpus touches only the q queries' posting rows.
+
+Reference parity note: the reference (MeshJoin.java, olap_queries.sql)
+has no retrieval stack — this family is a north-star extension; the
+eval operator completes it (retrievers without a quality measurement
+are unfalsifiable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..session import prepare
+from .retrieval import (
+    LEXICAL_K,
+    LEXICAL_QUERIES,
+    MAX_PROBE_TERMS,
+    _HYBRID_CTES,
+    _probe_terms,
+    _qterms,
+    lexical_topk_served,
+    rrf_fuse,
+    served_postings,
+    tfidf_dot_topk_served,
+)
+
+#: A doc is relevant to a query iff it contains >= this many DISTINCT
+#: query terms. 2 keeps single-term matches (noise at corpus scale) out
+#: while every fixed query (min 2 distinct in-vocab terms) can still
+#: have relevant docs.
+EVAL_MIN_MATCH = 2
+
+#: Metric scale: floor(1e6 * metric) — six decimal digits, exact
+#: cross-engine integer math (the repo-wide FLOOR-before-BIGINT recipe).
+EVAL_SCALE = 1_000_000
+
+
+def qrels_from_postings(
+    counts: DataFrame,
+    queries: DataFrame,
+    min_match: int = EVAL_MIN_MATCH,
+    max_probe_terms: int = MAX_PROBE_TERMS,
+) -> DataFrame:
+    """Deterministic ``(query_id, doc_id)`` relevance pairs from the
+    postings state: restrict the postings to the query TERMS (pushed
+    ``In(w)`` literal — probe-proportional, same layout as the serving
+    scorers), then keep (query, doc) pairs matching >= ``min_match``
+    distinct terms."""
+    qterms = _qterms(queries)
+    terms = _probe_terms(qterms, max_probe_terms, "qrels_from_postings")
+    matched = counts.filter(F.col("w").isin(terms)).join(
+        F.broadcast(qterms.select("query_id", "w").distinct()), "w"
+    )
+    return (
+        matched.groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("w").alias("matched"))
+        .filter(F.col("matched") >= min_match)
+        .select("query_id", "doc_id")
+    )
+
+
+def retrieval_metrics(
+    lists: DataFrame, qrels: DataFrame
+) -> DataFrame:
+    """MRR / recall@k inputs per (retriever, query) from tagged ranked
+    lists ``(retriever, query_id, doc_id, rnk)`` (already truncated to
+    top-k) and ``(query_id, doc_id)`` qrels. Everything here is
+    k-bounded per (retriever, query) — the frames are tiny regardless
+    of corpus size."""
+    rel = qrels.withColumn("rel", F.lit(1))
+    nrel = qrels.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_rel")
+    )
+    hits = (
+        lists.join(rel, ["query_id", "doc_id"], "left")
+        .groupBy("retriever", "query_id")
+        .agg(
+            F.count("rel").cast("bigint").alias("hits_at_k"),
+            F.coalesce(
+                F.min(F.when(F.col("rel").isNotNull(), F.col("rnk"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("first_rel_rnk"),
+        )
+    )
+    scale = float(EVAL_SCALE)
+    return (
+        hits.join(F.broadcast(nrel), "query_id", "left")
+        .select(
+            "retriever",
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_rel"),
+            "hits_at_k",
+            "first_rel_rnk",
+            F.when(
+                F.col("first_rel_rnk") > 0,
+                F.floor(
+                    F.lit(scale)
+                    / F.col("first_rel_rnk").cast("double")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rr_scaled"),
+            F.when(
+                F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                F.floor(
+                    F.lit(scale)
+                    * F.col("hits_at_k").cast("double")
+                    / F.col("n_rel").cast("double")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("recall_at_k_scaled"),
+        )
+    )
+
+
+def eval_retrievers(
+    counts: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """The full eval composition over maintained state: serve all three
+    retrievers from the same postings+doclens tables, derive qrels from
+    the same probe, score MRR/recall@k per (retriever, query)."""
+    a = lexical_topk_served(counts, doclens, queries, k=k)
+    b = tfidf_dot_topk_served(counts, doclens, queries, k=k)
+    r = rrf_fuse(a, b, k=k)
+    lists = (
+        a.select(
+            F.lit("bm25").alias("retriever"), "query_id", "doc_id", "rnk"
+        )
+        .unionByName(
+            b.select(
+                F.lit("tdot").alias("retriever"),
+                "query_id",
+                "doc_id",
+                "rnk",
+            )
+        )
+        .unionByName(
+            r.select(
+                F.lit("rrf").alias("retriever"),
+                "query_id",
+                "doc_id",
+                "rnk",
+            )
+        )
+    )
+    return retrieval_metrics(lists, qrels_from_postings(counts, queries))
+
+
+#: Dialect-neutral eval tail (lists -> qrels -> metrics) shared verbatim
+#: by the DuckDB oracle and the Spark-SQL twin (plans/sql_twins.py) —
+#: both engines run the SAME metric arithmetic; only the tokenizer CTEs
+#: above it differ by dialect.
+_EVAL_TAIL = f"""lists AS (
+    SELECT 'bm25' AS retriever, query_id, doc_id,
+           CAST(rnk_a AS BIGINT) AS rnk
+    FROM bm25_ranked WHERE rnk_a <= {LEXICAL_K}
+    UNION ALL
+    SELECT 'tdot' AS retriever, query_id, doc_id,
+           CAST(rnk_b AS BIGINT) AS rnk
+    FROM tdot_ranked WHERE rnk_b <= {LEXICAL_K}
+    UNION ALL
+    SELECT 'rrf' AS retriever, query_id, doc_id, rnk
+    FROM rrf_ranked WHERE rnk <= {LEXICAL_K}
+),
+qrels AS (
+    SELECT query_id, doc_id
+    FROM (
+        SELECT q.query_id, p.doc_id, COUNT(DISTINCT q.w) AS matched
+        FROM (SELECT DISTINCT query_id, w FROM qterms) q
+        JOIN postings p ON p.w = q.w
+        GROUP BY 1, 2
+    )
+    WHERE matched >= {EVAL_MIN_MATCH}
+),
+nrel AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+    FROM qrels GROUP BY 1
+),
+hits AS (
+    SELECT l.retriever, l.query_id,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS hits_at_k,
+           CAST(COALESCE(
+               MIN(CASE WHEN r.doc_id IS NOT NULL THEN l.rnk END), 0
+           ) AS BIGINT) AS first_rel_rnk
+    FROM lists l
+    LEFT JOIN qrels r
+      ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+    GROUP BY 1, 2
+)
+SELECT h.retriever, h.query_id,
+       CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+       h.hits_at_k, h.first_rel_rnk,
+       CASE WHEN h.first_rel_rnk > 0
+            THEN CAST(FLOOR(CAST({EVAL_SCALE} AS DOUBLE)
+                 / CAST(h.first_rel_rnk AS DOUBLE)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS rr_scaled,
+       CASE WHEN COALESCE(n.n_rel, 0) > 0
+            THEN CAST(FLOOR(CAST({EVAL_SCALE} AS DOUBLE)
+                 * CAST(h.hits_at_k AS DOUBLE)
+                 / CAST(n.n_rel AS DOUBLE)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS recall_at_k_scaled
+FROM hits h
+LEFT JOIN nrel n ON n.query_id = h.query_id
+"""
+
+_EVAL_ORACLE = f"""
+WITH {_HYBRID_CTES},
+{_EVAL_TAIL}
+"""
+
+
+@register(
+    "retrieval_eval_mrr_recall",
+    # r19 (VERDICT r18 #5): the retrieval-quality eval row. Full DuckDB
+    # oracle (integer ranks -> exact scaled-integer metrics); the RRF >=
+    # each-leg divergence property is asserted on a planted fixture in
+    # tests/test_retrieval_eval.py. Registered pytest-first
+    # (driver_facing flips with a rotation once proven, per the r17/r18
+    # recipe).
+    oracle=_EVAL_ORACLE,
+    driver_facing=False,
+)
+def retrieval_eval_mrr_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MRR / recall@{LEXICAL_K} per (retriever, query) for the three
+    hybrid retrievers over the fixed query set, qrels = >=2-distinct-
+    term containment, everything served from the maintained postings
+    store (probe-proportional; no corpus-text scan in the plan)."""
+    prepare(spark)
+    store = served_postings(spark, sf_dir)
+    q = spark.createDataFrame(
+        LEXICAL_QUERIES, "query_id bigint, qtext string"
+    )
+    return eval_retrievers(
+        store.counts(spark), store.doclens(spark), q, k=LEXICAL_K
+    )

@@ -1630,7 +1630,10 @@ FROM win a JOIN win b
 """
 
 
-def _spark_rrf_sql() -> str:
+def _spark_hybrid_ctes() -> str:
+    """Spark-dialect twin of retrieval._HYBRID_CTES (r19 factoring): the
+    shared tokenize -> postings -> legs -> fusion CTE prefix, reused by
+    the RRF twin and the retrieval-eval twin so the two cannot drift."""
     from ..functions.text import words_sql
     from ..operators.retrieval import (
         BM25_CONTRIB,
@@ -1641,8 +1644,7 @@ def _spark_rrf_sql() -> str:
     )
 
     rows = queries_rows_sql()
-    return f"""
-WITH d AS (
+    return f"""d AS (
     SELECT doc_id, {words_sql("text")} AS ws
     FROM documents WHERE text IS NOT NULL
 ),
@@ -1708,17 +1710,35 @@ fused AS (
     FULL OUTER JOIN
          (SELECT * FROM tdot_ranked WHERE rnk_b <= {LEXICAL_K}) b
     ON a.query_id = b.query_id AND a.doc_id = b.doc_id
-)
-SELECT query_id, doc_id, rrf_score, CAST(rnk AS BIGINT) AS rnk
-FROM (
+),
+rrf_ranked AS (
     SELECT query_id, doc_id, rrf_score,
-           row_number() OVER (
+           CAST(row_number() OVER (
                PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
-           ) AS rnk
+           ) AS BIGINT) AS rnk
     FROM (SELECT query_id, doc_id, {RRF_SCORE} AS rrf_score FROM fused)
-)
+)"""
+
+
+def _spark_rrf_sql() -> str:
+    from ..operators.retrieval import LEXICAL_K
+
+    return f"""
+WITH {_spark_hybrid_ctes()}
+SELECT query_id, doc_id, rrf_score, rnk
+FROM rrf_ranked
 WHERE rnk <= {LEXICAL_K}
 """
 
 
+def _spark_retrieval_eval_sql() -> str:
+    from ..operators.retrieval_eval import _EVAL_TAIL
+
+    return f"""
+WITH {_spark_hybrid_ctes()},
+{_EVAL_TAIL}
+"""
+
+
 SPARK_SQL["retrieval_rrf_fusion"] = _spark_rrf_sql()
+SPARK_SQL["retrieval_eval_mrr_recall"] = _spark_retrieval_eval_sql()

@@ -1,0 +1,130 @@
+"""Retrieval-quality eval (r19, VERDICT r18 #5): MRR/recall@k metrics
+over the three hybrid retrievers, deterministic containment qrels, and
+the divergence property that motivates fusion — on a PLANTED corpus
+where each leg fails a different query, RRF's MRR is >= each leg's and
+strictly better than both legs' aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_project_spark.catalog import all_queries
+from datawarehouse_project_spark.operators.retrieval import (
+    term_counts,
+)
+from datawarehouse_project_spark.operators.retrieval_eval import (
+    EVAL_SCALE,
+    eval_retrievers,
+    qrels_from_postings,
+)
+
+
+def _planted(spark):
+    """Two queries, each defeating one leg: q100's distractor (doc 3)
+    stacks tf on one term (the unnormalized dot ranks it first; BM25's
+    saturation + both-term matches keep the relevant docs on top);
+    q200's distractor (doc 6) is a one-term ultra-short doc (BM25's
+    length normalization ranks it first; the dot ignores dl and keeps
+    the two-term relevant docs on top). RRF fuses the disagreeing
+    lists and recovers rank 1 on BOTH queries."""
+    filler_a = " ".join(f"fa{i}" for i in range(48))
+    filler_b = " ".join(f"fb{i}" for i in range(48))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta"),
+            (3, " ".join(["alpha"] * 50)),
+            (4, "gamma delta " + filler_a),
+            (5, "gamma delta " + filler_b),
+            (6, "gamma"),
+            (7, "noise one two three four five"),
+            (8, "noise six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "alpha beta"), (200, "gamma delta"), (300, "alpha zzz")],
+        "query_id bigint, qtext string",
+    )
+    counts = term_counts(docs)
+    doclens = counts.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    return counts, doclens, queries
+
+
+def _metrics(spark):
+    counts, doclens, queries = _planted(spark)
+    out = {}
+    for r in eval_retrievers(counts, doclens, queries, k=5).collect():
+        out[(r.retriever, r.query_id)] = r
+    return out
+
+
+def test_qrels_containment_rule(spark):
+    counts, _, queries = _planted(spark)
+    qrels = {
+        (r.query_id, r.doc_id)
+        for r in qrels_from_postings(counts, queries).collect()
+    }
+    # q100: both-term docs only — the tf-stacked one-term distractor is
+    # NOT relevant; q200 mirrors; q300's second term is OOV -> no doc
+    # can reach 2 distinct matches.
+    assert qrels == {(100, 1), (100, 2), (200, 4), (200, 5)}
+
+
+def test_planted_divergence_rrf_geq_each_leg(spark):
+    m = _metrics(spark)
+    # Each leg fails exactly its planted query...
+    assert m[("bm25", 100)].rr_scaled == EVAL_SCALE
+    assert m[("tdot", 100)].rr_scaled < EVAL_SCALE
+    assert m[("tdot", 200)].rr_scaled == EVAL_SCALE
+    assert m[("bm25", 200)].rr_scaled < EVAL_SCALE
+    # ...and RRF recovers rank 1 on both.
+    assert m[("rrf", 100)].rr_scaled == EVAL_SCALE
+    assert m[("rrf", 200)].rr_scaled == EVAL_SCALE
+    for q in (100, 200, 300):
+        for leg in ("bm25", "tdot"):
+            assert m[("rrf", q)].rr_scaled >= m[(leg, q)].rr_scaled
+    # Aggregate (scaled) MRR: strictly above BOTH legs.
+    def mrr(ret):
+        return sum(m[(ret, q)].rr_scaled for q in (100, 200, 300))
+
+    assert mrr("rrf") > mrr("bm25")
+    assert mrr("rrf") > mrr("tdot")
+
+
+def test_no_relevant_query_scores_zero_not_missing(spark):
+    """q300 ('alpha zzz') has ranked lists (alpha matches docs) but no
+    doc can reach 2 distinct matched terms — the row must exist with
+    zero metrics, not vanish or divide by zero."""
+    m = _metrics(spark)
+    for ret in ("bm25", "tdot", "rrf"):
+        r = m[(ret, 300)]
+        assert r.n_rel == 0
+        assert r.hits_at_k == 0
+        assert r.first_rel_rnk == 0
+        assert r.rr_scaled == 0
+        assert r.recall_at_k_scaled == 0
+
+
+def test_recall_counts_hits_in_topk(spark):
+    """q100 has exactly 2 relevant docs and both fit in the top-5 of
+    every retriever that ranks them — bm25 and rrf see both (recall
+    1e6); the dot leg still surfaces them below the tf-stacked
+    distractor (recall 1e6 too, hits 2 of 2)."""
+    m = _metrics(spark)
+    for ret in ("bm25", "tdot", "rrf"):
+        r = m[(ret, 100)]
+        assert r.n_rel == 2
+        assert r.hits_at_k == 2
+        assert r.recall_at_k_scaled == EVAL_SCALE
+
+
+def test_registered_row_plan_touches_no_corpus_text(spark, sf_correct_dir):
+    """The registered eval row serves every leg AND the qrels from the
+    maintained postings state — zero `documents` scans in the executed
+    plan (the retrieval_rrf_from_store pin, extended to the eval)."""
+    df = all_queries()["retrieval_eval_mrr_recall"](spark, sf_correct_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
