@@ -65,28 +65,44 @@ EVAL_MIN_MATCH = 2
 EVAL_SCALE = 1_000_000
 
 
+def graded_qrels_from_postings(
+    counts: DataFrame,
+    queries: DataFrame,
+    min_match: int = EVAL_MIN_MATCH,
+    max_probe_terms: int = MAX_PROBE_TERMS,
+) -> DataFrame:
+    """Deterministic GRADED relevance ``(query_id, doc_id, gain)`` from
+    the postings state: restrict the postings to the query TERMS
+    (pushed ``In(w)`` literal — probe-proportional, same layout as the
+    serving scorers), keep (query, doc) pairs matching >= ``min_match``
+    distinct terms, gain = the distinct-match count (so a doc matching
+    more of the query outranks a doc matching the minimum — the graded
+    form nDCG reads; the binary qrels are this with the gain dropped)."""
+    qterms = _qterms(queries)
+    terms = _probe_terms(
+        qterms, max_probe_terms, "graded_qrels_from_postings"
+    )
+    matched = counts.filter(F.col("w").isin(terms)).join(
+        F.broadcast(qterms.select("query_id", "w").distinct()), "w"
+    )
+    return (
+        matched.groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("w").cast("bigint").alias("gain"))
+        .filter(F.col("gain") >= min_match)
+    )
+
+
 def qrels_from_postings(
     counts: DataFrame,
     queries: DataFrame,
     min_match: int = EVAL_MIN_MATCH,
     max_probe_terms: int = MAX_PROBE_TERMS,
 ) -> DataFrame:
-    """Deterministic ``(query_id, doc_id)`` relevance pairs from the
-    postings state: restrict the postings to the query TERMS (pushed
-    ``In(w)`` literal — probe-proportional, same layout as the serving
-    scorers), then keep (query, doc) pairs matching >= ``min_match``
-    distinct terms."""
-    qterms = _qterms(queries)
-    terms = _probe_terms(qterms, max_probe_terms, "qrels_from_postings")
-    matched = counts.filter(F.col("w").isin(terms)).join(
-        F.broadcast(qterms.select("query_id", "w").distinct()), "w"
-    )
-    return (
-        matched.groupBy("query_id", "doc_id")
-        .agg(F.count_distinct("w").alias("matched"))
-        .filter(F.col("matched") >= min_match)
-        .select("query_id", "doc_id")
-    )
+    """Binary ``(query_id, doc_id)`` relevance pairs — the graded qrels
+    with the gain dropped (one relevance definition across metrics)."""
+    return graded_qrels_from_postings(
+        counts, queries, min_match, max_probe_terms
+    ).select("query_id", "doc_id")
 
 
 def retrieval_metrics(
@@ -150,19 +166,19 @@ def retrieval_metrics(
     )
 
 
-def eval_retrievers(
+def tagged_lists(
     counts: DataFrame,
     doclens: DataFrame,
     queries: DataFrame,
     k: int = LEXICAL_K,
 ) -> DataFrame:
-    """The full eval composition over maintained state: serve all three
-    retrievers from the same postings+doclens tables, derive qrels from
-    the same probe, score MRR/recall@k per (retriever, query)."""
+    """All three retrievers' truncated rankings served from the same
+    maintained state, tagged ``(retriever, query_id, doc_id, rnk)`` —
+    the shared input of both eval rows (MRR/recall and nDCG)."""
     a = lexical_topk_served(counts, doclens, queries, k=k)
     b = tfidf_dot_topk_served(counts, doclens, queries, k=k)
     r = rrf_fuse(a, b, k=k)
-    lists = (
+    return (
         a.select(
             F.lit("bm25").alias("retriever"), "query_id", "doc_id", "rnk"
         )
@@ -183,6 +199,18 @@ def eval_retrievers(
             )
         )
     )
+
+
+def eval_retrievers(
+    counts: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """The full eval composition over maintained state: serve all three
+    retrievers from the same postings+doclens tables, derive qrels from
+    the same probe, score MRR/recall@k per (retriever, query)."""
+    lists = tagged_lists(counts, doclens, queries, k=k)
     return retrieval_metrics(lists, qrels_from_postings(counts, queries))
 
 
@@ -247,6 +275,179 @@ _EVAL_ORACLE = f"""
 WITH {_HYBRID_CTES},
 {_EVAL_TAIL}
 """
+
+
+#: Scaled-integer DCG discounts floor(1e6 / log2(rank+1)) for ranks
+#: 1..LEXICAL_K, computed ONCE here and baked as literals into BOTH
+#: engines' SQL — cross-engine exactness by construction (no engine
+#: evaluates a log at query time).
+import math as _math
+
+DISC_SCALED = {
+    i: _math.floor(EVAL_SCALE / _math.log2(i + 1))
+    for i in range(1, LEXICAL_K + 1)
+}
+
+
+def _disc_case_sql(col: str) -> str:
+    """The discount lookup as one CASE expression over ``col`` — the
+    same string builds the Spark expression and both SQL texts."""
+    whens = " ".join(
+        f"WHEN {col} = {i} THEN CAST({v} AS BIGINT)"
+        for i, v in DISC_SCALED.items()
+    )
+    return f"CASE {whens} ELSE CAST(0 AS BIGINT) END"
+
+
+def ndcg_retrievers(
+    counts: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """nDCG@k per (retriever, query) with graded gains (= distinct
+    matched query terms, >= EVAL_MIN_MATCH): DCG sums gain x the
+    baked-literal discount over the served top-k list; IDCG sums the
+    same gains in ideal order (gain DESC, doc_id — equal-gain order
+    cannot move the sum); ndcg = floor(1e6 * DCG / IDCG). Integer
+    gains x integer discounts -> exact integer DCG/IDCG in both
+    engines; like the MRR row, every input is probe-proportional."""
+    from pyspark.sql import Window
+
+    lists = tagged_lists(counts, doclens, queries, k=k)
+    gains = graded_qrels_from_postings(counts, queries)
+    dcg = (
+        lists.join(gains, ["query_id", "doc_id"], "left")
+        .withColumn("gain0", F.coalesce(F.col("gain"), F.lit(0)))
+        .withColumn("disc", F.expr(_disc_case_sql("rnk")))
+        .groupBy("retriever", "query_id")
+        .agg(
+            F.sum(F.col("gain0") * F.col("disc"))
+            .cast("bigint")
+            .alias("dcg_scaled")
+        )
+    )
+    iw = Window.partitionBy("query_id").orderBy(
+        F.desc("gain"), F.asc("doc_id")
+    )
+    idcg = (
+        gains.withColumn("irnk", F.row_number().over(iw).cast("bigint"))
+        .filter(F.col("irnk") <= k)
+        .withColumn("idisc", F.expr(_disc_case_sql("irnk")))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("gain") * F.col("idisc"))
+            .cast("bigint")
+            .alias("idcg_scaled")
+        )
+    )
+    return dcg.join(F.broadcast(idcg), "query_id", "left").select(
+        "retriever",
+        "query_id",
+        "dcg_scaled",
+        F.coalesce(F.col("idcg_scaled"), F.lit(0))
+        .cast("bigint")
+        .alias("idcg_scaled"),
+        F.when(
+            F.coalesce(F.col("idcg_scaled"), F.lit(0)) > 0,
+            F.floor(
+                F.lit(float(EVAL_SCALE))
+                * F.col("dcg_scaled").cast("double")
+                / F.col("idcg_scaled").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ndcg_at_k_scaled"),
+    )
+
+
+#: Dialect-neutral nDCG tail — shared verbatim by the DuckDB oracle and
+#: the Spark-SQL twin, exactly like _EVAL_TAIL.
+_NDCG_TAIL = f"""lists AS (
+    SELECT 'bm25' AS retriever, query_id, doc_id,
+           CAST(rnk_a AS BIGINT) AS rnk
+    FROM bm25_ranked WHERE rnk_a <= {LEXICAL_K}
+    UNION ALL
+    SELECT 'tdot' AS retriever, query_id, doc_id,
+           CAST(rnk_b AS BIGINT) AS rnk
+    FROM tdot_ranked WHERE rnk_b <= {LEXICAL_K}
+    UNION ALL
+    SELECT 'rrf' AS retriever, query_id, doc_id, rnk
+    FROM rrf_ranked WHERE rnk <= {LEXICAL_K}
+),
+gains AS (
+    SELECT query_id, doc_id, gain
+    FROM (
+        SELECT q.query_id, p.doc_id,
+               CAST(COUNT(DISTINCT q.w) AS BIGINT) AS gain
+        FROM (SELECT DISTINCT query_id, w FROM qterms) q
+        JOIN postings p ON p.w = q.w
+        GROUP BY 1, 2
+    )
+    WHERE gain >= {EVAL_MIN_MATCH}
+),
+dcg AS (
+    SELECT l.retriever, l.query_id,
+           CAST(SUM(COALESCE(g.gain, 0)
+                * ({_disc_case_sql("l.rnk")})) AS BIGINT) AS dcg_scaled
+    FROM lists l
+    LEFT JOIN gains g
+      ON g.query_id = l.query_id AND g.doc_id = l.doc_id
+    GROUP BY 1, 2
+),
+ideal AS (
+    SELECT query_id, gain,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY gain DESC, doc_id
+           ) AS BIGINT) AS irnk
+    FROM gains
+),
+idcg AS (
+    SELECT query_id,
+           CAST(SUM(gain * ({_disc_case_sql("irnk")})) AS BIGINT)
+               AS idcg_scaled
+    FROM ideal
+    WHERE irnk <= {LEXICAL_K}
+    GROUP BY 1
+)
+SELECT d.retriever, d.query_id, d.dcg_scaled,
+       CAST(COALESCE(i.idcg_scaled, 0) AS BIGINT) AS idcg_scaled,
+       CASE WHEN COALESCE(i.idcg_scaled, 0) > 0
+            THEN CAST(FLOOR(CAST({EVAL_SCALE} AS DOUBLE)
+                 * CAST(d.dcg_scaled AS DOUBLE)
+                 / CAST(i.idcg_scaled AS DOUBLE)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS ndcg_at_k_scaled
+FROM dcg d
+LEFT JOIN idcg i ON i.query_id = d.query_id
+"""
+
+_NDCG_ORACLE = f"""
+WITH {_HYBRID_CTES},
+{_NDCG_TAIL}
+"""
+
+
+@register(
+    "retrieval_eval_ndcg",
+    # r19: graded-relevance companion of the MRR/recall row — same
+    # qrels probe, same served lists, CASE-table discounts baked as
+    # literals so neither engine evaluates a log at query time.
+    oracle=_NDCG_ORACLE,
+    driver_facing=False,
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{LEXICAL_K} per (retriever, query) for the three hybrid
+    retrievers, graded gain = distinct matched query terms
+    (>= {EVAL_MIN_MATCH}), served from the maintained postings store."""
+    prepare(spark)
+    store = served_postings(spark, sf_dir)
+    q = spark.createDataFrame(
+        LEXICAL_QUERIES, "query_id bigint, qtext string"
+    )
+    return ndcg_retrievers(
+        store.counts(spark), store.doclens(spark), q, k=LEXICAL_K
+    )
 
 
 @register(

@@ -1740,5 +1740,15 @@ WITH {_spark_hybrid_ctes()},
 """
 
 
+def _spark_retrieval_ndcg_sql() -> str:
+    from ..operators.retrieval_eval import _NDCG_TAIL
+
+    return f"""
+WITH {_spark_hybrid_ctes()},
+{_NDCG_TAIL}
+"""
+
+
 SPARK_SQL["retrieval_rrf_fusion"] = _spark_rrf_sql()
 SPARK_SQL["retrieval_eval_mrr_recall"] = _spark_retrieval_eval_sql()
+SPARK_SQL["retrieval_eval_ndcg"] = _spark_retrieval_ndcg_sql()

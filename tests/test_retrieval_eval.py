@@ -121,6 +121,70 @@ def test_recall_counts_hits_in_topk(spark):
         assert r.recall_at_k_scaled == EVAL_SCALE
 
 
+def test_ndcg_discount_table_shape():
+    from datawarehouse_project_spark.operators.retrieval_eval import (
+        DISC_SCALED,
+    )
+
+    assert DISC_SCALED[1] == EVAL_SCALE  # log2(2) = 1 -> no discount
+    assert DISC_SCALED[3] == EVAL_SCALE // 2  # log2(4) = 2
+    vals = [DISC_SCALED[i] for i in sorted(DISC_SCALED)]
+    assert vals == sorted(vals, reverse=True)  # strictly decreasing
+    assert len(vals) == len(set(vals))
+
+
+def _ndcg_metrics(spark):
+    from datawarehouse_project_spark.operators.retrieval_eval import (
+        ndcg_retrievers,
+    )
+
+    counts, doclens, queries = _planted(spark)
+    return {
+        (r.retriever, r.query_id): r
+        for r in ndcg_retrievers(counts, doclens, queries, k=5).collect()
+    }
+
+
+def test_planted_ndcg_perfect_and_aggregate_divergence(spark):
+    """Each leg ranks ITS planted query perfectly (ndcg = 1e6) and the
+    other one imperfectly; per-query nDCG can favor a single leg (the
+    fused list interleaves the distractor), but the AGGREGATE nDCG of
+    RRF is strictly above both legs — fusion wins on average, which is
+    the property that justifies it."""
+    m = _ndcg_metrics(spark)
+    assert m[("bm25", 100)].ndcg_at_k_scaled == EVAL_SCALE
+    assert m[("tdot", 200)].ndcg_at_k_scaled == EVAL_SCALE
+    assert m[("tdot", 100)].ndcg_at_k_scaled < EVAL_SCALE
+    assert m[("bm25", 200)].ndcg_at_k_scaled < EVAL_SCALE
+    # IDCG is a per-query constant — identical across retrievers.
+    for q in (100, 200, 300):
+        idcgs = {m[(ret, q)].idcg_scaled for ret in ("bm25", "tdot", "rrf")}
+        assert len(idcgs) == 1
+
+    def total(ret):
+        return sum(m[(ret, q)].ndcg_at_k_scaled for q in (100, 200, 300))
+
+    assert total("rrf") > total("bm25")
+    assert total("rrf") > total("tdot")
+
+
+def test_ndcg_no_relevant_query_scores_zero(spark):
+    m = _ndcg_metrics(spark)
+    for ret in ("bm25", "tdot", "rrf"):
+        r = m[(ret, 300)]
+        assert r.dcg_scaled == 0
+        assert r.idcg_scaled == 0
+        assert r.ndcg_at_k_scaled == 0
+
+
+def test_ndcg_registered_row_plan_touches_no_corpus_text(
+    spark, sf_correct_dir
+):
+    df = all_queries()["retrieval_eval_ndcg"](spark, sf_correct_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+
+
 def test_registered_row_plan_touches_no_corpus_text(spark, sf_correct_dir):
     """The registered eval row serves every leg AND the qrels from the
     maintained postings state — zero `documents` scans in the executed
