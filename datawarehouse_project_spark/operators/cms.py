@@ -247,7 +247,11 @@ GROUP BY 1
     # r12 rotation: promoted to the driver window (VERDICT r11 #1). The
     # oracle is EXACT — portable md5 buckets make the whole counter matrix,
     # and therefore every min-estimate, bit-identical cross-engine.
+    # r19 rotation OUT: ceded its driver slot to retrieval_eval_mrr_recall
+    # after seven consecutive driver-green rounds (r12-r18); the full
+    # DuckDB oracle still runs at both SFs via tests/test_oracle_parity.py.
     oracle=_cms_oracle,
+    driver_facing=False,
 )
 def cms_word_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS frequency estimates for every distinct long word (length ≥ 9)

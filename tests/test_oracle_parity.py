@@ -71,7 +71,9 @@ def test_driver_catalog_fits_sweep_window():
         # (dedup_containment_pairs ceded its slot in r18 after six
         # driver-green rounds to retrieval_rrf_from_store; pytest
         # oracle remains)
-        "cms_word_count_estimates",
+        # cms_word_count_estimates ceded its slot in r19 (seven
+        # driver-green rounds r12-r18) to retrieval_eval_mrr_recall;
+        # pytest oracle remains
         "overlap_shipping_windows",
         "bpe_merge_rules",
         # r12 new operator: the composed IVF→hamming→exact serving funnel
@@ -122,6 +124,11 @@ def test_driver_catalog_fits_sweep_window():
         # (dedup_containment_pairs ceded — driver-green r12–r17, pytest
         # oracle remains)
         "retrieval_rrf_from_store",
+        # r19 rotation IN (VERDICT r18 #5): the retrieval-quality eval
+        # row — full 722-green pytest round + dress rehearsal before
+        # the swap (cms_word_count_estimates ceded — driver-green
+        # r12–r18, pytest oracle remains)
+        "retrieval_eval_mrr_recall",
     ]:
         if name.startswith("q") and len(name) <= 3:
             assert any(f.startswith(name + "_") for f in facing), name
