@@ -62,6 +62,19 @@ def bench_pair(spark, sf_dir: str, family: str) -> dict:
             "recompute": qs["lexical_bm25_topk"],
             "from_store": qs["lexical_bm25_from_store"],
         }
+    elif family == "rrf":
+        from datawarehouse_project_spark.operators.retrieval import (
+            served_postings,
+        )
+
+        n_source = table(spark, sf_dir, "documents").count()
+        t0 = time.perf_counter()
+        roll = served_postings(spark, sf_dir).rollup
+        build_sec = time.perf_counter() - t0
+        variants = {
+            "recompute": qs["retrieval_rrf_fusion"],
+            "from_store": qs["retrieval_rrf_from_store"],
+        }
     elif family == "tfidf":
         from datawarehouse_project_spark.operators.retrieval import (
             served_shingle_postings,
