@@ -428,6 +428,164 @@ WITH {_HYBRID_CTES},
 """
 
 
+def leg_agreement(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """Rank agreement between two truncated ``(query_id, doc_id, rnk)``
+    rankings — the diagnostic that tells you whether fusing them can
+    help (RRF only adds value where the legs DISAGREE): per query,
+    ``overlap_at_k`` (shared docs), Kendall concordant/discordant pair
+    counts over the shared docs (ranks are distinct within a list, so
+    no tie classes), and ``tau_scaled`` = floor(1e6*(C-D)/(C+D)).
+    Everything is k-bounded per query (<= k shared docs -> <= k(k-1)/2
+    pairs) — the self-join is over tiny frames regardless of corpus
+    size."""
+    a = ranked_a.filter(F.col("rnk") <= k).select(
+        "query_id", "doc_id", F.col("rnk").alias("rnk_a")
+    )
+    b = ranked_b.filter(F.col("rnk") <= k).select(
+        "query_id", "doc_id", F.col("rnk").alias("rnk_b")
+    )
+    shared = a.join(b, ["query_id", "doc_id"])
+    s1 = shared.alias("s1")
+    s2 = shared.alias("s2")
+    pairs = s1.join(
+        s2,
+        (F.col("s1.query_id") == F.col("s2.query_id"))
+        & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+    ).select(
+        F.col("s1.query_id").alias("query_id"),
+        (
+            (F.col("s1.rnk_a") - F.col("s2.rnk_a"))
+            * (F.col("s1.rnk_b") - F.col("s2.rnk_b"))
+            > 0
+        ).alias("conc"),
+    )
+    counts = pairs.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("conc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+    )
+    overlap = shared.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("overlap_at_k")
+    )
+    return (
+        overlap.join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            "overlap_at_k",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce(F.col("concordant"), F.lit(0))
+            .cast("bigint")
+            .alias("concordant"),
+            (
+                F.coalesce(F.col("n_pairs"), F.lit(0))
+                - F.coalesce(F.col("concordant"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("discordant"),
+            F.when(
+                F.coalesce(F.col("n_pairs"), F.lit(0)) > 0,
+                F.floor(
+                    F.lit(float(EVAL_SCALE))
+                    * (
+                        F.col("concordant").cast("double")
+                        - (F.col("n_pairs") - F.col("concordant")).cast(
+                            "double"
+                        )
+                    )
+                    / F.col("n_pairs").cast("double")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("tau_scaled"),
+        )
+    )
+
+
+#: Dialect-neutral agreement tail — shared by the DuckDB oracle and the
+#: Spark-SQL twin like the other eval tails.
+_AGREE_TAIL = f"""shared AS (
+    SELECT a.query_id, a.doc_id,
+           CAST(a.rnk_a AS BIGINT) AS rnk_a,
+           CAST(b.rnk_b AS BIGINT) AS rnk_b
+    FROM (SELECT * FROM bm25_ranked WHERE rnk_a <= {LEXICAL_K}) a
+    JOIN (SELECT * FROM tdot_ranked WHERE rnk_b <= {LEXICAL_K}) b
+      ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+),
+pairs AS (
+    SELECT s1.query_id,
+           CASE WHEN (s1.rnk_a - s2.rnk_a) * (s1.rnk_b - s2.rnk_b) > 0
+                THEN 1 ELSE 0 END AS conc
+    FROM shared s1
+    JOIN shared s2
+      ON s1.query_id = s2.query_id AND s1.doc_id < s2.doc_id
+),
+counts AS (
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant
+    FROM pairs GROUP BY 1
+),
+overlap AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS overlap_at_k
+    FROM shared GROUP BY 1
+)
+SELECT o.query_id, o.overlap_at_k,
+       CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(c.concordant, 0) AS BIGINT) AS concordant,
+       CAST(COALESCE(c.n_pairs, 0) - COALESCE(c.concordant, 0)
+            AS BIGINT) AS discordant,
+       CASE WHEN COALESCE(c.n_pairs, 0) > 0
+            THEN CAST(FLOOR(CAST({EVAL_SCALE} AS DOUBLE)
+                 * (CAST(c.concordant AS DOUBLE)
+                    - CAST(c.n_pairs - c.concordant AS DOUBLE))
+                 / CAST(c.n_pairs AS DOUBLE)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS tau_scaled
+FROM overlap o
+LEFT JOIN counts c ON c.query_id = o.query_id
+"""
+
+_AGREE_ORACLE = f"""
+WITH {_HYBRID_CTES},
+{_AGREE_TAIL}
+"""
+
+
+@register(
+    "retrieval_leg_agreement",
+    # r19: the fusion diagnostic — low overlap / low tau is the regime
+    # where RRF earns its keep; per-query integer pair counts make the
+    # oracle exact. Pytest-only (rotation candidate once proven).
+    oracle=_AGREE_ORACLE,
+    driver_facing=False,
+)
+def retrieval_leg_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall-tau rank agreement + overlap@{LEXICAL_K} between the
+    BM25 leg and the TF-IDF-dot leg per fixed query, both served from
+    the maintained postings store."""
+    prepare(spark)
+    store = served_postings(spark, sf_dir)
+    counts = store.counts(spark)
+    doclens = store.doclens(spark)
+    q = spark.createDataFrame(
+        LEXICAL_QUERIES, "query_id bigint, qtext string"
+    )
+    return leg_agreement(
+        lexical_topk_served(counts, doclens, q, k=LEXICAL_K),
+        tfidf_dot_topk_served(counts, doclens, q, k=LEXICAL_K),
+        k=LEXICAL_K,
+    )
+
+
 @register(
     "retrieval_eval_ndcg",
     # r19: graded-relevance companion of the MRR/recall row — same

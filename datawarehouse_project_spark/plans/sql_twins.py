@@ -1749,6 +1749,16 @@ WITH {_spark_hybrid_ctes()},
 """
 
 
+def _spark_leg_agreement_sql() -> str:
+    from ..operators.retrieval_eval import _AGREE_TAIL
+
+    return f"""
+WITH {_spark_hybrid_ctes()},
+{_AGREE_TAIL}
+"""
+
+
 SPARK_SQL["retrieval_rrf_fusion"] = _spark_rrf_sql()
 SPARK_SQL["retrieval_eval_mrr_recall"] = _spark_retrieval_eval_sql()
 SPARK_SQL["retrieval_eval_ndcg"] = _spark_retrieval_ndcg_sql()
+SPARK_SQL["retrieval_leg_agreement"] = _spark_leg_agreement_sql()

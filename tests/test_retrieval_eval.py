@@ -185,6 +185,65 @@ def test_ndcg_registered_row_plan_touches_no_corpus_text(
     assert "documents" not in plan
 
 
+def test_leg_agreement_hand_computed_tau(spark):
+    """Hand-verifiable Kendall tau: rankings A=(d1:1,d2:2,d3:3) and
+    B=(d1:2,d2:3,d3:1) share all 3 docs; pairs (d1,d2) concordant,
+    (d1,d3) and (d2,d3) discordant -> tau = (1-2)/3, scaled
+    floor(-333333.33) = -333334 (floor toward -inf in both engines)."""
+    from datawarehouse_project_spark.operators.retrieval_eval import (
+        leg_agreement,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id bigint, doc_id bigint, rnk bigint",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 3), (1, 30, 1)],
+        "query_id bigint, doc_id bigint, rnk bigint",
+    )
+    [r] = leg_agreement(a, b, k=5).collect()
+    assert (r.overlap_at_k, r.n_pairs, r.concordant, r.discordant) == (
+        3,
+        3,
+        1,
+        2,
+    )
+    assert r.tau_scaled == -333334
+
+    [same] = leg_agreement(a, a, k=5).collect()
+    assert same.tau_scaled == EVAL_SCALE  # identical rankings
+    assert same.discordant == 0
+
+
+def test_leg_agreement_on_planted_fixture(spark):
+    """On the planted corpus the legs genuinely disagree where designed:
+    q100's shared top-3 (two relevant docs + the tf-stacked distractor)
+    has 1 concordant / 2 discordant pairs -> tau = -1/3 scaled. A
+    single-doc overlap (q300, one vocab term) yields 0 pairs, tau 0."""
+    from datawarehouse_project_spark.operators.retrieval_eval import (
+        leg_agreement,
+    )
+    from datawarehouse_project_spark.operators.retrieval import (
+        lexical_topk_served,
+        tfidf_dot_topk_served,
+    )
+
+    counts, doclens, queries = _planted(spark)
+    rows = {
+        r.query_id: r
+        for r in leg_agreement(
+            lexical_topk_served(counts, doclens, queries, k=5),
+            tfidf_dot_topk_served(counts, doclens, queries, k=5),
+            k=5,
+        ).collect()
+    }
+    q100 = rows[100]
+    assert q100.overlap_at_k == 3
+    assert (q100.concordant, q100.discordant) == (1, 2)
+    assert q100.tau_scaled == -333334
+
+
 def test_registered_row_plan_touches_no_corpus_text(spark, sf_correct_dir):
     """The registered eval row serves every leg AND the qrels from the
     maintained postings state — zero `documents` scans in the executed
