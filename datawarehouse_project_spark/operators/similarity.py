@@ -732,6 +732,88 @@ def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+def ann_recall_vs_exact(
+    exact: DataFrame, approx: DataFrame
+) -> DataFrame:
+    """Recall@k of an approximate top-k against the exact brute-force
+    ground truth, per query: ``hits_at_k`` = |approx ∩ exact| on
+    (query_id, neighbor_id), ``n_exact`` = the ground-truth list size,
+    ``recall_at_k_scaled`` = floor(1e6 * hits / n_exact). Integer
+    counts -> bit-exact cross-engine. Both inputs are k-bounded per
+    query, so the join is over tiny frames regardless of corpus size."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits_at_k"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "hits_at_k",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("hits_at_k").cast("double")
+                / F.col("n_exact").cast("double")
+            )
+            .cast("bigint")
+            .alias("recall_at_k_scaled"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    """Lazy: composes the REGISTERED oracles of the exact and multiprobe
+    rows (one text each, so this row can never drift from what those
+    rows actually compute); WITH-in-subquery is valid in both engines."""
+    from ..plans.registry import REGISTRY, resolve_oracle
+
+    brute = resolve_oracle(REGISTRY["similarity_ann_cosine_topk"])
+    ivf = resolve_oracle(REGISTRY["similarity_ivf_multiprobe_topk"])
+    return f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits_at_k,
+       CAST(FLOOR(CAST(1000000 AS DOUBLE)
+            * CAST(COUNT(a.neighbor_id) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS recall_at_k_scaled
+FROM ({brute}) e
+LEFT JOIN ({ivf}) a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY 1
+"""
+
+
+@register(
+    "similarity_ann_recall_at_k",
+    # r19: the ANN-approximation quality measurement as a first-class
+    # row (previously only a pytest assertion) — recall@k of the
+    # production multi-probe IVF against the exact brute-force top-k,
+    # per query. Pytest-only (rotation candidate once proven).
+    oracle=_ann_recall_oracle,
+    driver_facing=False,
+)
+def similarity_ann_recall_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query recall@{TOP_K} of ``similarity_ivf_multiprobe_topk``
+    vs the exact ``similarity_ann_cosine_topk`` ground truth — reuses
+    the two registered builders, so the measurement can never drift
+    from the registered plans."""
+    from ..plans.registry import REGISTRY
+
+    return ann_recall_vs_exact(
+        REGISTRY["similarity_ann_cosine_topk"].build(spark, sf_dir),
+        REGISTRY["similarity_ivf_multiprobe_topk"].build(spark, sf_dir),
+    )
+
+
+# --------------------------------------------------------------------------
 def linear_score_expr(emb, weights: list[int]) -> F.Column:
     """Expression-path linear score: in-order fold dot(emb, w)."""
     warr = F.array(*[F.lit(w) for w in weights])

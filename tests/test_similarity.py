@@ -103,6 +103,29 @@ def test_ivf_multiprobe_recall_vs_single_probe(spark, sf_correct_dir):
     assert recall_multi >= recall_single, (recall_multi, recall_single)
     assert recall_multi >= 0.5, recall_multi
 
+    # The r19 registered row measures the same thing as a first-class
+    # query — its aggregate must agree with the set arithmetic above.
+    from datawarehouse_project_spark.operators.similarity import (
+        ann_recall_vs_exact,
+        similarity_ann_recall_at_k,
+    )
+
+    rows = similarity_ann_recall_at_k(spark, sf_correct_dir).collect()
+    assert sum(r.hits_at_k for r in rows) == len(multi & truth)
+    assert sum(r.n_exact for r in rows) == len(truth)
+    for r in rows:
+        assert 0 <= r.hits_at_k <= r.n_exact
+        assert 0 <= r.recall_at_k_scaled <= 1_000_000
+    # ...and the single-probe recall, measured through the SAME helper,
+    # cannot exceed the multi-probe row's (dominance as row arithmetic).
+    single_rows = ann_recall_vs_exact(
+        similarity_ann_cosine_topk(spark, sf_correct_dir),
+        similarity_ivf_topk(spark, sf_correct_dir),
+    ).collect()
+    assert sum(r.hits_at_k for r in single_rows) <= sum(
+        r.hits_at_k for r in rows
+    )
+
 
 def test_quadratic_baselines_refuse_large_input(spark, sf_dir, monkeypatch):
     """VERDICT r2 #3: the documented small-corpus-only contract on the
