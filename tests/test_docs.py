@@ -100,11 +100,17 @@ def test_performance_bench_prose_fresh():
     rec = json.load(open(f"/root/repo/BENCH_r{cited_round:02d}.json"))
     bench = rec["parsed"]
     if bench is None:
-        # r18 contingency: the round-18 artifact has parsed:null because
-        # bench.py's single JSON line overflowed the driver's tail-capture
-        # window (VERDICT r18 #1). The numbers are still in the captured
-        # tail — extract the cited scalar fields by regex so the prose can
-        # cite the newest round rather than freeze one round behind.
+        # r18 contingency, PINNED to that one artifact (VERDICT r19 #7):
+        # the round-18 artifact has parsed:null because bench.py's single
+        # JSON line overflowed the driver's tail-capture window (VERDICT
+        # r18 #1; fixed by the two-line envelope — BENCH_r19 onward parse).
+        # Any OTHER round with parsed:null is a fresh regression and must
+        # fail loudly here, not be silently re-parsed from the tail.
+        assert cited_round == 18, (
+            f"BENCH_r{cited_round:02d}.json has parsed:null — the tail "
+            "re-parse contingency is pinned to the known r18 artifact; a "
+            "parsed:null round after r18 is a bench-envelope regression"
+        )
         tail = rec.get("tail", "")
         bench = {
             k: float(v)
