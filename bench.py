@@ -289,6 +289,8 @@ def main() -> None:
         fr.count()
     cache_build = round(time.perf_counter() - t0, 3)
 
+    import statistics
+
     warm: dict[str, float] = {}
     warm_median: dict[str, float] = {}
     for name, build in builds.items():
@@ -299,12 +301,12 @@ def main() -> None:
             _noop(df)
             reps.append(time.perf_counter() - t0)
         warm[name] = round(min(reps), 3)
-        warm_median[name] = round(sorted(reps)[len(reps) // 2], 3)
+        # statistics.median, not an index pick: the upper-middle element
+        # only equals the median for odd N_WARM_RUNS (ADVICE r19 #3).
+        warm_median[name] = round(statistics.median(reps), 3)
 
     # same-session DuckDB control (r18, VERDICT r17 #2) — runs after
     # every timed Spark sweep so warm/cold are untouched; see docstring.
-    import statistics
-
     import duckdb
 
     from datawarehouse_project_spark.catalog import all_oracle_sql

