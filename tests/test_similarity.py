@@ -178,6 +178,45 @@ def test_funnel_and_quantized_recall_rows(spark, sf_correct_dir):
     assert funnel_hits / len(truth) >= 0.5, funnel_hits / len(truth)
 
 
+def test_funnel_mrr_vs_exact_row(spark, sf_correct_dir):
+    """r20: the rank-sensitive ANN quality row. Per query: rr_scaled is
+    1e6 exactly when the funnel's rank-1 doc IS the exact top-1 (the
+    funnel re-ranks survivors by exact cosine, so whenever the true
+    top-1 survives the prefilter it lands at rank 1); 0 exactly when
+    the exact top-1 is absent from the funnel's list; and the row's
+    values agree with floor-arithmetic over the two registered
+    builders' outputs."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    q = all_queries()
+    exact_top1 = {
+        r.query_id: r.neighbor_id
+        for r in q["similarity_ann_cosine_topk"](spark, sf_correct_dir)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    funnel_rank = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in q["similarity_ivf_binary_funnel_topk"](
+            spark, sf_correct_dir
+        ).collect()
+    }
+    rows = q["similarity_funnel_mrr_vs_exact"](spark, sf_correct_dir).collect()
+    assert {r.query_id for r in rows} == set(exact_top1)
+    import math
+
+    for r in rows:
+        want_rank = funnel_rank.get((r.query_id, exact_top1[r.query_id]), 0)
+        assert r.top1_rank_in_approx == want_rank
+        expect = math.floor(1_000_000.0 / want_rank) if want_rank else 0
+        assert r.rr_scaled == expect
+        if want_rank == 1:
+            assert r.rr_scaled == 1_000_000
+    # The funnel should surface the true best neighbor for most queries
+    # on the fixture — an aggregate floor so quality regressions trip.
+    assert sum(r.rr_scaled for r in rows) >= 500_000 * len(rows)
+
+
 def test_quadratic_baselines_refuse_large_input(spark, sf_dir, monkeypatch):
     """VERDICT r2 #3: the documented small-corpus-only contract on the
     O(N^2) ground-truth baselines must be executable — they refuse inputs
