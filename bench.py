@@ -75,12 +75,12 @@ from pyspark.sql import Window as W  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from datawarehouse_project_spark.catalog import headline_queries  # noqa: E402
-from datawarehouse_project_spark.io import table  # noqa: E402
+from datawarehouse_project_spark.io import pin_table, spread, table  # noqa: E402
 from datawarehouse_project_spark.operators.dedup import (  # noqa: E402
     doc_shingle_frame,
     signature_frame,
 )
-from datawarehouse_project_spark.plans.star import fact  # noqa: E402
+from datawarehouse_project_spark.plans.star import fact, pin_fact  # noqa: E402
 from datawarehouse_project_spark.session import get_spark  # noqa: E402
 
 N_WARM_RUNS = 3
@@ -278,15 +278,32 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
+    # Cache LAYOUT (r21, guide §2 "input skew"/§6): the sf0.1 tables are
+    # single-row-group parquet files, so the fact frame arrives as ≤3
+    # partitions and events as 1 — every warm map stage then ran on ≤3 of
+    # the N cores. Spread the two under-partitioned shared frames across
+    # defaultParallelism (core-count-adaptive: the driver's lower-core
+    # re-run spreads to ITS core count; at real scale scans split
+    # naturally and a warehouse materializes hot tables well-partitioned)
+    # before caching, and pin the spread handles into the engine memos so
+    # every query's fact()/table() plan IS the cached plan (Spark cache
+    # substitution matches by logical plan — caching a repartitioned copy
+    # without re-pointing the handle would never hit). The repartition
+    # cost lands here, in cache_build_sec, as always. Measured r21
+    # (interleaved best-of-N, sf0.1): q03 agg 0.642→0.231 s, q05 agg
+    # 0.611→0.243 s; full headline warm sweep −33%. What is timed and how
+    # is UNCHANGED — same queries, same plan-once best-of-3 noop protocol.
     shared = [
-        fact(spark, sf_dir),
+        spread(spark, fact(spark, sf_dir)),
         signature_frame(spark, sf_dir),
         doc_shingle_frame(spark, sf_dir),
-        table(spark, sf_dir, "events"),
+        spread(spark, table(spark, sf_dir, "events")),
     ]
     for fr in shared:
         fr.cache()
         fr.count()
+    pin_fact(spark, sf_dir, shared[0])
+    pin_table(spark, sf_dir, "events", shared[3])
     cache_build = round(time.perf_counter() - t0, 3)
 
     import statistics
@@ -359,7 +376,11 @@ def main() -> None:
                 "methodology": (
                     "cold: single-shot, plan+exec in timer, no shared caches. "
                     "warm (=value): shared fact/signature/shingle/events "
-                    "frames cached (cost disclosed in cache_build_sec), plan "
+                    "frames cached, the fact/events layouts spread across "
+                    "defaultParallelism before caching (r21 — the single-"
+                    "row-group inputs otherwise pin warm map stages to <=3 "
+                    "cores; spread+cache cost disclosed in cache_build_sec), "
+                    "plan "
                     f"built once, best-of-{N_WARM_RUNS} exec into noop sink. "
                     "duck control: same-session DuckDB over the same "
                     "queries' oracles, 1 untimed warm pass then median of "

@@ -182,6 +182,27 @@ class ServingMemo:
             self.retired.clear()
 
 
+def pin_table(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame
+) -> DataFrame:
+    """Override :func:`table`'s memoized handle for ``(sf_dir, name)``
+    with ``df`` — the table-level analog of
+    ``sources.catalog_ddl.use_materialized_fact``'s fact pin. The entry
+    carries the source path's current mtime token, so it follows the
+    normal lifecycle: :func:`refresh_table` drops it and an overwritten
+    local source re-resolves past it. Use case (bench.py r21): cache a
+    better-partitioned layout of a hot table and have every builder's
+    ``table()`` plan BE the cached plan (Spark cache substitution matches
+    by logical plan, so caching a repartitioned copy without re-pointing
+    the handle would never hit)."""
+    cache = getattr(spark, "_dw_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dw_table_cache = cache
+    cache[(sf_dir, name)] = (source_mtime_ns(sf_dir, name), df)
+    return df
+
+
 def refresh_table(
     spark: SparkSession, sf_dir: str | None = None, name: str | None = None
 ) -> None:

@@ -92,6 +92,21 @@ def fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def pin_fact(spark: SparkSession, sf_dir: str, df: DataFrame) -> DataFrame:
+    """Pin ``df`` as the fact handle for ``sf_dir`` — a bare-frame memo
+    entry with ``use_materialized_fact`` semantics (survives the mtime
+    guard and ``refresh_table``; cleared only by its owner, via
+    ``spark._dw_fact_cache.pop(sf_dir)``). Use case (bench.py r21): cache
+    a spread (well-partitioned) layout of the enriched fact and have
+    every OLAP builder's ``fact()`` plan BE the cached plan."""
+    cache = getattr(spark, "_dw_fact_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dw_fact_cache = cache
+    cache[sf_dir] = df
+    return df
+
+
 def fact_from(
     li: DataFrame,
     orders: DataFrame,
