@@ -187,7 +187,19 @@ def _materialize(df: DataFrame) -> DataFrame:
     frames are the per-(query, doc) AGGREGATE of the pushed probe (far
     smaller than the matched posting rows, and term-capped by the
     ``_probe_terms`` contract) — executor-local storage of a bounded
-    frame in exchange for halving the probe work, at any corpus size."""
+    frame in exchange for halving the probe work, at any corpus size.
+
+    Cluster caveat (ADVICE r20 #3): ``localCheckpoint`` is a
+    NON-RELIABLE checkpoint — the stored partitions live only on the
+    executors that computed them, with the lineage truncated. On a real
+    cluster, executor loss or dynamic-allocation decommissioning makes
+    them unrecoverable and the consuming query fails (it cannot
+    recompute). That is an acceptable trade for these bounded,
+    seconds-to-rebuild eval frames (re-run the query); a deployment
+    that must survive executor churn mid-query should use
+    ``spark.sparkContext.setCheckpointDir(...)`` + ``checkpoint()`` (or
+    persist to a reliable store) instead — same plan shape, higher
+    write cost."""
     return df.localCheckpoint(eager=True)
 
 
@@ -206,8 +218,17 @@ def _materialize_many(*dfs: DataFrame) -> list[DataFrame]:
         return [_materialize(dfs[0])]
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
+    # inheritable_thread_target (ADVICE r20 #2): under PySpark's pinned
+    # thread mode, plain pool threads do NOT inherit the parent thread's
+    # JVM-local properties — job group/description, scheduler pool — so
+    # the checkpoint jobs would escape any cancellation group or FAIR
+    # pool the harness set. The wrapper captures the parent's properties
+    # at wrap time and applies them in the worker thread.
+    target = inheritable_thread_target(_materialize)
     with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
-        return list(pool.map(_materialize, dfs))
+        return list(pool.map(target, dfs))
 
 
 def _lists_and(

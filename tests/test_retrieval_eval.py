@@ -253,6 +253,44 @@ def test_registered_row_plan_touches_no_corpus_text(spark, sf_correct_dir):
     assert "documents" not in plan
 
 
+def test_pre_checkpoint_probes_touch_no_corpus_text(spark, sf_correct_dir):
+    """ADVICE r20 #1: the two pins above inspect the FINAL plans, which
+    after `_materialize` are ExistingRDD-only — a `documents` scan
+    regressing into a PROBE would execute at build time, invisible to
+    them. Pin the probes themselves: build the exact pre-checkpoint
+    frames the registered rows materialize (both served legs, the
+    binary qrels, the graded gains) and assert each one's executed plan
+    reads ONLY the maintained store (parquet scans of the postings
+    state are expected; any `documents` reference is the regression)."""
+    from datawarehouse_project_spark.operators.retrieval import (
+        LEXICAL_QUERIES,
+        lexical_topk_served,
+        served_postings,
+        tfidf_dot_topk_served,
+    )
+    from datawarehouse_project_spark.operators.retrieval_eval import (
+        LEXICAL_K,
+        graded_qrels_from_postings,
+    )
+
+    store = served_postings(spark, sf_correct_dir)
+    counts = store.counts(spark)
+    doclens = store.doclens(spark)
+    q = spark.createDataFrame(
+        LEXICAL_QUERIES, "query_id bigint, qtext string"
+    )
+    probes = {
+        "lexical_leg": lexical_topk_served(counts, doclens, q, k=LEXICAL_K),
+        "tfidf_leg": tfidf_dot_topk_served(counts, doclens, q, k=LEXICAL_K),
+        "qrels": qrels_from_postings(counts, q),
+        "gains": graded_qrels_from_postings(counts, q),
+    }
+    for name, df in probes.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "documents" not in plan, name
+        assert "Scan parquet" in plan, name  # reads the store, not RDDs
+
+
 def test_eval_rows_execute_each_probe_once(spark, sf_correct_dir):
     """One-execution-per-leg pin (VERDICT r19 #1): before r20 each
     served leg executed once as its union branch and AGAIN inside the
