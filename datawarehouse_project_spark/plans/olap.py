@@ -531,19 +531,36 @@ FROM half hs JOIN yearly ys ON hs.product_name = ys.product_name
 """,
 )
 def q08_halfyearly_vs_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = fact(spark, sf_dir)
-    half = f.groupBy(
+    # ONE fact pass (r21, guide §1.2 "don't compute things twice"): the
+    # reference shape aggregates the fact in two CTEs and joins them —
+    # Spark shares no subplans, so the enriched fact (scan + 4 joins)
+    # executed TWICE per run. The yearly totals are exactly the re-sum
+    # of the half-year partials (every fact row lands in exactly one
+    # half; decimal sums re-aggregate losslessly), so derive `yearly`
+    # FROM the half aggregate and keep the reference's agg⨝agg join
+    # (J5) over the two frames. The half aggregate is product-cardinality
+    # sized — materialize it once (the lift_rules/eval-rows pattern) so
+    # the join's two sides read one execution instead of re-running the
+    # fact agg per branch. Values are bit-identical to the two-pass
+    # form (equality re-proven against the unchanged oracle).
+    half_dec = fact(spark, sf_dir).groupBy(
         "product_name",
         F.when(F.month("order_date").between(1, 6), "H1")
         .otherwise("H2")
         .alias("sales_half"),
     ).agg(
-        F.sum("sale").cast("double").alias("total_revenue"),
-        F.sum("quantity").cast("double").alias("total_quantity"),
+        F.sum("sale").alias("_rev"),
+        F.sum("quantity").alias("_qty"),
+    ).localCheckpoint(eager=False)
+    half = half_dec.select(
+        "product_name",
+        "sales_half",
+        F.col("_rev").cast("double").alias("total_revenue"),
+        F.col("_qty").cast("double").alias("total_quantity"),
     )
-    yearly = f.groupBy("product_name").agg(
-        F.sum("sale").cast("double").alias("total_yearly_revenue"),
-        F.sum("quantity").cast("double").alias("total_yearly_quantity"),
+    yearly = half_dec.groupBy("product_name").agg(
+        F.sum("_rev").cast("double").alias("total_yearly_revenue"),
+        F.sum("_qty").cast("double").alias("total_yearly_quantity"),
     )
     return half.join(yearly, "product_name").select(
         "product_name",
