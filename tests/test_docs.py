@@ -70,6 +70,7 @@ def test_performance_bench_prose_fresh():
     bench prose — this makes it a CI failure)."""
     import glob
     import json
+    import os
 
     text = open("/root/repo/PERFORMANCE.md").read()
     m = re.search(
@@ -87,11 +88,16 @@ def test_performance_bench_prose_fresh():
     assert m.start() < len(head), "latest-bench sentence not in the summary"
     cited_round = int(m.group(1))
 
-    bench_files = sorted(glob.glob("/root/repo/BENCH_r*.json"))
-    assert bench_files, "no BENCH_r*.json recorded"
-    newest_round = max(
-        int(re.search(r"BENCH_r(\d+)\.json", f).group(1)) for f in bench_files
-    )
+    # fullmatch-on-basename, skipping driver side-artifacts like
+    # BENCH_r21_c8.json (the r21 low-core re-run) that the old
+    # .group(1)-on-None pattern crashed on (inherited-state fix, r22)
+    rounds = [
+        int(bm.group(1))
+        for f in sorted(glob.glob("/root/repo/BENCH_r*.json"))
+        if (bm := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(f)))
+    ]
+    assert rounds, "no BENCH_r*.json recorded"
+    newest_round = max(rounds)
     assert cited_round >= newest_round - 1, (
         f"PERFORMANCE.md cites round {cited_round} but BENCH_r{newest_round:02d}"
         ".json exists — update the prose"
