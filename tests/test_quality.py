@@ -45,6 +45,54 @@ def test_dq_audit_empty_table_reports_zero(spark):
     assert all(v == 0 and v is not None for v in rows.values())
 
 
+def test_dq_audit_extra_aggs_share_the_pass(spark):
+    """r22 scan fusion: table-level aggregates (duplicate-key counts)
+    ride the same aggregation pass as the row rules and unpivot into the
+    same (rule, n_violations) report — value-identical to the standalone
+    dq_duplicates expression they replace."""
+    import pytest
+
+    df = _batch(spark).unionAll(_batch(spark).filter(F.col("id") == 1))
+    rows = {
+        r["rule"]: r["n_violations"]
+        for r in dq_audit(
+            df,
+            {"nonpositive_qty": F.col("qty") <= 0},
+            extra_aggs={
+                "dup_ids": (F.count("*") - F.countDistinct("id")).cast("bigint")
+            },
+        ).collect()
+    }
+    assert rows == {"nonpositive_qty": 2, "dup_ids": 1}
+    # name collisions across the two maps are a caller bug, not a merge
+    with pytest.raises(ValueError, match="duplicated"):
+        dq_audit(
+            df,
+            {"x": F.col("qty") <= 0},
+            extra_aggs={"x": F.count("*").cast("bigint")},
+        )
+
+
+def test_dq_audit_registered_row_fused_plan_shape(spark, sf_dir):
+    """The registered dq_audit_orders_lineitem plan reads each parquet
+    table at most twice after the r22 fusion (orders: fused agg + the
+    distinct keys build side; lineitem: once) — 3 scans total, down from
+    5. Regression guard for the scan fusion."""
+    from datawarehouse_project_spark.catalog import all_queries
+
+    df = all_queries()["dq_audit_orders_lineitem"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    scans = re.findall(
+        r"Location: InMemoryFileIndex \[[^\]]*/(\w+)\.parquet\]", plan
+    )
+    counts = {t: scans.count(t) for t in set(scans)}
+    assert counts == {"orders": 2, "lineitem": 1}, counts
+
+
 def test_dq_split_tags_every_broken_rule(spark):
     checks = _checks()
     clean, dirty = dq_split(_batch(spark), checks)
