@@ -447,35 +447,68 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly after their previous step's — the sequential-semantics
     funnel, not three independent counts.
 
-    Scale shape: three user-keyed aggregations + two user-keyed equi
-    joins, all sharing one hash partitioning (co-partitioned shuffles,
-    partial aggs collapse map-side); per-user state is two timestamps,
-    never the event list. No window over the full event stream."""
+    Scale shape (r22, guide §1.2/§2.4 — one pass instead of six): the
+    reference CTE chain (v, c-joins-v, p-joins-c, three scalar counts)
+    shares no subplans in Spark, so it executed SIX events scans, two
+    equi-joins and five aggregations per run. The sequential mins are
+    instead computed as three chained unordered windows over ONE
+    user_id partitioning — t1 = min(view ts), t2 = min(click ts > t1),
+    t3 = min(purchase ts > t2); each window sees the previous one's
+    column, so one Exchange+Sort serves all three — followed by a
+    per-user reduce (free: same partitioning) and the single-row
+    conditional count. Plan: 1 events scan, 1 user-keyed exchange,
+    0 joins (before: 6 scans, 5 exchanges + 2 broadcasts). Per-user
+    window state is the partition's qualifying event rows (bounded by
+    per-user activity), never a collected list.
+
+    Value-identity with the CTE form: every user lands in exactly one
+    window partition; min-over-when reproduces each CTE's MIN(ts) with
+    its join predicate as the when-guard (NULL-safe: no view => t1
+    NULL => t2's guard false, exactly the join's absence). The explicit
+    user_id IS NOT NULL guards on t2/t3 reproduce the equi-join's
+    null-key drop while n_viewed keeps counting the NULL-user group,
+    exactly as the reference's GROUP BY does."""
     prepare(spark)
     ev = table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = Window.partitionBy("user_id")
+    is_click = (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    is_buy = (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    staged = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(is_click & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(is_buy & (F.col("ts") > F.col("t2")), F.col("ts"))
+            ).over(w),
+        )
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),  # constant within the partition
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        v.agg(F.count("*").alias("n_viewed"))
-        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    return per_user.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col(c).isNotNull(), 1)), F.lit(0))
+            .cast("bigint")
+            .alias(name)
+            for c, name in [
+                ("t1", "n_viewed"),
+                ("t2", "n_clicked_after_view"),
+                ("t3", "n_purchased_after_click"),
+            ]
+        ]
     )
 
 

@@ -112,6 +112,7 @@ def test_ivf_multiprobe_is_cluster_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+@pytest.mark.slow  # builds EVERY catalog entry (~175 s) — slow lane
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """No registered query may plan an unintended cartesian product
     (the ANN brute force is an intended broadcast nested loop)."""
@@ -243,13 +244,30 @@ def test_fullouter_recon_preaggregates_before_join(spark, sf_dir):
     assert p.count("HashAggregate") >= 4  # partial+final per side
 
 
-def test_funnel_is_copartitioned_aggs_no_event_window(spark, sf_dir):
-    """The funnel must stay user-keyed aggregations + equi joins — no
-    window over the raw event stream, no cartesian over events (the
-    final 1-row combine is an intended broadcast of aggregates)."""
-    p = plan_of(all_queries()["events_funnel_conversion"](spark, sf_dir))
-    assert "Window" not in p
-    assert p.count("HashAggregate") >= 6  # partial+final x three steps
+def test_funnel_is_one_pass_chained_windows(spark, sf_dir):
+    """r22 shape: the funnel is ONE events scan through three chained
+    unordered windows on a single user_id exchange, then a per-user
+    reduce that rides the same partitioning — no joins at all (the old
+    6-scan CTE shape re-read events per step). The pushed In filter on
+    event_type keeps non-funnel events out of the shuffle."""
+    df = all_queries()["events_funnel_conversion"](spark, sf_dir)
+    p = plan_of(df)
+    assert p.count("Window") == 3
+    for join in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert join not in p
+    # one user_id exchange + the final single-row combine
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    fmt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert fmt.count("Scan parquet") // 2 == 1  # tree + detail section
+    assert "In(event_type" in fmt
 
 
 def test_retention_partial_aggregates(spark, sf_dir):
