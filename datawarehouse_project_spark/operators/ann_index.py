@@ -47,6 +47,7 @@ from .similarity import (
     BINARY_CANDIDATE_K,
     TOP_K,
     _dot,
+    _int_dot,
     _ivf_cluster_expr,
     _ivf_probes_expr,
     _norm,
@@ -419,15 +420,17 @@ class IvfVectorIndex:
         qe = queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
         )
         ce = embeddings.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_emb"),
+            _norm(F.col("embedding")).alias("c_nrm"),
         )
         scored = cand.join(F.broadcast(qe), "query_id").join(ce, "neighbor_id")
         cos = (
             _dot(F.col("q_emb"), F.col("c_emb"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+            / (F.col("q_nrm") * F.col("c_nrm"))
         ).alias("cosine")
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), "neighbor_id"
@@ -468,11 +471,7 @@ class IvfVectorIndex:
         if exclude_self:
             cond = cond & (F.col("vec_id") != F.col("query_id"))
         pairs = index.join(F.broadcast(qp), cond)
-        qdot = F.aggregate(
-            F.zip_with("q_qvec", "qvec", lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+        qdot = _int_dot("q_qvec", "qvec")
         scored = pairs.withColumn("qdot", qdot).select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -566,15 +565,17 @@ class IvfVectorIndex:
         qe = queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
         )
         ce = embeddings.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_emb"),
+            _norm(F.col("embedding")).alias("c_nrm"),
         )
         scored = cand.join(F.broadcast(qe), "query_id").join(ce, "neighbor_id")
         cos = (
             _dot(F.col("q_emb"), F.col("c_emb"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+            / (F.col("q_nrm") * F.col("c_nrm"))
         ).alias("cosine")
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), "neighbor_id"

@@ -77,6 +77,24 @@ BAND_BITS = 2
 ND_PLANES = _hyperplanes(N_BANDS * BAND_BITS)
 
 
+# Vector kernels — MEASURED r22 negative result, pinned here so it is
+# not retried: unrolling these DIM=64 folds into explicit left-assoc
+# scalar chains (to escape the interpreted higher-order-lambda path) is
+# value-identical but SLOWER, twice over. (1) Sites that stack 8-16
+# folds in one projection (hyperplane sign bits, centroid distances)
+# blow Janino's 64 KB method limit — ERROR CodeGenerator, whole stage
+# falls back to interpreted. (2) Even a SINGLE 64-term chain that
+# compiles fine exceeds HotSpot's JIT-able method size (~8 K bytecode,
+# -XX:DontCompileHugeMethods), so the generated consume loop for the
+# whole pipeline runs as INTERPRETED BYTECODE: interleaved A/B at
+# sf0.1 measured near_dup 6.46->13.07 s and ann_cosine 0.31->0.72 s
+# with the unrolled kernels. The HOF fold's per-element lambda is the
+# faster evaluation for wide fixed arrays because its loop body stays
+# small and JITs. What DID survive from that experiment: per-SIDE norm
+# precompute below every pair join (n norms instead of n^2/4 x 2 —
+# the q_nrm/c_nrm columns at each call site).
+
+
 def _norm(emb) -> F.Column:
     return F.sqrt(
         F.aggregate(
@@ -95,16 +113,23 @@ def _dot(a, b) -> F.Column:
     )
 
 
+def _dot_lit(emb, weights) -> F.Column:
+    """Fold dot of ``emb`` against a Python weights literal — the single
+    Spark-side source for every hyperplane sign bit (the twin of
+    ``_duck_dot_lit``; see the kernel-unrolling negative result above)."""
+    warr = F.array(*[F.lit(w) for w in weights])
+    return F.aggregate(
+        F.zip_with(emb, warr, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _bucket_expr(emb) -> F.Column:
     """8 hyperplane sign bits packed into a BIGINT bucket id."""
     total = F.lit(0)
     for j, weights in enumerate(HYPERPLANES):
-        warr = F.array(*[F.lit(w) for w in weights])
-        dot = F.aggregate(
-            F.zip_with(emb, warr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = _dot_lit(emb, weights)
         total = total + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return total.cast("bigint")
 
@@ -170,17 +195,21 @@ def similarity_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     cos = (
         _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        / (F.col("q_nrm") * F.col("c_nrm"))
     ).alias("cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -247,11 +276,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
     c = b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
         "bucket",
     )
     pairs = c.join(
@@ -261,7 +292,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = (
         _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        / (F.col("q_nrm") * F.col("c_nrm"))
     ).alias("cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -476,6 +507,8 @@ def _ivf_dist_structs(emb, centroids=None) -> list[F.Column]:
     (``IvfVectorIndex.build``) is passed explicitly."""
     pairs = []
     for cid, cent in enumerate(centroids if centroids is not None else ivf_centroids()):
+        # K_IVF folds stack in one projection — HOF form on purpose,
+        # see _dot_lit's 64 KB-codegen note.
         carr = F.array(*[F.lit(v) for v in cent])
         d = F.aggregate(
             F.zip_with(
@@ -623,11 +656,13 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
         F.col("cluster_id").alias("q_cluster"),
     )
     c = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
         "cluster_id",
     )
     pairs = c.join(
@@ -637,7 +672,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = (
         _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        / (F.col("q_nrm") * F.col("c_nrm"))
     ).alias("cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -706,12 +741,14 @@ def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
             F.explode(_ivf_probes_expr(F.col("embedding"))).alias("probe"),
         )
     )
     c = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
         "cluster_id",
     )
     pairs = c.join(
@@ -721,7 +758,7 @@ def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
     )
     cos = (
         _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        / (F.col("q_nrm") * F.col("c_nrm"))
     ).alias("cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -1050,12 +1087,20 @@ def similarity_cosine_pairs(
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
     if not allow_large:
         require_small(emb, BASELINE_ROW_LIMIT, "similarity_cosine_pairs")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        _norm(F.col("embedding")).alias("a_nrm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        _norm(F.col("embedding")).alias("b_nrm"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = (
         _dot(F.col("a_emb"), F.col("b_emb"))
-        / (_norm(F.col("a_emb")) * _norm(F.col("b_emb")))
+        / (F.col("a_nrm") * F.col("b_nrm"))
     ).alias("cosine")
     return pairs.select("vec_a", "vec_b", cos).filter(F.col("cosine") >= 0.45)
 
@@ -1065,13 +1110,7 @@ def _band_key_expr(emb, band: int) -> F.Column:
     """BAND_BITS sign bits of band ``band`` packed into one INT."""
     total = F.lit(0)
     for b in range(BAND_BITS):
-        weights = ND_PLANES[band * BAND_BITS + b]
-        warr = F.array(*[F.lit(w) for w in weights])
-        dot = F.aggregate(
-            F.zip_with(emb, warr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = _dot_lit(emb, ND_PLANES[band * BAND_BITS + b])
         total = total + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return total
 
@@ -1159,11 +1198,27 @@ def similarity_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    # Per-VECTOR norms, computed below the join (r22, guide §1.2 "don't
+    # compute things twice"): the old projection evaluated _norm twice
+    # per candidate PAIR (~4M pairs at sf0.1) — Catalyst does not factor
+    # per-side subexpressions below a join on its own. Moving the norm
+    # into each side's select evaluates it once per vector (n rows, not
+    # n^2/4): the norm value for a given embedding is the identical
+    # expression on identical input, and the cosine keeps the exact
+    # operand order dot / (na * nb), so results are bit-identical.
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        _norm(F.col("embedding")).alias("a_nrm"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        _norm(F.col("embedding")).alias("b_nrm"),
+    )
     cos = (
         _dot(F.col("a_emb"), F.col("b_emb"))
-        / (_norm(F.col("a_emb")) * _norm(F.col("b_emb")))
+        / (F.col("a_nrm") * F.col("b_nrm"))
     ).alias("cosine")
     return (
         cand.join(ea, "vec_a")
@@ -1278,13 +1333,7 @@ def _band_key_expr_wide(emb, band: int) -> F.Column:
     """HI_BAND_BITS sign bits of wide band ``band`` packed into one INT."""
     total = F.lit(0)
     for b in range(HI_BAND_BITS):
-        weights = HI_PLANES[band * HI_BAND_BITS + b]
-        warr = F.array(*[F.lit(w) for w in weights])
-        dot = F.aggregate(
-            F.zip_with(emb, warr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = _dot_lit(emb, HI_PLANES[band * HI_BAND_BITS + b])
         total = total + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return total
 
@@ -1332,11 +1381,19 @@ def near_dup_pairs_scaled(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        _norm(F.col("embedding")).alias("a_nrm"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        _norm(F.col("embedding")).alias("b_nrm"),
+    )
     cos = (
         _dot(F.col("a_emb"), F.col("b_emb"))
-        / (_norm(F.col("a_emb")) * _norm(F.col("b_emb")))
+        / (F.col("a_nrm") * F.col("b_nrm"))
     ).alias("cosine")
     return (
         cand.join(ea, "vec_a")
@@ -1398,6 +1455,21 @@ q8 AS (
     FROM qbase
 )
 """
+
+
+def _int_dot(a, b) -> F.Column:
+    """Integer dot of two int8-quantized BIGINT vectors (left fold from
+    a BIGINT zero; shared by the quantized operators and ann_index —
+    kept as the HOF fold, see the kernel-unrolling negative result)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _qdot_expr() -> F.Column:
+    return _int_dot("q_qvec", "c_qvec")
 
 
 def _q8_frame(emb: DataFrame) -> DataFrame:
@@ -1465,11 +1537,7 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    qdot = F.aggregate(
-        F.zip_with("q_qvec", "c_qvec", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    qdot = _qdot_expr()
     # one multiply chain, same association as the oracle: (qdot*q_scale)*c_scale
     scored = pairs.withColumn("qdot", qdot).select(
         "query_id",
@@ -1568,11 +1636,7 @@ def similarity_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("cluster_id") == F.col("probe"))
         & (F.col("neighbor_id") != F.col("query_id")),
     )
-    qdot = F.aggregate(
-        F.zip_with("q_qvec", "c_qvec", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    qdot = _qdot_expr()
     scored = pairs.withColumn("qdot", qdot).select(
         "query_id",
         "neighbor_id",
@@ -1798,15 +1862,19 @@ def similarity_binary_rerank_inline(spark: SparkSession, sf_dir: str) -> DataFra
         .select("query_id", "neighbor_id")
     )
     qe = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     ce = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
     )
     scored = cand.join(F.broadcast(qe), "query_id").join(ce, "neighbor_id")
     cos = (
         _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        / (F.col("q_nrm") * F.col("c_nrm"))
     ).alias("cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
