@@ -257,7 +257,13 @@ def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("keep_permille"),
-    )
+        # lazy localCheckpoint (the q08 pattern, r22): `rates` feeds BOTH
+        # the kept-filter broadcast and the final census join — without
+        # it each consumer re-runs the full lang-counting pass (3
+        # documents scans per run; 2 after). Language-cardinality frame:
+        # seconds to rebuild, so the non-reliable-checkpoint trade (and
+        # the freshness/accrual caveats documented at q08) apply safely.
+    ).localCheckpoint(eager=False)
     h = portable_hash(F.concat(F.lit(_TEMP_SALT), F.col("doc_id").cast("string")))
     kept = (
         docs.select("lang", "doc_id")
@@ -269,7 +275,10 @@ def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_kept_id"),
         F.max("doc_id").alias("max_kept_id"),
     )
-    return rates.join(census, "lang", "left").select(
+    # explicit broadcast: the checkpointed `rates` leaf carries no size
+    # stats, so the planner would otherwise fall back to a sort-merge
+    # join for this lang-cardinality (~5-row) combine
+    return rates.join(F.broadcast(census), "lang", "left").select(
         "lang",
         "n_total",
         "keep_permille",
