@@ -75,7 +75,12 @@ from pyspark.sql import Window as W  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from datawarehouse_project_spark.catalog import headline_queries  # noqa: E402
-from datawarehouse_project_spark.io import pin_table, spread, table  # noqa: E402
+from datawarehouse_project_spark.io import (  # noqa: E402
+    pin_table,
+    sf_from_dir,
+    spread,
+    table,
+)
 from datawarehouse_project_spark.operators.dedup import (  # noqa: E402
     doc_shingle_frame,
     signature_frame,
@@ -92,7 +97,7 @@ def _noop(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
+    sf = sf_from_dir(sf_dir)
     shuffle_partitions = 8 if 0 < sf <= 0.2 else 32
     spark = get_spark("dwspark-bench", shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
@@ -293,11 +298,22 @@ def main() -> None:
     # (interleaved best-of-N, sf0.1): q03 agg 0.642→0.231 s, q05 agg
     # 0.611→0.243 s; full headline warm sweep −33%. What is timed and how
     # is UNCHANGED — same queries, same plan-once best-of-3 noop protocol.
+    # Size-aware spread width (r22, VERDICT r21 #1, guide §2.2): cap the
+    # spread at ceil(rows / SPREAD_TARGET_ROWS) so the cached layouts of
+    # these SMALL frames are not fanned into more tasks than their
+    # compute amortizes — the r21 defaultParallelism width made every
+    # 32-core warm fact-agg run 32-task waves over ~600k rows, slower
+    # than the same queries at 8 cores (driver's own c8/c32 pair). Row
+    # counts are metadata-only parquet count-stars (fact row count ==
+    # lineitem's by construction — inner joins on intact FKs, validated
+    # in tests); their cost lands here in cache_build_sec as always.
+    n_fact = table(spark, sf_dir, "lineitem").count()
+    n_events = table(spark, sf_dir, "events").count()
     shared = [
-        spread(spark, fact(spark, sf_dir)),
+        spread(spark, fact(spark, sf_dir), n_rows=n_fact),
         signature_frame(spark, sf_dir),
         doc_shingle_frame(spark, sf_dir),
-        spread(spark, table(spark, sf_dir, "events")),
+        spread(spark, table(spark, sf_dir, "events"), n_rows=n_events),
     ]
     for fr in shared:
         fr.cache()
@@ -321,6 +337,14 @@ def main() -> None:
         # statistics.median, not an index pick: the upper-middle element
         # only equals the median for odd N_WARM_RUNS (ADVICE r19 #3).
         warm_median[name] = round(statistics.median(reps), 3)
+
+    # Warm sweep done: clear the bench's pinned handles (ADVICE r21 —
+    # pin_fact/pin_table survive refresh_table by contract, so the bench
+    # drops them explicitly the moment the last warm measurement is in;
+    # nothing below reads the tables through Spark, but a future edit
+    # that does must not silently see the spread/cached layout).
+    getattr(spark, "_dw_fact_cache", {}).pop(sf_dir, None)
+    getattr(spark, "_dw_table_cache", {}).pop((sf_dir, "events"), None)
 
     # same-session DuckDB control (r18, VERDICT r17 #2) — runs after
     # every timed Spark sweep so warm/cold are untouched; see docstring.
@@ -361,6 +385,27 @@ def main() -> None:
         sum(warm_median[n] for n in duck_names) / max(duck_total, 1e-9), 2
     )
 
+    # Floor / scale-rep subtotals (r22, VERDICT r20 #4 / r21 #4): a row
+    # whose in-run DuckDB control finishes under FLOOR_DUCK_SEC does
+    # near-zero work at this SF — its Spark time is almost entirely the
+    # fixed stage-dispatch floor, which box drift scales directly.
+    # Splitting the headline total lets round-over-round comparisons
+    # quote the scale-representative subtotal, where engine changes
+    # actually show. Classification is from THIS run's control (self-
+    # adjusting, machine-checked); the chosen floor set is disclosed in
+    # the detail line. No-oracle rows count as scale-rep. ADDITIVE keys
+    # only — the driver contract (metric/value/unit/queries/sf) is
+    # untouched and value == value_warm_floor + value_warm_scalerep
+    # (up to rounding).
+    FLOOR_DUCK_SEC = 0.1
+    floor_names = sorted(
+        n for n in warm if n in duck and duck[n] < FLOOR_DUCK_SEC
+    )
+    warm_floor = round(sum(warm[n] for n in floor_names), 3)
+    warm_scalerep = round(
+        sum(v for n, v in warm.items() if n not in floor_names), 3
+    )
+
     # Two stdout lines (VERDICT r18 #1): the driver's tail capture is a
     # fixed window, and r18's single fat line overflowed it (BENCH_r18
     # "parsed": null). The per-query detail maps and the long methodology
@@ -373,14 +418,20 @@ def main() -> None:
                 "queries_cold": cold,
                 "queries_warm_median": warm_median,
                 "queries_duck": duck,
+                "floor_queries": floor_names,
                 "methodology": (
                     "cold: single-shot, plan+exec in timer, no shared caches. "
                     "warm (=value): shared fact/signature/shingle/events "
                     "frames cached, the fact/events layouts spread across "
-                    "defaultParallelism before caching (r21 — the single-"
-                    "row-group inputs otherwise pin warm map stages to <=3 "
-                    "cores; spread+cache cost disclosed in cache_build_sec), "
-                    "plan "
+                    "min(defaultParallelism, ceil(rows/40k)) before caching "
+                    "(r21 spread — single-row-group inputs otherwise pin "
+                    "warm map stages to <=3 cores; r22 size-aware cap — "
+                    "fanning ~600k-row frames to 32 tasks made dispatch "
+                    "dominate; spread+cache cost disclosed in "
+                    "cache_build_sec). value_warm_floor/_scalerep (r22): "
+                    "warm subtotal over rows whose in-run duck control is "
+                    "under/over 0.1s (floor rows are dispatch-bound at this "
+                    "SF; names in floor_queries). plan "
                     f"built once, best-of-{N_WARM_RUNS} exec into noop sink. "
                     "duck control: same-session DuckDB over the same "
                     "queries' oracles, 1 untimed warm pass then median of "
@@ -408,6 +459,8 @@ def main() -> None:
                 "queries": warm,
                 "sf": sf,
                 "value_warm": round(sum(warm.values()), 3),
+                "value_warm_floor": warm_floor,
+                "value_warm_scalerep": warm_scalerep,
                 "value_cold": round(sum(cold.values()), 3),
                 "cache_build_sec": cache_build,
                 "shuffle_partitions": shuffle_partitions,

