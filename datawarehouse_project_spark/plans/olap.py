@@ -543,6 +543,25 @@ def q08_halfyearly_vs_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join's two sides read one execution instead of re-running the
     # fact agg per branch. Values are bit-identical to the two-pass
     # form (equality re-proven against the unchanged oracle).
+    #
+    # localCheckpoint caveats (ADVICE r21): (1) FRESHNESS — the
+    # checkpoint materializes once per BUILT frame and is reused by
+    # every later execution of that same frame, so a caller that holds a
+    # q08 DataFrame across a source rewrite re-reads the stale halves;
+    # rebuild via the catalog (the fact memo's mtime guard then
+    # re-derives everything) after changing sources. (2) RELIABILITY —
+    # localCheckpoint stores partitions on executors with no lineage to
+    # recompute them: on a real cluster, executor loss / dynamic-
+    # allocation decommission between materialization and the join's
+    # second read FAILS the query where the two-pass form would have
+    # recomputed; acceptable here because the frame is product-
+    # cardinality (seconds to rebuild by re-running q08) — the same
+    # bounded-frame trade retrieval_eval.py documents. (3) ACCRUAL —
+    # each build checkpoints a fresh RDD that is unpersisted only when
+    # the JVM Dataset is GC'd (ContextCleaner); repeated builds in a
+    # long session accumulate small executor-storage blocks in the
+    # interim (io.release_checkpoint is the eager-release hook for
+    # loops that care).
     half_dec = fact(spark, sf_dir).groupBy(
         "product_name",
         F.when(F.month("order_date").between(1, 6), "H1")
