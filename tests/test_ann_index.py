@@ -12,6 +12,16 @@ from datawarehouse_project_spark.operators.ann_index import IvfVectorIndex
 from datawarehouse_project_spark.operators.similarity import N_QUERIES
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def _canon_topk(df):
     return sorted(
         (r.query_id, r.neighbor_id, r.qdot, round(r.approx_dot, 12), r.rank)

@@ -18,6 +18,16 @@ from datawarehouse_project_spark.operators.bpe import (
 )
 
 
+import pytest
+
+# r22 fast-lane split, second pass (measured: the first fast lane still
+# ran 16.5 min on this box — over the driver-timeout safety margin):
+# this module's VALUE semantics are gated by the fast lane's sf0.001
+# oracle-parity sweep; its deeper coverage runs in the slow lane
+# (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def _py_bpe(word_counts: dict[str, int], n_merges: int):
     """Independent reference: textbook BPE on a word-frequency table
     with (count DESC, pair ASC) tie-breaks and greedy left-to-right

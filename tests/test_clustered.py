@@ -21,6 +21,16 @@ from datawarehouse_project_spark.sources.clustered import (
     write_range_clustered,
 )
 
+
+import pytest
+
+# r22 fast-lane split, second pass (measured: the first fast lane still
+# ran 16.5 min on this box — over the driver-timeout safety margin):
+# this module's VALUE semantics are gated by the fast lane's sf0.001
+# oracle-parity sweep; its deeper coverage runs in the slow lane
+# (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 N_FILES = 8
 LO = datetime.datetime(1998, 1, 1)

@@ -15,6 +15,16 @@ from datawarehouse_project_spark.operators.dedup_incremental import (
 from datawarehouse_project_spark.sources.sinks import VersionedParquetTable
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def _pairs_set(df):
     return {
         (r["doc_a"], r["doc_b"], r["n_matching_minhash"]) for r in df.collect()

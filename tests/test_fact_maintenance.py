@@ -13,6 +13,16 @@ from datawarehouse_project_spark.sources.fact_maintenance import (
 )
 
 
+import pytest
+
+# r22 fast-lane split, second pass (measured: the first fast lane still
+# ran 16.5 min on this box — over the driver-timeout safety margin):
+# this module's VALUE semantics are gated by the fast lane's sf0.001
+# oracle-parity sweep; its deeper coverage runs in the slow lane
+# (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def _copy_sf(sf_dir: str, dst) -> str:
     dst.mkdir(parents=True, exist_ok=True)
     for t in [

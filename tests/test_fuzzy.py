@@ -16,6 +16,16 @@ from datawarehouse_project_spark.operators.fuzzy import (
 )
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def _brute(spark, rows, d):
     """Quadratic ground truth computed with the same JVM levenshtein."""
     df = spark.createDataFrame(rows, "id bigint, s string")

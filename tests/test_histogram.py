@@ -18,6 +18,16 @@ from datawarehouse_project_spark.operators.histogram import (
 from tests.oracle_check import compare
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def test_histogram_percentiles_satisfy_the_defining_inequalities(spark, sf_dir):
     """For every key and q: P[X < p_lo] < q and P[X <= p_lo + width] >= q
     — the bound the bin lower-bound estimate promises, checked against

@@ -10,6 +10,16 @@ from pyspark.sql import functions as F
 from datawarehouse_project_spark.io import table
 from datawarehouse_project_spark.operators.incremental import IncrementalRollup
 
+
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 KEYS = ["o_orderpriority"]
 MEASURE = "o_totalprice"

@@ -13,6 +13,16 @@ from datawarehouse_project_spark.sources.interchange import (
 from tests.oracle_check import canon_rows
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def test_orc_roundtrip_is_value_identical_for_every_table(spark, sf_dir, tmp_path):
     out = str(tmp_path / "orc")
     write_orc_tables(spark, sf_dir, out)

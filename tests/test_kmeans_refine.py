@@ -16,6 +16,16 @@ from datawarehouse_project_spark.operators.similarity import (
 )
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def _frame(spark, mat):
     return spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(mat)],

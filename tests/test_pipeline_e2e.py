@@ -23,6 +23,16 @@ from datawarehouse_project_spark.operators.textstats import (
 )
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def test_llm_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()

@@ -14,6 +14,16 @@ from datawarehouse_project_spark.operators.retrieval import (
 )
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def _topk_set(df):
     return sorted((r.query_id, r.doc_id, r.score, r.rnk) for r in df.collect())
 

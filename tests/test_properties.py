@@ -15,6 +15,16 @@ from datawarehouse_project_spark.functions.cleaning import (
 )
 from datawarehouse_project_spark.sources.csv_ingest import dedup_last_wins
 
+
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
 _SETTINGS = dict(max_examples=5, deadline=None)
 
 _dates = st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2099, 12, 28))

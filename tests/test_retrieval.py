@@ -15,6 +15,16 @@ from datawarehouse_project_spark.operators.retrieval import (
 )
 
 
+import pytest
+
+# r22 fast-lane split, second pass (measured: the first fast lane still
+# ran 16.5 min on this box — over the driver-timeout safety margin):
+# this module's VALUE semantics are gated by the fast lane's sf0.001
+# oracle-parity sweep; its deeper coverage runs in the slow lane
+# (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def _docs(spark, sf_dir):
     return table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
 

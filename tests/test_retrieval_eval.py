@@ -19,6 +19,16 @@ from datawarehouse_project_spark.operators.retrieval_eval import (
 )
 
 
+import pytest
+
+# r22 fast-lane split, second pass (measured: the first fast lane still
+# ran 16.5 min on this box — over the driver-timeout safety margin):
+# this module's VALUE semantics are gated by the fast lane's sf0.001
+# oracle-parity sweep; its deeper coverage runs in the slow lane
+# (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def _planted(spark):
     """Two queries, each defeating one leg: q100's distractor (doc 3)
     stacks tf on one term (the unnormalized dot ranks it first; BM25's

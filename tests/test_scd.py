@@ -8,6 +8,16 @@ from pyspark.sql import functions as F
 
 from datawarehouse_project_spark.catalog import all_queries
 
+
+import pytest
+
+# r22 fast-lane split, second pass (measured: the first fast lane still
+# ran 16.5 min on this box — over the driver-timeout safety margin):
+# this module's VALUE semantics are gated by the fast lane's sf0.001
+# oracle-parity sweep; its deeper coverage runs in the slow lane
+# (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
 _Q = all_queries()
 
 

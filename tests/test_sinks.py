@@ -13,6 +13,16 @@ from datawarehouse_project_spark.sources.sinks import (
 )
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
     path = str(tmp_path / "fact_by_year")
     li = table(spark, sf_dir, "orders").withColumn(

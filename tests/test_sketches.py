@@ -14,6 +14,16 @@ from datawarehouse_project_spark.operators.sketches import (
     range_distinct_users,
 )
 
+
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
 #: DataSketches HLL at lg_k=12 has ~1.6 % typical relative standard
 #: error; 5 % absorbs tail draws across every generated day.
 REL_TOL = 0.05

@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 
 from datawarehouse_project_spark.operators.skew import salted_sum
 
+
+import pytest
+
+# r22 fast-lane split, second pass (measured: the first fast lane still
+# ran 16.5 min on this box — over the driver-timeout safety margin):
+# this module's VALUE semantics are gated by the fast lane's sf0.001
+# oracle-parity sweep; its deeper coverage runs in the slow lane
+# (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
 #: hot store 0 owns every even row (~50% of the corpus); the rest is
 #: spread uniformly over 96 cold stores — the "one store takes half the
 #: fact" shape salting exists for.

@@ -14,6 +14,16 @@ from datawarehouse_project_spark.catalog import all_queries, spark_sql_surface
 from datawarehouse_project_spark.io import TABLES, load_all
 from tests.oracle_check import canon_rows
 
+
+import pytest
+
+# r22 fast-lane split, second pass (measured: the first fast lane still
+# ran 16.5 min on this box — over the driver-timeout safety margin):
+# this module's VALUE semantics are gated by the fast lane's sf0.001
+# oracle-parity sweep; its deeper coverage runs in the slow lane
+# (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
 SURFACE = spark_sql_surface()
 
 

@@ -24,6 +24,16 @@ from datawarehouse_project_spark.streaming.windows import (
 )
 
 
+import pytest
+
+# r22 fast-lane split (VERDICT r21 #2: the driver's default pytest run
+# timed out at 30-80 min on the drifting box): this module is stateful /
+# property / streaming coverage whose VALUE semantics are already gated
+# by the fast lane's sf0.001 oracle-parity sweep — the whole module runs
+# in the slow lane (`pytest -m slow`, the round-end full sweep).
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def chunked_events(spark, tmp_path_factory):
     """events split into 4 parquet files = 4 micro-batch 'chunks'."""
